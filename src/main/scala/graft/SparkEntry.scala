@@ -1,13 +1,93 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.datagen.DemoOntology
+import graft.graph.Triples
+import graft.run.Stages
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator has an entry in `queries`; SQL-expressible
+  * ones also have a DuckDB oracle in `oracleSql` (same parquet tables, same
+  * column names — the driver sorts columns by name and hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The demo-gazetteer VALUES clause shared by KG oracles. */
+  private def gazValues(terms: Seq[(String, String, String)]): String =
+    terms.map { case (syn, cls, idx) => s"('$syn','$cls','$idx')" }.mkString(", ")
+
+  private def allTermValues: String =
+    gazValues(DemoOntology.terms.map(t => (t._1, t._3, t._4)).distinct.map(t => (t._1, t._2, t._3)))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the slice-0 KG pipeline end to end (ingest -> broadcast Aho-Corasick
+    * NER -> exact-match linking -> triples). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    kgTriples(spark, "/root/testdata/sf0.001")
+
+  /** Dictionary NER counts per (doc, class, match term). */
+  def kgNerMentions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Stages.documentsAsDocs(spark, sfDir)
+    val bcDict = spark.sparkContext.broadcast(DemoOntology.dictionary)
+    Stages.nerStage(docs, bcDict)
+      .flatMap(dm => dm.mentions.map(m => (dm.docId, m.entityClass, m.matchText)))
+      .toDF("doc_id", "entity_class", "match")
+      .groupBy("doc_id", "entity_class", "match")
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
+  /** Distinct (doc, pred, obj) triples from exact unambiguous linking. */
+  def kgTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Stages.documentsAsDocs(spark, sfDir)
+    val bcDict = spark.sparkContext.broadcast(DemoOntology.dictionary)
+    val bcGaz = spark.sparkContext.broadcast(DemoOntology.gazetteer)
+    val mentions = Stages.nerStage(docs, bcDict)
+    val mapped = Triples.exactUnambiguousMappings(mentions, bcGaz)
+    Triples.fromDocMentions(mapped)
+      .map(t => (t.subj.takeWhile(_ != '#'), t.pred, t.obj))
+      .toDF("doc_id", "pred", "obj")
+      .distinct()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_ner_mentions" -> ((s, dir) => kgNerMentions(s, dir)),
+    "kg_triples" -> ((s, dir) => kgTriples(s, dir)),
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "kg_ner_mentions" ->
+      s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
+         |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)
+         |SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, g2.entity_class AS entity_class,
+         |       g2.syn AS "match",
+         |       len(regexp_extract_all(lower(d.text), '\\b' || g2.syn || '\\b')) AS n_mentions
+         |FROM documents d CROSS JOIN g2
+         |WHERE len(regexp_extract_all(lower(d.text), '\\b' || g2.syn || '\\b')) > 0""".stripMargin,
+    "kg_triples" ->
+      s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${gazValues(DemoOntology.unambiguousTerms)})
+         |SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         |       'denotes:' || g.entity_class AS pred, g.obj AS obj
+         |FROM documents d JOIN gaz g
+         |  ON regexp_matches(lower(d.text), '\\b' || g.syn || '\\b')""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

@@ -1,0 +1,227 @@
+package graft.ac
+
+import graft.core._
+import graft.gazetteer.Gazetteer
+import graft.text.Tokenizer
+
+/** Serializable Aho-Corasick automaton over chars, built once on the driver
+  * from the gazetteer's NER curations and shipped to executors via
+  * sc.broadcast — the Spark-native re-expression of the reference's shared
+  * pyahocorasick automaton (/root/reference/kazu/steps/joint_ner_and_linking
+  * /memory_efficient_string_matching.py:44-95).
+  *
+  * Representation: per-state sorted char/target arrays (binary-search
+  * transitions) + fail links + dictionary-suffix links. Compact, cheap to
+  * serialize, cache-friendly at scan time — one automaton instance is shared
+  * by all tasks of an executor.
+  */
+final class AhoCorasick private (
+    private val transChars: Array[Array[Char]],
+    private val transTargets: Array[Array[Int]],
+    private val fail: Array[Int],
+    private val dictLink: Array[Int],
+    /** keyIndex terminating at this state, or -1 */
+    private val stateKey: Array[Int],
+    val keys: Array[String]
+) extends Serializable {
+
+  @inline private def step(fromState: Int, c: Char): Int = {
+    var state = fromState
+    while (true) {
+      val chars = transChars(state)
+      val i = java.util.Arrays.binarySearch(chars, c)
+      if (i >= 0) return transTargets(state)(i)
+      if (state == 0) return 0
+      state = fail(state)
+    }
+    0
+  }
+
+  /** Iterate matches: f(endIndexInclusive, keyIndex) for every key
+    * occurrence in `text` (all matches, like pyahocorasick's
+    * Automaton.iter). */
+  def scan(text: String)(f: (Int, Int) => Unit): Unit = {
+    var state = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      state = step(state, text.charAt(i))
+      var s = state
+      while (s != 0) {
+        if (stateKey(s) >= 0) f(i, stateKey(s))
+        s = dictLink(s)
+      }
+      i += 1
+    }
+  }
+}
+
+object AhoCorasick {
+
+  /** BFS build from distinct keys. */
+  def build(keys: Array[String]): AhoCorasick = {
+    // mutable trie
+    val children = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.TreeMap.empty[Char, Int])
+    val keyAt = scala.collection.mutable.ArrayBuffer(-1)
+
+    var k = 0
+    while (k < keys.length) {
+      var state = 0
+      val key = keys(k)
+      var i = 0
+      while (i < key.length) {
+        val c = key.charAt(i)
+        state = children(state).getOrElseUpdate(c, {
+          children += scala.collection.mutable.TreeMap.empty[Char, Int]
+          keyAt += -1
+          children.size - 1
+        })
+        i += 1
+      }
+      keyAt(state) = k
+      k += 1
+    }
+
+    val n = children.size
+    val fail = new Array[Int](n)
+    val dictLink = new Array[Int](n)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    for ((_, child) <- children(0)) { fail(child) = 0; queue += child }
+    while (queue.nonEmpty) {
+      val state = queue.dequeue()
+      dictLink(state) =
+        if (keyAt(fail(state)) >= 0) fail(state) else dictLink(fail(state))
+      for ((c, child) <- children(state)) {
+        // find fail target for child
+        var f = fail(state)
+        var target = 0
+        var found = false
+        while (!found) {
+          children(f).get(c) match {
+            case Some(t) => target = t; found = true
+            case None =>
+              if (f == 0) { target = 0; found = true } else f = fail(f)
+          }
+        }
+        fail(child) = target
+        queue += child
+      }
+    }
+
+    val transChars = new Array[Array[Char]](n)
+    val transTargets = new Array[Array[Int]](n)
+    var s = 0
+    while (s < n) {
+      val entries = children(s).toArray // TreeMap => sorted by char
+      transChars(s) = entries.map(_._1)
+      transTargets(s) = entries.map(_._2)
+      s += 1
+    }
+    new AhoCorasick(transChars, transTargets, fail, dictLink, keyAt.toArray, keys)
+  }
+}
+
+/** One automaton payload entry: the ontology info attached to a lowercased
+  * curated synonym. Ref: EntityInfoToOntologyInfoMapping,
+  * memory_efficient_string_matching.py:21-23,69-81.
+  */
+final case class AcEntry(
+    entityClass: String,
+    confidence: Int,
+    caseSensitive: Boolean,
+    termNorm: String,
+    originalCase: String,
+    parsers: Seq[String]
+)
+
+/** The broadcastable dictionary-NER artifact. */
+final case class NerDictionary(automaton: AhoCorasick, payloads: Array[Array[AcEntry]])
+    extends Serializable
+
+object DictionaryNer {
+
+  val Namespace = "DictionaryNerStep"
+
+  /** Build the shared automaton across all parsers from NER curations.
+    * Mirror of _create_automaton (memory_efficient_string_matching.py:
+    * 44-95): key = curated_synonym.lower(); payload groups (entity_class,
+    * confidence, case_sensitive, term_norm, original_case) -> parser set.
+    */
+  def buildDictionary(gaz: Gazetteer): NerDictionary = {
+    val keyToInfo = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[(String, Int, Boolean, String, String), scala.collection.mutable.TreeSet[String]]]
+    for (c <- gaz.nerCurations) {
+      val entityClass = gaz.entityClassByParser(c.parserName)
+      val termNorm = c.termNormForLinking(entityClass)
+      // only curations whose term_norm exists in this parser's final table
+      if (gaz.term(c.parserName, termNorm).isDefined) {
+        val key = c.curatedSynonym.toLowerCase(java.util.Locale.ROOT)
+        val entityKey = (entityClass, c.mentionConfidence, c.caseSensitive, termNorm, c.curatedSynonym)
+        keyToInfo.getOrElseUpdate(key, scala.collection.mutable.LinkedHashMap.empty)
+          .getOrElseUpdate(entityKey, scala.collection.mutable.TreeSet.empty) += c.parserName
+      }
+    }
+    val keys = keyToInfo.keys.toArray.sorted
+    val payloads = keys.map { key =>
+      keyToInfo(key).map { case ((cls, conf, cs, norm, orig), parsers) =>
+        AcEntry(cls, conf, cs, norm, orig, parsers.toSeq)
+      }.toArray
+    }
+    NerDictionary(AhoCorasick.build(keys), payloads)
+  }
+
+  /** Scan one document's text; emit mentions. Mirror of _process_automaton
+    * (memory_efficient_string_matching.py:108-191): lowercase scan with
+    * token-boundary validity, per-entry case filter, per-entity-class
+    * grouping with max-confidence conflict resolution, exact-match
+    * candidates attached from the synonym table.
+    */
+  def scanText(dict: NerDictionary, docId: String, text: String): Seq[Mention] = {
+    val (starts, ends) = Tokenizer.boundarySets(text)
+    val matchable = text.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+
+    dict.automaton.scan(matchable) { (endIndex, keyIdx) =>
+      val key = dict.automaton.keys(keyIdx)
+      val startIndex = endIndex - key.length + 1
+      if (starts.get(startIndex) && ends.get(endIndex)) {
+        val matchedText = text.substring(startIndex, endIndex + 1)
+        val entries = dict.payloads(keyIdx)
+        // group by entity class, sorted (sort_then_group ref :124-126)
+        val byClass = entries.groupBy(_.entityClass).toSeq.sortBy(_._1)
+        for ((entityClass, classEntries) <- byClass) {
+          val candidates = scala.collection.mutable.LinkedHashSet.empty[Candidate]
+          val confidences = scala.collection.mutable.Map.empty[String, Int]
+          for (e <- classEntries) {
+            val caseOk = !e.caseSensitive || matchedText == e.originalCase
+            if (caseOk) {
+              for (parser <- e.parsers) {
+                confidences(parser) = math.max(confidences.getOrElse(parser, Int.MinValue), e.confidence)
+                candidates += Candidate(parser, e.termNorm, None, None, exactMatch = true)
+              }
+            }
+          }
+          if (candidates.nonEmpty) {
+            val chosenConf = confidences.values.max
+            out += Mention(
+              docId = docId,
+              start = startIndex,
+              end = endIndex + 1,
+              spans = Seq(Span(startIndex, endIndex + 1)),
+              matchText = matchedText,
+              matchNorm = "", // filled by caller with entity-class-aware normalize
+              entityClass = entityClass,
+              namespace = Namespace,
+              confidence = chosenConf,
+              candidates = candidates.toSeq,
+              mappings = Seq.empty
+            )
+          }
+        }
+      }
+    }
+    // derive matchNorm (Entity.__post_init__ analog, data.py:369-371)
+    out.map(m => m.copy(matchNorm = graft.text.StringNormalizer.normalize(m.matchText, m.entityClass))).toSeq
+  }
+}

@@ -1,0 +1,174 @@
+package graft.core
+
+/** Core data model of the KG-construction engine.
+  *
+  * Value-typed analogs of the reference runtime objects (see
+  * /root/reference/kazu/data/data.py:104-501): where the reference mutates
+  * `Entity` objects attached to `Document`s, we flow immutable rows through
+  * Dataset transforms and append columns instead.
+  */
+
+/** Char-indexed half-open span [start, end). Ref: data.py:104-132. */
+final case class Span(start: Int, end: Int) {
+  def isCompletelyOverlapped(other: Span): Boolean =
+    other.start <= start && end <= other.end
+  def isPartiallyOverlapped(other: Span): Boolean =
+    (other.start <= start && start <= other.end) || (other.start <= end && end <= other.end)
+}
+
+/** Mention detection confidence. Ref: data.py:85-88 (IntEnum, ordered; max()
+  * used for conflict resolution).
+  */
+object MentionConfidence {
+  val HIGHLY_LIKELY = 100
+  val PROBABLE = 50
+  val POSSIBLE = 10
+  def name(v: Int): String = v match {
+    case 100 => "HIGHLY_LIKELY"
+    case 50  => "PROBABLE"
+    case 10  => "POSSIBLE"
+    case _   => s"UNKNOWN_$v"
+  }
+  def fromName(s: String): Int = s match {
+    case "HIGHLY_LIKELY" => HIGHLY_LIKELY
+    case "PROBABLE"      => PROBABLE
+    case "POSSIBLE"      => POSSIBLE
+    case other           => throw new IllegalArgumentException(s"bad confidence $other")
+  }
+}
+
+/** Ref: data.py:91-95. */
+object StringMatchConfidence {
+  val HIGHLY_LIKELY = "HIGHLY_LIKELY"
+  val PROBABLE = "PROBABLE"
+  val POSSIBLE = "POSSIBLE"
+}
+
+/** Ref: data.py:98-101 (adds AMBIGUOUS). */
+object DisambiguationConfidence {
+  val HIGHLY_LIKELY = "HIGHLY_LIKELY"
+  val PROBABLE = "PROBABLE"
+  val POSSIBLE = "POSSIBLE"
+  val AMBIGUOUS = "AMBIGUOUS"
+}
+
+/** One (id, source) pair. Ref element of EquivalentIdSet, data.py:154-168. */
+final case class IdAndSource(idx: String, source: String)
+
+/** One *concept*: a set of equivalent ids. Ref: data.py:154-168. */
+final case class EquivIdSet(idsAndSource: Seq[IdAndSource]) {
+  def ids: Seq[String] = idsAndSource.map(_.idx)
+  /** Canonical sorted form so value equality matches the reference's
+    * frozenset semantics. */
+  def canonical: EquivIdSet =
+    EquivIdSet(idsAndSource.sortBy(i => (i.idx, i.source)))
+}
+
+/** Ref: EquivalentIdAggregationStrategy names used by the engine. */
+object AggStrategy {
+  val NO_STRATEGY = "NO_STRATEGY"
+  val UNAMBIGUOUS = "UNAMBIGUOUS"
+  val MERGED_AS_NON_SYMBOLIC = "MERGED_AS_NON_SYMBOLIC"
+  val RESOLVED_BY_SIMILARITY = "RESOLVED_BY_SIMILARITY"
+  val CUSTOM = "CUSTOM"
+}
+
+/** A row of the gazetteer table: one normalized synonym for one parser.
+  * Ref: SynonymTerm, data.py:216-245. `isAmbiguous` iff idSets.size > 1.
+  */
+final case class SynTerm(
+    parserName: String,
+    termNorm: String,
+    terms: Seq[String],
+    isSymbolic: Boolean,
+    mappingTypes: Seq[String],
+    idSets: Seq[EquivIdSet],
+    aggregatedBy: String
+) {
+  def isAmbiguous: Boolean = idSets.size > 1
+}
+
+/** Candidate synonym term attached to a mention, with search metrics.
+  * Ref: SynonymTermWithMetrics, data.py:248-308 (metrics excluded from
+  * equality there; here we carry (parserName, termNorm) as identity and look
+  * the full SynTerm up in the broadcast gazetteer).
+  */
+final case class Candidate(
+    parserName: String,
+    termNorm: String,
+    searchScore: Option[Double],
+    boolScore: Option[Boolean],
+    exactMatch: Boolean
+)
+
+/** A grounded KB identifier decision. Ref: Mapping, data.py:171-207. */
+final case class Mapping(
+    parserName: String,
+    source: String,
+    idx: String,
+    defaultLabel: String,
+    stringMatchStrategy: String,
+    stringMatchConfidence: String,
+    disambiguationStrategy: Option[String],
+    disambiguationConfidence: Option[String],
+    xrefSourceParserName: Option[String]
+)
+
+/** A detected mention (contiguous unless spans.size > 1). Value-typed analog
+  * of Entity (data.py:311-501): start/end/matchNorm are derived at
+  * construction like Entity.__post_init__ (data.py:369-371).
+  */
+final case class Mention(
+    docId: String,
+    start: Int,
+    end: Int,
+    spans: Seq[Span],
+    matchText: String,
+    matchNorm: String,
+    entityClass: String,
+    namespace: String,
+    confidence: Int,
+    candidates: Seq[Candidate],
+    mappings: Seq[Mapping]
+)
+
+/** Input row: one source file. North-rule input_hint shape. */
+final case class DocRow(repo: String, path: String, commit: String, lang: String, content: String)
+
+/** Ingested document: docId = sha256(repo|path|commit); contentSha is the
+  * per-row invariance column (BASELINE.json input_hint). `error` carries the
+  * PROCESSING_EXCEPTION analog (ref data.py:38) for the quarantine sink.
+  */
+final case class Doc(
+    docId: String,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String,
+    contentSha: String,
+    error: Option[String]
+)
+
+/** A document with all its accumulated mentions: the unit of the per-doc
+  * folds (strategy cascade, abbreviation propagation, overlap merge).
+  */
+final case class DocMentions(docId: String, contentSha: String, mentions: Seq[Mention])
+
+/** Final KG edge. subj = docId#start-end, pred = denotes:<class> | xref,
+  * obj = canonical CURIE. Ref shape: FIXTURES.md §5.
+  */
+final case class Triple(
+    subj: String,
+    pred: String,
+    obj: String,
+    parserName: String,
+    source: String,
+    stringMatchConfidence: String,
+    disambiguationConfidence: Option[String],
+    contentSha: String
+)
+
+/** Metadata record for one KB id. Ref: MetadataDatabase values,
+  * in_memory_db.py:23-74. */
+final case class IdMeta(defaultLabel: String, dataOrigin: String, annotationScore: Option[Double])

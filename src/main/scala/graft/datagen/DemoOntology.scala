@@ -1,0 +1,81 @@
+package graft.datagen
+
+import graft.ac.{DictionaryNer, NerDictionary}
+import graft.core._
+import graft.gazetteer._
+
+/** Deterministic demo knowledge base over the testdata `documents`
+  * vocabulary — the dimension-side fixture for the KG queries that the
+  * driver's DuckDB oracle can replay (terms are simple word-boundary
+  * matchable strings, so the oracle is a regexp over the same table).
+  *
+  * Shaped exactly like the reference's DummyParser fixtures
+  * (/root/reference/kazu/tests/utils.py:65-108): 4-column ontology rows +
+  * auto-generated ADD_FOR_NER_AND_LINKING curations.
+  */
+object DemoOntology {
+
+  val DbOpParser = "demo_dbop"
+  val DataEntParser = "demo_dataent"
+
+  /** (syn, parser, entityClass, idx, defaultLabel). "spark" is the planted
+    * ambiguous term (two ids sharing the synonym, dissimilar labels => two
+    * EquivalentIdSets, like the p27 fixture). */
+  val terms: Seq[(String, String, String, String, String)] = Seq(
+    ("scan", DbOpParser, "dbop", "OP_SCAN", "Scan Operator"),
+    ("join", DbOpParser, "dbop", "OP_JOIN", "Join Operator"),
+    ("sort", DbOpParser, "dbop", "OP_SORT", "Sort Operator"),
+    ("merge", DbOpParser, "dbop", "OP_MERGE", "Merge Operator"),
+    ("filter", DbOpParser, "dbop", "OP_FILTER", "Filter Operator"),
+    ("agg", DbOpParser, "dbop", "OP_AGG", "Aggregate Operator"),
+    ("window", DbOpParser, "dbop", "OP_WINDOW", "Window Operator"),
+    ("stream", DbOpParser, "dbop", "OP_STREAM", "Stream Operator"),
+    ("hash join", DbOpParser, "dbop", "OP_HASH_JOIN", "Hash Join Operator"),
+    ("table scan", DbOpParser, "dbop", "OP_TABLE_SCAN", "Table Scan Operator"),
+    ("spark", DbOpParser, "dbop", "OP_SPARK_ENGINE", "Spark Execution Engine"),
+    ("spark", DbOpParser, "dbop", "OP_SPARK_PLUG", "Ignition Plug Device"),
+    ("customer", DataEntParser, "dataent", "DE_CUSTOMER", "Customer Entity"),
+    ("order", DataEntParser, "dataent", "DE_ORDER", "Order Entity"),
+    ("line", DataEntParser, "dataent", "DE_LINE", "Line Entity"),
+    ("part", DataEntParser, "dataent", "DE_PART", "Part Entity"),
+    ("row", DataEntParser, "dataent", "DE_ROW", "Row Entity"),
+    ("column", DataEntParser, "dataent", "DE_COLUMN", "Column Entity"),
+    ("key", DataEntParser, "dataent", "DE_KEY", "Key Entity"),
+    ("value", DataEntParser, "dataent", "DE_VALUE", "Value Entity"),
+    ("batch", DataEntParser, "dataent", "DE_BATCH", "Batch Entity"),
+    ("vector", DataEntParser, "dataent", "DE_VECTOR", "Vector Entity")
+  )
+
+  /** (syn, entityClass, idx) pairs that exact-match linking emits without
+    * disambiguation: every id of a synonym whose SynTerm has exactly one
+    * EquivalentIdSet. Note "spark" is *non-symbolic*, so its two ids merge
+    * into one id set (MERGED_AS_NON_SYMBOLIC, ref base.py:948-952) and both
+    * are emitted — faithful reference semantics. */
+  def unambiguousTerms: Seq[(String, String, String)] =
+    (for {
+      (syn, parser) <- terms.map(t => (t._1, t._2)).distinct
+      cls = gazetteer.entityClassByParser(parser)
+      term <- gazetteer.term(parser, graft.text.StringNormalizer.normalize(syn, cls)).toSeq
+      if term.idSets.size == 1
+      idx <- term.idSets.head.ids
+    } yield (syn, cls, idx)).sortBy(t => (t._1, t._3))
+
+  def ontologyRows: Seq[OntologyRow] =
+    terms.map { case (syn, parser, cls, idx, label) =>
+      OntologyRow(parser, cls, idx, label, syn, "demo", "demo-v1")
+    }
+
+  /** Auto-curations: every distinct synonym is NER-enabled, case
+    * insensitive, HIGHLY_LIKELY (mirrors the reference's autocuration
+    * default for dictionary sources). */
+  def curations: Seq[Curation] =
+    terms.map(t => (t._1, t._2)).distinct.map { case (syn, parser) =>
+      Curation(parser, syn, MentionConfidence.HIGHLY_LIKELY,
+        Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, None, None)
+    }
+
+  lazy val gazetteer: Gazetteer =
+    GazetteerBuilder.buildLocal(ontologyRows, curations)
+
+  lazy val dictionary: NerDictionary = DictionaryNer.buildDictionary(gazetteer)
+}

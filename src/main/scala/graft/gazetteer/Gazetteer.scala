@@ -1,0 +1,430 @@
+package graft.gazetteer
+
+import graft.core._
+import graft.text.{Fuzz, StringNormalizer}
+
+/** The 4-column ontology contract + provenance: every KB is normalized to
+  * this long-thin shape before gazetteer construction.
+  * Ref: /root/reference/kazu/ontology_preprocessing/base.py:44-53,1149-1167.
+  */
+final case class OntologyRow(
+    parserName: String,
+    entityClass: String,
+    idx: String,
+    defaultLabel: String,
+    syn: String,
+    mappingType: String,
+    dataOrigin: String
+)
+
+/** Curation record controlling NER/linking behaviour of one synonym.
+  * Ref: CuratedTerm, /root/reference/kazu/data/data.py:916-1062.
+  */
+final case class Curation(
+    parserName: String,
+    curatedSynonym: String,
+    mentionConfidence: Int,
+    behaviour: String,
+    caseSensitive: Boolean,
+    idSets: Option[Seq[EquivIdSet]],
+    sourceTerm: Option[String]
+) {
+  /** Ref: data.py:1009-1011. */
+  def termNormForLinking(entityClass: String): String =
+    StringNormalizer.normalize(sourceTerm.getOrElse(curatedSynonym), entityClass)
+}
+
+/** Ref: CuratedTermBehaviour, data.py:826-839. */
+object Behaviour {
+  val IGNORE = "IGNORE"
+  val ADD_FOR_NER_AND_LINKING = "ADD_FOR_NER_AND_LINKING"
+  val ADD_FOR_LINKING_ONLY = "ADD_FOR_LINKING_ONLY"
+  val DROP_SYNONYM_TERM_FOR_LINKING = "DROP_SYNONYM_TERM_FOR_LINKING"
+  val INHERIT_FROM_SOURCE_TERM = "INHERIT_FROM_SOURCE_TERM"
+
+  /** Application order. Ref: base.py:124-131. */
+  val applyOrder: Seq[String] = Seq(
+    IGNORE, ADD_FOR_NER_AND_LINKING, ADD_FOR_LINKING_ONLY,
+    DROP_SYNONYM_TERM_FOR_LINKING, INHERIT_FROM_SOURCE_TERM
+  )
+  val orderIndex: Map[String, Int] = applyOrder.zipWithIndex.toMap
+}
+
+/** Global per-parser action: drop ids everywhere.
+  * Ref: GlobalParserActions/ParserAction, data.py:847-913. */
+final case class GlobalAction(parserName: String, dropIds: Seq[String])
+
+/** id -> KB source resolution (the reference's per-parser `find_kb`, e.g.
+  * parsers.py:142-143,356-357,902-907). Default heuristic handles URI ids,
+  * CURIEs and PREFIX_NNN ids; falls back to the parser name.
+  */
+object SourceResolver {
+  private val uriLike = "^(?:https?|ftp)://.*".r
+  def resolve(parserName: String, idx: String): String = {
+    val last =
+      if (uriLike.matches(idx)) idx.substring(idx.lastIndexOf('/') + 1)
+      else idx
+    val cut = last.indexWhere(c => c == '_' || c == ':')
+    if (cut > 0) last.substring(0, cut).toUpperCase(java.util.Locale.ROOT)
+    else if (last.startsWith("ENSG")) "ENSEMBL"
+    else parserName.toUpperCase(java.util.Locale.ROOT)
+  }
+}
+
+/** Pure-Scala id-grouping and synonym resolution — the per-group compute of
+  * the gazetteer groupBy/agg (G2/G3 in SURVEY §2.2). Groups are small, so
+  * this runs inside Spark aggregation (mapGroups) or locally.
+  */
+object SynonymResolver {
+
+  /** Cluster ids sharing a normalized synonym into EquivIdSets.
+    * Faithful to OntologyParser.score_and_group_ids (base.py:895-997):
+    * single id or non-symbolic => one set; else greedy agglomerative merge
+    * on default-label similarity > threshold. We iterate ids in sorted order
+    * for determinism (the reference iterates a Python set).
+    */
+  def scoreAndGroupIds(
+      idsAndSource: Set[IdAndSource],
+      isSymbolic: Boolean,
+      defaultLabels: Map[String, String],
+      scorer: Option[(String, String) => Double],
+      mergeThreshold: Double
+  ): (Seq[EquivIdSet], String) = {
+    scorer match {
+      case None =>
+        (idsAndSource.toSeq.sortBy(i => (i.idx, i.source))
+          .map(i => EquivIdSet(Seq(i))), AggStrategy.NO_STRATEGY)
+      case Some(score) =>
+        if (idsAndSource.size == 1)
+          (Seq(EquivIdSet(idsAndSource.toSeq).canonical), AggStrategy.UNAMBIGUOUS)
+        else if (!isSymbolic)
+          (Seq(EquivIdSet(idsAndSource.toSeq).canonical), AggStrategy.MERGED_AS_NON_SYMBOLIC)
+        else {
+          // greedy agglomerative clustering by best-matching default label
+          val clusters = scala.collection.mutable.ArrayBuffer
+            .empty[(scala.collection.mutable.Set[IdAndSource], scala.collection.mutable.Set[String])]
+          for (ias <- idsAndSource.toSeq.sortBy(i => (i.idx, i.source))) {
+            val label = defaultLabels.getOrElse(ias.idx, ias.idx)
+            var best: Option[(scala.collection.mutable.Set[IdAndSource], scala.collection.mutable.Set[String])] = None
+            var bestScore = 0.0
+            for (cluster <- clusters) {
+              val sim = cluster._2.map(other => score(label, other)).max
+              if (sim > mergeThreshold && sim > bestScore) {
+                best = Some(cluster); bestScore = sim
+              }
+            }
+            best match {
+              case None =>
+                clusters += ((scala.collection.mutable.Set(ias), scala.collection.mutable.Set(label)))
+              case Some(c) =>
+                c._1 += ias; c._2 += label
+            }
+          }
+          (clusters.map(c => EquivIdSet(c._1.toSeq).canonical)
+            .sortBy(s => s.idsAndSource.map(_.idx).mkString(",")).toSeq,
+            AggStrategy.RESOLVED_BY_SIMILARITY)
+        }
+    }
+  }
+
+  /** Resolve one normalized-synonym group into a SynTerm.
+    * Mirror of resolve_synonyms' per-group body (base.py:846-893). */
+  def resolveGroup(
+      parserName: String,
+      entityClass: String,
+      termNorm: String,
+      rows: Seq[(String, String, String, String)], // (syn, idx, mappingType, defaultLabel)
+      scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
+      mergeThreshold: Double = 0.70
+  ): SynTerm = {
+    val syns = rows.map(_._1).distinct.sorted
+    val mappingTypes = rows.map(_._3).distinct.sorted
+    val isSymbolic = syns.forall(StringNormalizer.classifySymbolic(_, entityClass))
+    val idsAndSource = rows.map(r => IdAndSource(r._2, SourceResolver.resolve(parserName, r._2))).toSet
+    val labels = rows.map(r => r._2 -> r._4).toMap
+    val (idSets, agg) = scoreAndGroupIds(idsAndSource, isSymbolic, labels, scorer, mergeThreshold)
+    SynTerm(parserName, termNorm, syns, isSymbolic, mappingTypes, idSets, agg)
+  }
+}
+
+/** Driver-side curation application over a parser's resolved SynTerms —
+  * ordered behaviours, conflict resolution, global id drops. Faithful port
+  * of CurationProcessor (/root/reference/kazu/ontology_preprocessing/base.py
+  * :103-749). Gazetteers are dimension-sized, so this runs on the driver
+  * before broadcast; determinism is guaranteed by explicit sort keys.
+  */
+final class CurationProcessor(
+    parserName: String,
+    entityClass: String,
+    globalActions: Option[GlobalAction],
+    curationsIn: Seq[Curation],
+    synonymTerms: Seq[SynTerm]
+) {
+  private val termsByTermNorm = scala.collection.mutable.LinkedHashMap.empty[String, SynTerm]
+  private val droppedKeys = scala.collection.mutable.Set.empty[String]
+  private var curations: Set[Curation] = curationsIn.toSet
+
+  synonymTerms.sortBy(_.termNorm).foreach(t => updateTermLookups(t, override_ = false))
+
+  private def canonIdSets(s: Seq[EquivIdSet]): Set[EquivIdSet] = s.map(_.canonical).toSet
+
+  private def updateTermLookups(term: SynTerm, override_ : Boolean): Boolean = {
+    val existing = termsByTermNorm.get(term.termNorm)
+    val safeToAdd = existing match {
+      case None => true
+      case Some(_) if override_ => true
+      case Some(e) => canonIdSets(e.idSets) == canonIdSets(term.idSets) // else conflict: ignore latter
+    }
+    if (safeToAdd) termsByTermNorm(term.termNorm) = term
+    safeToAdd
+  }
+
+  private def dropSynonymTerm(termNorm: String): Unit = {
+    if (termsByTermNorm.remove(termNorm).isDefined) droppedKeys += termNorm
+  }
+
+  private def dropIdFromIdSets(idToDrop: String, idSets: Seq[EquivIdSet]): Seq[EquivIdSet] =
+    idSets.flatMap { s =>
+      if (s.ids.contains(idToDrop)) {
+        val kept = s.idsAndSource.filterNot(_.idx == idToDrop)
+        if (kept.nonEmpty) Some(EquivIdSet(kept)) else None
+      } else Some(s)
+    }
+
+  private def processGlobalActions(): Unit = {
+    globalActions.filter(_.parserName == parserName).foreach { ga =>
+      for (idx <- ga.dropIds) {
+        // drop from all synonym terms
+        val affected = termsByTermNorm.values.filter(_.idSets.exists(_.ids.contains(idx))).toSeq
+        for (term <- affected) {
+          val newSets = dropIdFromIdSets(idx, term.idSets)
+          if (newSets.isEmpty) dropSynonymTerm(term.termNorm)
+          else updateTermLookups(
+            term.copy(idSets = newSets, aggregatedBy = "MODIFIED_BY_CURATION"), override_ = true)
+        }
+        // modify override curations carrying that id (base.py:526-633)
+        curations = curations.flatMap { c =>
+          c.idSets match {
+            case Some(sets) if sets.exists(_.ids.contains(idx)) =>
+              val newSets = dropIdFromIdSets(idx, sets)
+              if (newSets.isEmpty) None else Some(c.copy(idSets = Some(newSets)))
+            case _ => Some(c)
+          }
+        }
+      }
+    }
+  }
+
+  /** Conflict fixes. Ref: fix_conflicts_in_curations (base.py:363-524). */
+  private def fixConflicts(cs: Set[Curation]): Set[Curation] = {
+    var cur = cs
+    var allRemove = Set.empty[Curation]
+
+    // 1. same term_norm, different behaviours
+    val byTermNorm = cur.groupBy(_.termNormForLinking(entityClass))
+    for ((_, group) <- byTermNorm.toSeq.sortBy(_._1) if group.size > 1) {
+      val source = group.filter(_.sourceTerm.isEmpty)
+      val inherited = group.filter(_.sourceTerm.nonEmpty)
+      val conflictingBehaviours = source.map(_.behaviour).intersect(
+        Set(Behaviour.ADD_FOR_NER_AND_LINKING, Behaviour.ADD_FOR_LINKING_ONLY,
+          Behaviour.DROP_SYNONYM_TERM_FOR_LINKING))
+      if (conflictingBehaviours.size > 1) {
+        val resolved =
+          if (conflictingBehaviours.contains(Behaviour.DROP_SYNONYM_TERM_FOR_LINKING))
+            Behaviour.DROP_SYNONYM_TERM_FOR_LINKING
+          else Behaviour.IGNORE
+        allRemove ++= group
+        cur ++= source.map(_.copy(behaviour = resolved)) ++
+          inherited.map(_.copy(behaviour = Behaviour.IGNORE))
+      } else {
+        val idSetVariants = source.flatMap(_.idSets).map(canonIdSets)
+        if (idSetVariants.size > 1)
+          throw new IllegalStateException(s"conflicting id sets in curations for $parserName")
+      }
+    }
+
+    // 2. same lowercased synonym: case/confidence conflicts (base.py:473-524)
+    val bySynLower = cur.diff(allRemove).groupBy(_.curatedSynonym.toLowerCase)
+    for ((_, group) <- bySynLower.toSeq.sortBy(_._1) if group.size > 1) {
+      val relevant = group.filter(c =>
+        c.behaviour == Behaviour.INHERIT_FROM_SOURCE_TERM ||
+          c.behaviour == Behaviour.ADD_FOR_NER_AND_LINKING)
+      val csConf = relevant.filter(_.caseSensitive).map(_.mentionConfidence)
+      val ciConf = relevant.filterNot(_.caseSensitive).map(_.mentionConfidence)
+      if ((ciConf ++ csConf).size > 1) {
+        if (ciConf.size > 1 || (ciConf.nonEmpty && csConf.nonEmpty && ciConf.min < csConf.min)) {
+          val target = ciConf.min
+          allRemove ++= group
+          cur ++= group.map(_.copy(mentionConfidence = target))
+        } else if (csConf.size > 1) {
+          // conflicts among case-sensitive variants of the same exact synonym
+          for ((_, sameSyn) <- relevant.filter(_.caseSensitive).groupBy(_.curatedSynonym)
+               if sameSyn.map(_.mentionConfidence).size > 1) {
+            val target = sameSyn.map(_.mentionConfidence).min
+            allRemove ++= sameSyn
+            cur ++= sameSyn.map(_.copy(mentionConfidence = target))
+          }
+        }
+      }
+    }
+    cur.diff(allRemove)
+  }
+
+  /** Ref: curation_sort_key (base.py:161-172). */
+  private def sortKey(c: Curation): (Int, Boolean, String) =
+    (Behaviour.orderIndex(c.behaviour), c.idSets.isDefined, c.curatedSynonym)
+
+  private def attemptAddEntry(termNorm: String, idSets: Option[Seq[EquivIdSet]], syn: String): Unit = {
+    val existing = termsByTermNorm.get(termNorm)
+    idSets match {
+      case None => () // inherits parser defaults if present; no entry possible otherwise
+      case Some(sets0) if sets0.nonEmpty =>
+        val matchesExisting = existing.exists(e => canonIdSets(e.idSets) == canonIdSets(sets0))
+        if (!matchesExisting) {
+          // ids must exist in the parser data (base.py:726-739)
+          val knownIds: Set[String] =
+            synonymTerms.flatMap(_.idSets.flatMap(_.ids)).toSet
+          val sets = sets0.flatMap { s =>
+            val kept = s.idsAndSource.filter(i => knownIds.contains(i.idx))
+            if (kept.nonEmpty) Some(EquivIdSet(kept)) else None
+          }
+          if (sets.nonEmpty) {
+            val isSymbolic = StringNormalizer.classifySymbolic(syn, entityClass)
+            updateTermLookups(
+              SynTerm(parserName, termNorm, Seq(syn), isSymbolic,
+                Seq("kazu_curated"), sets, "MODIFIED_BY_CURATION"),
+              override_ = true)
+          }
+        }
+      case _ => ()
+    }
+  }
+
+  /** Run the processor: returns (processed curations, final linking terms).
+    * Ref: export_curations_and_final_terms (base.py:343-355). */
+  def run(): (Seq[Curation], Seq[SynTerm]) = {
+    processGlobalActions()
+    val safe = fixConflicts(curations)
+    val processed = scala.collection.mutable.ArrayBuffer.empty[Curation]
+    for (c <- safe.toSeq.sortBy(sortKey)) {
+      val termNorm = c.termNormForLinking(entityClass)
+      c.behaviour match {
+        case Behaviour.IGNORE => processed += c
+        case Behaviour.INHERIT_FROM_SOURCE_TERM => processed += c
+        case Behaviour.DROP_SYNONYM_TERM_FOR_LINKING =>
+          dropSynonymTerm(termNorm); processed += c
+        case Behaviour.ADD_FOR_LINKING_ONLY =>
+          attemptAddEntry(termNorm, c.idSets, c.curatedSynonym); processed += c
+        case Behaviour.ADD_FOR_NER_AND_LINKING =>
+          attemptAddEntry(termNorm, c.idSets, c.curatedSynonym)
+          if (termsByTermNorm.contains(termNorm)) processed += c
+          else processed += c.copy(behaviour = Behaviour.IGNORE)
+        case other =>
+          throw new IllegalArgumentException(s"unknown behaviour $other")
+      }
+    }
+    (processed.toSeq, termsByTermNorm.values.toSeq.sortBy(_.termNorm))
+  }
+}
+
+object CurationTools {
+  /** Keep curations usable for dictionary NER: ADD_FOR_NER_AND_LINKING with
+    * a db entry, plus INHERIT_FROM_SOURCE_TERM whose source term is active.
+    * Ref: /root/reference/kazu/utils/curated_term_tools.py:12-52. */
+  def filterCurationsForNer(
+      curations: Seq[Curation],
+      entityClass: String,
+      termsByNorm: Map[String, SynTerm]
+  ): Seq[Curation] = {
+    val original = curations.filter(_.behaviour == Behaviour.ADD_FOR_NER_AND_LINKING)
+    val inheritedBySource = curations
+      .filter(c => c.behaviour == Behaviour.INHERIT_FROM_SOURCE_TERM && c.sourceTerm.isDefined)
+      .groupBy(_.sourceTerm.get)
+    val activeSyns = original.map(_.curatedSynonym).toSet
+    val keptOriginal = original.filter(c => termsByNorm.contains(c.termNormForLinking(entityClass)))
+    val keptInherited = keptOriginal.flatMap(c => inheritedBySource.getOrElse(c.curatedSynonym, Seq.empty))
+      .filter(c => termsByNorm.contains(c.termNormForLinking(entityClass)))
+    (keptOriginal ++ keptInherited).distinct
+    // inherited curations whose source term is not active are dropped (ref :46-52)
+      .filter(c => c.sourceTerm.isEmpty || activeSyns.contains(c.sourceTerm.get))
+  }
+}
+
+/** The broadcastable gazetteer artifact: per-parser term tables + metadata +
+  * NER curations. Replaces the reference's SynonymDatabase /
+  * MetadataDatabase singletons (in_memory_db.py:23-147) with an immutable
+  * value distributed via sc.broadcast.
+  */
+final case class Gazetteer(
+    entityClassByParser: Map[String, String],
+    termsByParser: Map[String, Map[String, SynTerm]],
+    metadata: Map[(String, String), IdMeta],
+    nerCurations: Seq[Curation]
+) {
+  def term(parserName: String, termNorm: String): Option[SynTerm] =
+    termsByParser.get(parserName).flatMap(_.get(termNorm))
+
+  def meta(parserName: String, idx: String): Option[IdMeta] =
+    metadata.get((parserName, idx))
+
+  /** Inverted index: id -> term_norms whose aggregation strategy is in
+    * `relevantAgg` (used by the TF-IDF disambiguator; ref
+    * in_memory_db.py:113-147). */
+  lazy val synsForId: Map[(String, String), Seq[(String, String)]] = {
+    val b = scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.ArrayBuffer[(String, String)]]
+    for {
+      (parser, terms) <- termsByParser
+      (norm, t) <- terms
+      idSet <- t.idSets
+      id <- idSet.ids
+    } b.getOrElseUpdate((parser, id), scala.collection.mutable.ArrayBuffer.empty) += ((norm, t.aggregatedBy))
+    b.map { case (k, v) => k -> v.toSeq }.toMap
+  }
+}
+
+object GazetteerBuilder {
+
+  /** Local (driver-side) build from ontology rows + curations. The Spark
+    * variant with groupBy/agg lives in graft.run.ArtifactJobs. */
+  def buildLocal(
+      rows: Seq[OntologyRow],
+      curations: Seq[Curation],
+      globalActions: Seq[GlobalAction] = Seq.empty,
+      scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
+      mergeThreshold: Double = 0.70
+  ): Gazetteer = {
+    val byParser = rows.groupBy(_.parserName)
+    val entityClassByParser = byParser.map { case (p, rs) => p -> rs.head.entityClass }
+    val metadata = rows
+      .groupBy(r => (r.parserName, r.idx))
+      .map { case (k, rs) =>
+        // reference export_metadata drops duplicate ids keeping one label
+        k -> IdMeta(rs.head.defaultLabel, rs.head.dataOrigin, None)
+      }
+
+    val termsByParser = scala.collection.mutable.Map.empty[String, Map[String, SynTerm]]
+    val nerCurations = scala.collection.mutable.ArrayBuffer.empty[Curation]
+
+    for ((parser, rs) <- byParser.toSeq.sortBy(_._1)) {
+      val entityClass = entityClassByParser(parser)
+      val groups = rs.groupBy(r => StringNormalizer.normalize(r.syn, entityClass))
+      val terms = groups.map { case (norm, groupRows) =>
+        SynonymResolver.resolveGroup(
+          parser, entityClass, norm,
+          groupRows.map(r => (r.syn, r.idx, r.mappingType, r.defaultLabel)),
+          scorer, mergeThreshold)
+      }.toSeq
+      val proc = new CurationProcessor(
+        parser, entityClass,
+        globalActions.find(_.parserName == parser),
+        curations.filter(_.parserName == parser),
+        terms)
+      val (processedCurations, finalTerms) = proc.run()
+      val termMap = finalTerms.map(t => t.termNorm -> t).toMap
+      termsByParser(parser) = termMap
+      nerCurations ++= CurationTools.filterCurationsForNer(processedCurations, entityClass, termMap)
+    }
+
+    Gazetteer(entityClassByParser, termsByParser.toMap, metadata, nerCurations.toSeq)
+  }
+}

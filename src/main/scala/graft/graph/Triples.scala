@@ -1,0 +1,70 @@
+package graft.graph
+
+import graft.core._
+import graft.gazetteer.Gazetteer
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+
+/** Triple materialization: mentions with mappings become (subj, pred, obj)
+  * rows. subj = docId#start-end mention URI, pred = denotes:<entity_class>
+  * (each reference Mapping is such a triple — SURVEY §0), obj = mapping idx
+  * (CURIE-stripped by the cleanup stage before this).
+  */
+object Triples {
+
+  def fromDocMentions(docs: Dataset[DocMentions]): Dataset[Triple] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { dm =>
+      dm.mentions.flatMap { m =>
+        m.mappings.map { mp =>
+          Triple(
+            subj = s"${dm.docId}#${m.start}-${m.end}",
+            pred = s"denotes:${m.entityClass}",
+            obj = mp.idx,
+            parserName = mp.parserName,
+            source = mp.source,
+            stringMatchConfidence = mp.stringMatchConfidence,
+            disambiguationConfidence = mp.disambiguationConfidence,
+            contentSha = dm.contentSha
+          )
+        }
+      }
+    }
+  }
+
+  /** Slice-0 mapping: exact-match candidates on unambiguous terms become
+    * HIGHLY_LIKELY mappings directly (ExactMatchMappingStrategy over
+    * single-id-set terms; the full cascade lives in graft.disambig).
+    */
+  def exactUnambiguousMappings(
+      docs: Dataset[DocMentions],
+      bcGaz: Broadcast[Gazetteer]
+  ): Dataset[DocMentions] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val gaz = bcGaz.value
+      it.map { dm =>
+        val newMentions = dm.mentions.map { m =>
+          val mappings = for {
+            c <- m.candidates if c.exactMatch
+            term <- gaz.term(c.parserName, c.termNorm).toSeq
+            if term.idSets.size == 1
+            ias <- term.idSets.head.idsAndSource
+          } yield Mapping(
+            parserName = c.parserName,
+            source = ias.source,
+            idx = ias.idx,
+            defaultLabel = gaz.meta(c.parserName, ias.idx).map(_.defaultLabel).getOrElse(""),
+            stringMatchStrategy = "ExactMatchMappingStrategy",
+            stringMatchConfidence = StringMatchConfidence.HIGHLY_LIKELY,
+            disambiguationStrategy = None,
+            disambiguationConfidence = None,
+            xrefSourceParserName = None
+          )
+          m.copy(mappings = mappings.distinct)
+        }
+        dm.copy(mentions = newMentions)
+      }
+    }
+  }
+}

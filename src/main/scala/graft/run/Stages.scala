@@ -1,0 +1,91 @@
+package graft.run
+
+import graft.ac.{DictionaryNer, NerDictionary}
+import graft.core._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark pipeline stages. Each stage is a narrow Dataset transform — the
+  * document never leaves its partition between ingest and the final triple
+  * write, which is what lets the pipeline scale linearly with executors
+  * (SURVEY §3 E1: the only shuffles are the ones we introduce explicitly).
+  */
+object Stages {
+
+  /** Doc-length guard (the reference's only skew defense,
+    * pipeline.py:138,155): docs at or above this are quarantined with an
+    * error instead of processed. */
+  val MaxDocChars = 200000
+
+  /** Ingest the north-rule corpus shape (repo, path, commit, lang, content)
+    * into Docs: docId = sha256(repo|path|commit), contentSha =
+    * sha256(content) — the per-row invariance column. Codegen'd column
+    * expressions (sha2/length/when), no UDF.
+    */
+  def ingest(corpus: DataFrame)(implicit spark: SparkSession): Dataset[Doc] = {
+    import spark.implicits._
+    corpus
+      .select(
+        sha2(concat_ws("|", col("repo"), col("path"), col("commit")), 256).as("docId"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("content"),
+        sha2(col("content"), 256).as("contentSha"),
+        when(length(col("content")) >= MaxDocChars,
+          concat(lit("doc exceeds max length: "), length(col("content"))))
+          .cast("string").as("error")
+      )
+      .as[Doc]
+  }
+
+  /** Map the driver testdata `documents` table onto the corpus shape. */
+  def documentsAsCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        col("doc_id").cast("string").as("commit"),
+        col("lang"),
+        col("text").as("content"))
+
+  /** Same, but keeping the numeric doc_id as the docId so results can be
+    * joined against oracle queries keyed by doc_id. */
+  def documentsAsDocs(spark: SparkSession, sfDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").cast("string").as("docId"),
+        col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        lit("").as("commit"),
+        col("lang"),
+        col("text").as("content"),
+        sha2(col("text"), 256).as("contentSha"),
+        when(length(col("text")) >= MaxDocChars, lit("doc exceeds max length"))
+          .cast("string").as("error"))
+      .as[Doc]
+  }
+
+  /** Dictionary NER: broadcast automaton, narrow mapPartitions scan.
+    * Healthy docs produce one DocMentions row each; the per-doc grouping is
+    * preserved so later doc-local folds (strategy cascade, abbreviation
+    * propagation, overlap merge) need no shuffle.
+    */
+  def nerStage(docs: Dataset[Doc], bcDict: Broadcast[NerDictionary]): Dataset[DocMentions] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter((d: Doc) => d.error.isEmpty)
+      .mapPartitions { rows =>
+        val dict = bcDict.value
+        rows.map { d =>
+          DocMentions(d.docId, d.contentSha, DictionaryNer.scanText(dict, d.docId, d.content))
+        }
+      }
+  }
+
+  /** Quarantine sink rows (S4): failed docs with error + provenance. */
+  def quarantine(docs: Dataset[Doc]): DataFrame = {
+    docs.filter((d: Doc) => d.error.nonEmpty)
+      .toDF()
+      .select(col("docId"), col("repo"), col("path"), col("contentSha"), col("error"))
+  }
+}

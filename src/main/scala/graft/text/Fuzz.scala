@@ -1,0 +1,115 @@
+package graft.text
+
+/** Lexical string-similarity scorers (0..100), reimplementing the public
+  * fuzzywuzzy/rapidfuzz algorithm family the reference relies on for
+  * synonym-conflict resolution (RapidFuzzStringSimilarityScorer,
+  * /root/reference/kazu/language/string_similarity_scorers.py:79-91):
+  * token_sort_ratio when the reference term is long (>10 chars, >4 tokens),
+  * WRatio otherwise. Pure Scala, no model, usable inside groupBy/agg.
+  */
+object Fuzz {
+
+  /** Longest common subsequence length, O(n*m) DP with rolling row. */
+  private def lcs(a: String, b: String): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var i = 0
+    while (i < a.length) {
+      val ca = a.charAt(i)
+      var j = 0
+      while (j < b.length) {
+        cur(j + 1) =
+          if (ca == b.charAt(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** Normalized InDel similarity: 200*LCS/(|a|+|b|). */
+  def ratio(a: String, b: String): Double = {
+    val total = a.length + b.length
+    if (total == 0) 100.0
+    else 200.0 * lcs(a, b) / total
+  }
+
+  /** Best ratio of the shorter string against same-length windows of the
+    * longer one. */
+  def partialRatio(a: String, b: String): Double = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return 100.0
+    if (s.length == l.length) return ratio(s, l)
+    var best = 0.0
+    var j = 0
+    while (j <= l.length - s.length && best < 100.0) {
+      val r = ratio(s, l.substring(j, j + s.length))
+      if (r > best) best = r
+      j += 1
+    }
+    best
+  }
+
+  private def sortTokens(s: String): String =
+    s.trim.split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+
+  def tokenSortRatio(a: String, b: String): Double =
+    ratio(sortTokens(a), sortTokens(b))
+
+  def partialTokenSortRatio(a: String, b: String): Double =
+    partialRatio(sortTokens(a), sortTokens(b))
+
+  def tokenSetRatio(a: String, b: String): Double = {
+    val ta = a.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val tb = b.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val inter = (ta intersect tb).toSeq.sorted.mkString(" ")
+    val diffA = (ta diff tb).toSeq.sorted.mkString(" ")
+    val diffB = (tb diff ta).toSeq.sorted.mkString(" ")
+    val t1 = if (diffA.isEmpty) inter else if (inter.isEmpty) diffA else s"$inter $diffA"
+    val t2 = if (diffB.isEmpty) inter else if (inter.isEmpty) diffB else s"$inter $diffB"
+    Seq(ratio(inter, t1), ratio(inter, t2), ratio(t1, t2)).max
+  }
+
+  def partialTokenSetRatio(a: String, b: String): Double = {
+    val ta = a.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val tb = b.trim.split("\\s+").filter(_.nonEmpty).toSet
+    if ((ta intersect tb).nonEmpty) 100.0
+    else partialRatio(ta.toSeq.sorted.mkString(" "), tb.toSeq.sorted.mkString(" "))
+  }
+
+  /** Weighted combination ratio (the public fuzzywuzzy WRatio scheme). */
+  def wRatio(a: String, b: String): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val base = ratio(a, b)
+    val lenRatio = math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
+    val unbaseScale = 0.95
+    if (lenRatio < 1.5) {
+      Seq(base, tokenSortRatio(a, b) * unbaseScale, tokenSetRatio(a, b) * unbaseScale).max
+    } else {
+      val partialScale = if (lenRatio < 8) 0.90 else 0.60
+      Seq(
+        base,
+        partialRatio(a, b) * partialScale,
+        partialTokenSortRatio(a, b) * unbaseScale * partialScale,
+        partialTokenSetRatio(a, b) * unbaseScale * partialScale
+      ).max
+    }
+  }
+
+  /** The scorer used for synonym-merge decisions. Returns 0..100; callers
+    * compare against threshold*100 (ref base.py:795 uses 0.70 against a
+    * 0..1-scaled rapidfuzz result — rapidfuzz returns 0..100 and KAZU's
+    * threshold of 0.70 is compared after its scorer divides by 100;
+    * we keep a 0..1 contract here to match).
+    */
+  def similarity(referenceTerm: String, queryTerm: String): Double = {
+    val raw =
+      if (referenceTerm.length > 10 && referenceTerm.split(" ", -1).length > 4)
+        tokenSortRatio(referenceTerm, queryTerm)
+      else wRatio(referenceTerm, queryTerm)
+    raw / 100.0
+  }
+}

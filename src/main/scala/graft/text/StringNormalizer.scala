@@ -1,0 +1,281 @@
+package graft.text
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+/** Greek letter and dash tables.
+  * Ref: /root/reference/kazu/language/language_phenomena.py:1-57.
+  */
+object LanguagePhenomena {
+  val GREEK_SUBS: Seq[(Char, String)] = Seq(
+    'Α' -> "alpha", 'Β' -> "beta", 'Γ' -> "gamma",
+    'Δ' -> "delta", 'Ε' -> "epsilon", 'Ζ' -> "zeta",
+    'Η' -> "eta", 'Θ' -> "theta", 'Ι' -> "iota",
+    'Κ' -> "kappa", 'Λ' -> "lambda", 'Μ' -> "mu",
+    'Ν' -> "nu", 'Ξ' -> "xi", 'Ο' -> "omicron",
+    'Π' -> "pi", 'Ρ' -> "rho", 'Σ' -> "sigma",
+    'Τ' -> "tau", 'Υ' -> "upsilon", 'Φ' -> "phi",
+    'Χ' -> "chi", 'Ψ' -> "psi", 'Ω' -> "omega",
+    'ϴ' -> "theta", 'α' -> "alpha", 'ϐ' -> "beta",
+    'β' -> "beta", 'γ' -> "gamma", 'δ' -> "delta",
+    'ε' -> "epsilon", 'ζ' -> "zeta", 'η' -> "eta",
+    'θ' -> "theta", 'ι' -> "iota", 'κ' -> "kappa",
+    'λ' -> "lambda", 'μ' -> "mu", 'ν' -> "nu",
+    'ξ' -> "xi", 'ο' -> "omicron", 'π' -> "pi",
+    'ρ' -> "rho", 'ς' -> "final sigma", 'σ' -> "sigma",
+    'τ' -> "tau", 'υ' -> "upsilon", 'φ' -> "phi",
+    'ϕ' -> "phi", 'χ' -> "chi", 'ψ' -> "psi",
+    'ω' -> "omega"
+  )
+
+  /** U+2212 minus, ASCII hyphen, U+2010..U+2015. */
+  val DASHES: Set[Char] =
+    Set('−', '-') ++ (0x2010 to 0x2015).map(_.toChar)
+}
+
+/** Entity-class-aware string normalization — the join key of the whole
+  * engine (term_norm). Faithful reimplementation of the semantics of
+  * /root/reference/kazu/utils/string_normalizer.py:44-445 (symbol
+  * classification, roman-numeral and greek substitution, number splitting,
+  * Gilda depluralization) — pure functions, no state, safe inside
+  * mapPartitions and as UDFs.
+  */
+object StringNormalizer {
+
+  // ---- default normalizer internals (string_normalizer.py:44-238) ----
+
+  private val allowedAdditionalChars: Set[Char] = Set(' ', '(', ')', '+', '-', '‐')
+
+  private val greekSubsUpper: Seq[(String, String)] =
+    LanguagePhenomena.GREEK_SUBS.map { case (c, s) =>
+      c.toString -> s" ${s.toUpperCase(Locale.ROOT)} "
+    }
+
+  /** Ordered plain-string substitutions (insertion order matters: VIII
+    * before VII before III/II etc). Ref string_normalizer.py:53-67. */
+  private val otherSubs: Seq[(String, String)] = Seq(
+    "(" -> " (", ")" -> ") ", "," -> " ", "/" -> " ",
+    "VIII" -> " 8 ", "VII" -> " 7 ", "XII" -> " 12 ", "III" -> " 3 ",
+    "VI" -> " 6 ", "IV" -> " 4 ", "IX" -> " 9 ", "XI" -> " 11 ", "II" -> " 2 "
+  )
+
+  /** Ref string_normalizer.py:68-74. */
+  private val reSubs: Seq[(Pattern, String)] = Seq(
+    Pattern.compile("(?<!\\()-(?!\\))") -> " ",
+    Pattern.compile("(?<!\\()‐(?!\\))") -> " ",
+    Pattern.compile("\\sI\\s|\\sI$") -> " 1 ",
+    Pattern.compile("\\sV\\s|\\sV$") -> " 5 ",
+    Pattern.compile("\\sX\\s|\\sX$") -> " 10 "
+  )
+
+  /** Ref string_normalizer.py:75-78. */
+  private val reSubs2: Seq[(Pattern, String)] = Seq(
+    Pattern.compile("\\sA\\s|\\sA$|^A\\s") -> " ALPHA ",
+    Pattern.compile("\\sB\\s|\\sB$|^B\\s") -> " BETA "
+  )
+
+  private val numberSplit = Pattern.compile("(\\d+)")
+
+  /** Collapse runs of whitespace and trim — the Python idiom
+    * `" ".join(s.split())`. */
+  private def joinSplit(s: String): String =
+    s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+
+  def replaceSubstrings(original: String): String = {
+    var s = original
+    otherSubs.foreach { case (sub, rep) =>
+      if (s.contains(sub)) s = s.replace(sub, rep)
+    }
+    reSubs.foreach { case (p, rep) => s = p.matcher(s).replaceAll(rep) }
+    s
+  }
+
+  /** Split on digit runs, keeping them, joining with single spaces.
+    * Ref string_normalizer.py:213-222 (re.split with capture group). */
+  def splitOnNumbers(s: String): String = {
+    val m = numberSplit.matcher(s)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var last = 0
+    while (m.find()) {
+      parts += s.substring(last, m.start())
+      parts += m.group(1)
+      last = m.end()
+    }
+    parts += s.substring(last)
+    parts.map(_.trim).mkString(" ")
+  }
+
+  def replaceGreek(s: String): String = {
+    var out = s
+    greekSubsUpper.foreach { case (sub, rep) =>
+      if (out.contains(sub)) out = out.replace(sub, rep)
+    }
+    out
+  }
+
+  def removeNonAlphanum(s: String): String =
+    s.filter(c => Character.isLetterOrDigit(c) || allowedAdditionalChars.contains(c))
+
+  /** Whole-phrase depluralization. Ref string_normalizer.py:138-147. */
+  def depluralize(s: String): String =
+    if (s.length > 3) Gilda.depluralize(s)._1 else s
+
+  def subGreekCharAbbreviations(s: String): String = {
+    var out = s
+    reSubs2.foreach { case (p, rep) => out = p.matcher(out).replaceAll(rep) }
+    out
+  }
+
+  def defaultNormalizeSymbol(s: String): String =
+    joinSplit(s.toUpperCase(Locale.ROOT))
+
+  def defaultNormalizeNounPhrase(original: String): String = {
+    var s = replaceSubstrings(original)
+    s = splitOnNumbers(s)
+    s = replaceGreek(s)
+    s = removeNonAlphanum(s)
+    s = depluralize(s)
+    s = subGreekCharAbbreviations(s)
+    joinSplit(s.toUpperCase(Locale.ROOT))
+  }
+
+  /** Upper/lower + numeric/alpha ratio heuristic.
+    * Ref string_normalizer.py:82-122. */
+  def defaultIsSymbolLike(original: String): Boolean = {
+    val tokens = original.split(" ", -1)
+    val tokenCount = tokens.length
+    if (tokenCount == 1 && original.length <= 3) return true
+    var upper = 0
+    var lower = 0
+    var numeric = 0
+    var i = 0
+    while (i < original.length) {
+      val c = original.charAt(i)
+      if (Character.isLetter(c)) {
+        if (Character.isUpperCase(c)) {
+          upper += 1
+          // single token with any non-first upper char => symbol
+          if (i > 0 && tokenCount == 1) return true
+        } else lower += 1
+      } else if (Character.isDigit(c)) {
+        if (tokenCount == 1) return true
+        numeric += 1
+      }
+      i += 1
+    }
+    upper >= lower || numeric >= (upper + lower)
+  }
+
+  // ---- disease normalizer (string_normalizer.py:241-267) ----
+  private val knownDiseaseShortNouns = Set("flu", "Flu", "HIV", "STI", "NSCLC")
+
+  def diseaseIsSymbolLike(s: String): Boolean =
+    !knownDiseaseShortNouns.contains(s) && defaultIsSymbolLike(s)
+
+  // ---- gene normalizer (string_normalizer.py:297-390) ----
+  private val geneNameSuffixes = Seq("in", "ase", "an", "gen", "gon")
+
+  def geneTokenClassifier(s: String): Boolean = {
+    var upper = 0
+    var lower = 0
+    var numeric = 0
+    val firstIsLower = s.nonEmpty && Character.isLowerCase(s.charAt(0))
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        if (Character.isUpperCase(c)) {
+          upper += 1
+          if (firstIsLower) return true
+        } else lower += 1
+      } else if (Character.isDigit(c)) numeric += 1
+      i += 1
+    }
+    upper >= lower || numeric >= (upper + lower)
+  }
+
+  def geneIsSymbolLike(original: String): Boolean = {
+    val tokens = Gilda.splitOnDashesOrSpace(original)
+    if (tokens.length == 1 && !geneNameSuffixes.exists(suf => tokens(0).endsWith(suf))) true
+    else tokens.forall(t => t.length < 4 || geneTokenClassifier(t))
+  }
+
+  /** Strip trailing pluralizing 's' only when preceded by an upper-case char
+    * (e.g. MAPKs -> MAPK, but not 'MDH-s'). Ref string_normalizer.py:352-364. */
+  def removeTrailingSIfOtherwiseCapitalised(s: String): String =
+    if (s.length >= 3 && Character.isUpperCase(s.charAt(s.length - 2)) && s.endsWith("s"))
+      s.substring(0, s.length - 1)
+    else s
+
+  def geneNormalizeSymbol(original: String): String = {
+    var s = removeTrailingSIfOtherwiseCapitalised(original)
+    s = replaceSubstrings(s)
+    s = splitOnNumbers(s)
+    s = replaceGreek(s)
+    s = removeNonAlphanum(s)
+    s = subGreekCharAbbreviations(s)
+    joinSplit(s.toUpperCase(Locale.ROOT))
+  }
+
+  // ---- company normalizer (string_normalizer.py:393-415) ----
+  def companyIsSymbolLike(s: String): Boolean =
+    s.filter(Character.isLetter).forall(Character.isUpperCase)
+
+  // ---- entry points (string_normalizer.py:418-445) ----
+
+  /** Is this string a symbol (e.g. "AD") vs a noun phrase? */
+  def classifySymbolic(original: String, entityClass: String): Boolean =
+    entityClass match {
+      case "gene"    => geneIsSymbolLike(original)
+      case "anatomy" => false
+      case "disease" => diseaseIsSymbolLike(original)
+      case "company" => companyIsSymbolLike(original)
+      case _         => defaultIsSymbolLike(original)
+    }
+
+  def normalize(original: String, entityClass: String): String =
+    entityClass match {
+      case "gene" =>
+        if (geneIsSymbolLike(original)) geneNormalizeSymbol(original)
+        else defaultNormalizeNounPhrase(original)
+      case "anatomy" => defaultNormalizeNounPhrase(original)
+      case "disease" =>
+        if (diseaseIsSymbolLike(original)) defaultNormalizeSymbol(original)
+        else defaultNormalizeNounPhrase(original)
+      case "company" =>
+        if (companyIsSymbolLike(original)) original.toUpperCase(Locale.ROOT)
+        else defaultNormalizeNounPhrase(original)
+      case _ =>
+        if (defaultIsSymbolLike(original)) defaultNormalizeSymbol(original)
+        else defaultNormalizeNounPhrase(original)
+    }
+}
+
+/** Depluralization rules derived from the public Gilda project (BSD
+  * 2-Clause; Gyori, Hoyt & Steppi 2022), as used by the reference
+  * (string_normalizer.py:448-614).
+  */
+object Gilda {
+  private val allCaps = Pattern.compile("^\\p{Lu}+$")
+
+  /** Returns (depluralized word, status flag). */
+  def depluralize(word: String): (String, String) = {
+    if (!word.endsWith("s")) (word, "non_plural")
+    else if (word.endsWith("sis")) (word, "non_plural")
+    else if (word.endsWith("oes")) (word.dropRight(2), "plural_oes")
+    else if (word.endsWith("ies")) (word.dropRight(3) + "y", "plural_ies")
+    else if (word.endsWith("xes") || word.endsWith("ses") ||
+      word.endsWith("ches") || word.endsWith("shes")) (word.dropRight(2), "plural_es")
+    else if (allCaps.matcher(word.dropRight(1)).matches()) (word.dropRight(1), "plural_caps_s")
+    else (word.dropRight(1), "plural_s")
+  }
+
+  private val dashesOrSpace: Pattern = {
+    val cls = LanguagePhenomena.DASHES.toSeq.sorted
+      .map(d => if (d == '-') "\\-" else d.toString).mkString
+    Pattern.compile("[ " + cls + "]+")
+  }
+
+  def splitOnDashesOrSpace(s: String): Array[String] =
+    dashesOrSpace.split(s, -1)
+}

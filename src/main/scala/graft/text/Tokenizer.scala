@@ -1,0 +1,98 @@
+package graft.text
+
+import graft.core.Span
+
+/** Deterministic code-aware tokenizer.
+  *
+  * The reference backfills token-boundary awareness for its Aho-Corasick
+  * scan with a basic spaCy tokenizer (memory_efficient_string_matching.py:
+  * 97-100, 180-186): a dictionary hit is only accepted when the match start
+  * is a token start and the match end is a token end. We reproduce that
+  * contract with a pure-Scala tokenizer suited to source code / plain text:
+  * a token is a maximal run of word characters (Unicode letter, digit, '_'),
+  * and every other non-whitespace char is a single-char token. For
+  * alphanumeric dictionary terms this yields boundaries identical to the
+  * regex \b word boundary, which the DuckDB oracle uses.
+  */
+object Tokenizer {
+
+  @inline def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Token spans, half open [start, end). */
+  def tokenSpans(text: String): Array[Span] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Span]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (isWordChar(c)) {
+        val start = i
+        while (i < n && isWordChar(text.charAt(i))) i += 1
+        out += Span(start, i)
+      } else {
+        out += Span(i, i + 1)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** (starts, inclusive ends) boundary sets, matching the shape the
+    * reference builds from spaCy tokens (start = tok.idx, end = tok.idx +
+    * len(tok) - 1). */
+  def boundarySets(text: String): (java.util.BitSet, java.util.BitSet) = {
+    val starts = new java.util.BitSet(text.length + 1)
+    val ends = new java.util.BitSet(text.length + 1)
+    val spans = tokenSpans(text)
+    var i = 0
+    while (i < spans.length) {
+      starts.set(spans(i).start)
+      ends.set(spans(i).end - 1)
+      i += 1
+    }
+    (starts, ends)
+  }
+
+  /** Sentence/statement segmentation: split on newline and on [.!?] followed
+    * by whitespace. Analog of N8 (SURVEY §2.3) — deterministic, feeds
+    * context windows. Returns half-open spans covering the text. */
+  def sentenceSpans(text: String): Array[Span] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Span]
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      val isBreak =
+        c == '\n' ||
+          ((c == '.' || c == '!' || c == '?') && (i + 1 >= n || Character.isWhitespace(text.charAt(i + 1))))
+      if (isBreak) {
+        if (i + 1 > start) out += Span(start, i + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) out += Span(start, n)
+    out.toArray
+  }
+}
+
+/** Char/word n-gram generators. Ref: /root/reference/kazu/utils/utils.py:
+  * 143-179 (create_char_ngrams / create_word_ngrams).
+  */
+object Ngrams {
+  def charNgrams(s: String, n: Int = 2): Array[String] = {
+    val cnt = s.length - n + 1
+    if (cnt <= 0) Array.empty
+    else Array.tabulate(cnt)(i => s.substring(i, i + n))
+  }
+
+  def wordNgrams(s: String, n: Int = 2): Array[String] = {
+    val words = s.split(" ", -1)
+    val cnt = words.length - n + 1
+    if (cnt <= 0) Array.empty
+    else Array.tabulate(cnt)(i => words.slice(i, i + n).mkString(" "))
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import graft.ac.DictionaryNer
+import graft.core._
+import graft.gazetteer._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared string-matching cases ported from
+  * /root/reference/kazu/tests/string_matching_utils.py (used there to pin
+  * both NER implementations to one truth) + the assertion style of
+  * test_memory_efficient_string_matching.py:225-236.
+  */
+class StringMatchingSpec extends AnyFunSuite {
+
+  val FirstParser = "first_mock_parser"
+  val SecondParser = "second_mock_parser"
+  val TargetIdx = "http://my.fake.ontology/complex_disease_123"
+  val Complex7Norm = "COMPLEX 7 DISEASE ALPHA"
+
+  val ExampleText: String =
+    """There is a Q42_ID and Q42_syn in this sentence, as well as Q42_syn & Q8_syn synonyms.
+    This sentence is just to test when there are multiple synonyms for a single SynonymTerm,
+    like for complex 7 disease alpha a.k.a ComplexVII Diseaseα amongst others."""
+
+  def parser1Rows: Seq[OntologyRow] = {
+    val idx = Seq(
+      "http://my.fake.ontology/synonym_term_id_123", TargetIdx, TargetIdx,
+      "http://my.fake.ontology_amongst_id_123", "http://my.fake.ontology_amongst_id_124")
+    val label = Seq("SynonymTerm", "SynonymTerm", "Complex Disease Alpha VII", "Amongst", "Amongst Us")
+    val syn = Seq("SynonymTerm", "SynonymTerm", "complexVII diseaseα", "amongst", "amongst us")
+    idx.indices.map(i =>
+      OntologyRow(FirstParser, "ent_type_1", idx(i), label(i), syn(i), "test", "fixture"))
+  }
+
+  def parser2Rows: Seq[OntologyRow] = {
+    val idx = Seq(
+      "http://my.fake.ontology/synonym_term_id_123",
+      "http://my.fake.ontology/synonym_term_id_456", TargetIdx,
+      "http://my.fake.ontology_amongst_id_123")
+    val label = Seq("SynonymTerm", "SynonymTerm", "Complex Disease Alpha VII", "Amongst")
+    val syn = Seq("SynonymTerm", "SynonymTerm", "complexVII diseaseα", "amongst")
+    idx.indices.map(i =>
+      OntologyRow(SecondParser, "ent_type_2", idx(i), label(i), syn(i), "test", "fixture"))
+  }
+
+  def complex7Curation(parser: String): Curation = Curation(
+    parserName = parser,
+    curatedSynonym = "complexVII diseaseα",
+    mentionConfidence = MentionConfidence.HIGHLY_LIKELY,
+    behaviour = Behaviour.ADD_FOR_NER_AND_LINKING,
+    caseSensitive = false,
+    idSets = Some(Seq(EquivIdSet(Seq(IdAndSource(TargetIdx, parser))))),
+    sourceTerm = None
+  )
+
+  def run(curations: Seq[Curation]): Seq[Mention] = {
+    val gaz = GazetteerBuilder.buildLocal(parser1Rows ++ parser2Rows, curations)
+    val dict = DictionaryNer.buildDictionary(gaz)
+    DictionaryNer.scanText(dict, "doc0", ExampleText)
+  }
+
+  def ontologyData(ms: Seq[Mention], gaz: Gazetteer): Set[(String, String, String, Int)] =
+    (for {
+      m <- ms
+      c <- m.candidates
+    } yield (m.entityClass, c.parserName, c.termNorm, m.confidence)).toSet
+
+  test("two case-insensitive curated terms from two parsers both hit") {
+    val ms = run(Seq(complex7Curation(FirstParser), complex7Curation(SecondParser)))
+    assert(ms.length == 2)
+    assert(ms.map(_.matchText).toSet == Set("ComplexVII Diseaseα"))
+    // match text slices back out of the original text (ref test :231-233)
+    ms.foreach(m => assert(ExampleText.substring(m.start, m.end) == m.matchText))
+    val data = ms.flatMap(m => m.candidates.map(c => (m.entityClass, c.parserName, c.termNorm, m.confidence))).toSet
+    assert(data == Set(
+      ("ent_type_1", FirstParser, Complex7Norm, MentionConfidence.HIGHLY_LIKELY),
+      ("ent_type_2", SecondParser, Complex7Norm, MentionConfidence.HIGHLY_LIKELY)))
+  }
+
+  test("case sensitivity filters the second parser's hit") {
+    val ms = run(Seq(
+      complex7Curation(FirstParser),
+      complex7Curation(SecondParser).copy(caseSensitive = true)))
+    assert(ms.length == 1)
+    assert(ms.head.entityClass == "ent_type_1")
+    assert(ms.head.matchText == "ComplexVII Diseaseα")
+  }
+
+  test("IGNORE behaviour excludes the second parser's term from NER") {
+    val ms = run(Seq(
+      complex7Curation(FirstParser),
+      complex7Curation(SecondParser).copy(behaviour = Behaviour.IGNORE)))
+    assert(ms.length == 1)
+    assert(ms.head.entityClass == "ent_type_1")
+  }
+
+  test("novel curated synonym is added to the synonym db and hits") {
+    val ms = run(Seq(
+      complex7Curation(FirstParser).copy(curatedSynonym = "This sentence is just to test")))
+    assert(ms.length == 1)
+    assert(ms.head.matchText == "This sentence is just to test")
+    assert(ms.head.candidates.map(_.termNorm).toSet == Set("THIS SENTENCE IS JUST TO TEST"))
+  }
+
+  test("token boundaries: no partial-token hits") {
+    // 'amongst' as substring of 'amongster' must not match
+    val gaz = GazetteerBuilder.buildLocal(parser1Rows, Seq(
+      complex7Curation(FirstParser).copy(curatedSynonym = "amongst", idSets = Some(Seq(
+        EquivIdSet(Seq(IdAndSource("http://my.fake.ontology_amongst_id_123", FirstParser))))))))
+    val dict = DictionaryNer.buildDictionary(gaz)
+    assert(DictionaryNer.scanText(dict, "d", "we are amongster things").isEmpty)
+    assert(DictionaryNer.scanText(dict, "d", "we are amongst things").length == 1)
+    // punctuation boundary is a valid token end
+    assert(DictionaryNer.scanText(dict, "d", "we are amongst, things").length == 1)
+  }
+
+  test("ambiguous synonym shared by multiple ids yields multiple id sets") {
+    // 'p27' fixture: one synonym shared by 3 ids (FIXTURES.md §2)
+    val rows = Seq(
+      OntologyRow("p", "gene", "ENSG1", "CDKN1B", "p27", "syn", "f"),
+      OntologyRow("p", "gene", "ENSG2", "PAK2", "p27", "syn", "f"),
+      OntologyRow("p", "gene", "ENSG3", "ZNRD2", "p27", "syn", "f"))
+    val gaz = GazetteerBuilder.buildLocal(rows, Seq.empty)
+    val term = gaz.term("p", graft.text.StringNormalizer.normalize("p27", "gene")).get
+    // symbolic + dissimilar labels => separate EquivalentIdSets (ambiguous)
+    assert(term.isAmbiguous)
+    assert(term.idSets.size == 3)
+  }
+
+  test("similar default labels merge into one id set") {
+    val rows = Seq(
+      OntologyRow("p", "gene", "ID1", "protein kinase alpha subunit", "PKX", "syn", "f"),
+      OntologyRow("p", "gene", "ID2", "protein kinase alpha subunits", "PKX", "syn", "f"))
+    val gaz = GazetteerBuilder.buildLocal(rows, Seq.empty)
+    val term = gaz.term("p", graft.text.StringNormalizer.normalize("PKX", "gene")).get
+    assert(term.idSets.size == 1)
+    assert(term.idSets.head.ids.toSet == Set("ID1", "ID2"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.text.{Fuzz, Gilda, StringNormalizer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Case table ported from /root/reference/kazu/tests/test_string_normalizer.py. */
+class StringNormalizerSpec extends AnyFunSuite {
+
+  val cases: Seq[(String, String, String)] = Seq(
+    ("MOP-2", "MOP 2", "gene"),
+    ("y(+)L-type amino acid transporter 1", "Y (+) L TYPE AMINO ACID TRANSPORTER 1", "gene"),
+    ("mTOR", "MTOR", "gene"),
+    ("egfr", "EGFR", "gene"),
+    ("erbB2", "ERBB 2", "gene"),
+    ("egfr(-)", "EGFR (-)", "gene"),
+    ("C0D0C4J1X3", "C0D0C4J1X3", ""),
+    ("JAK-2", "JAK 2", "gene"),
+    ("JAK2", "JAK 2", "gene"),
+    ("MPNs", "MPN", "gene"),
+    ("TESTIN gene", "TESTIN GENE", "gene")
+  )
+
+  test("normalizer case table") {
+    for ((orig, expected, cls) <- cases) {
+      assert(StringNormalizer.normalize(orig, cls) == expected, s"for <$orig>")
+    }
+  }
+
+  test("complex7 norm — the shared string-matching fixture key") {
+    assert(StringNormalizer.normalize("complexVII diseaseα", "ent_type_1") ==
+      "COMPLEX 7 DISEASE ALPHA")
+    assert(StringNormalizer.normalize("This sentence is just to test", "ent_type_1") ==
+      "THIS SENTENCE IS JUST TO TEST")
+  }
+
+  test("normalize is idempotent on already-normalized symbols") {
+    for ((_, expected, cls) <- cases) {
+      // normalized forms are stable for symbolic outputs
+      val again = StringNormalizer.normalize(expected, cls)
+      assert(again == StringNormalizer.normalize(again, cls))
+    }
+  }
+
+  test("gilda depluralize") {
+    assert(Gilda.depluralize("BRAF") == ("BRAF", "non_plural"))
+    assert(Gilda.depluralize("mosquitoes") == ("mosquito", "plural_oes"))
+    assert(Gilda.depluralize("antibodies") == ("antibody", "plural_ies"))
+    assert(Gilda.depluralize("switches") == ("switch", "plural_es"))
+    assert(Gilda.depluralize("MAPKs") == ("MAPK", "plural_caps_s"))
+    assert(Gilda.depluralize("receptors") == ("receptor", "plural_s"))
+    assert(Gilda.depluralize("apoptosis") == ("apoptosis", "non_plural"))
+  }
+
+  test("symbol classification") {
+    assert(StringNormalizer.classifySymbolic("AD", ""))
+    assert(!StringNormalizer.classifySymbolic("Alzheimers Disease", ""))
+    assert(!StringNormalizer.classifySymbolic("flu", "disease"))
+    assert(StringNormalizer.classifySymbolic("mTOR", "gene"))
+    assert(!StringNormalizer.classifySymbolic("erb", "anatomy"))
+  }
+
+  test("fuzz scorers behave sanely") {
+    assert(Fuzz.ratio("abcd", "abcd") == 100.0)
+    assert(Fuzz.ratio("", "") == 100.0)
+    assert(Fuzz.tokenSortRatio("world hello", "hello world") == 100.0)
+    assert(Fuzz.partialRatio("hello", "say hello world") == 100.0)
+    assert(Fuzz.similarity("same label", "same label") == 1.0)
+    assert(Fuzz.similarity("completely different", "zzzz qqqq") < 0.5)
+  }
+}
