@@ -1,8 +1,8 @@
 package graft
 
-import graft.datagen.DemoOntology
-import graft.graph.Triples
-import graft.run.Stages
+import graft.datagen.{CorpusGen, DemoOntology}
+import graft.graph.{Triples, XrefManager}
+import graft.run.{Artifacts, KgPipeline, Stages}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,10 +53,30 @@ object SparkEntry {
       .distinct()
   }
 
+  /** The FULL KAZU-semantics pipeline (NER -> linking -> mapping cascade ->
+    * xref -> abbreviation -> cleanup -> merge) over the deterministic
+    * synthetic code corpus (north-rule input shape). Not SQL-expressible ->
+    * rows-only check here; the P/R >= 0.95 acceptance gate lives in
+    * AcceptanceSpec. sfDir scales the corpus size.
+    */
+  def kgFullTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = if (sfDir.contains("0.1")) 3000 else if (sfDir.contains("0.01")) 1000 else 300
+    val corpus = spark.createDataset(CorpusGen.generate(n).map(_.row)).toDF()
+    val docs = Stages.ingest(corpus)(spark)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(
+      CorpusGen.gazetteer,
+      Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser))))
+    KgPipeline.triples(docs, bc).toDF()
+      .groupBy("pred", "obj", "source", "stringMatchConfidence")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_ner_mentions" -> ((s, dir) => kgNerMentions(s, dir)),
     "kg_triples" -> ((s, dir) => kgTriples(s, dir)),
+    "kg_full_triples" -> ((s, dir) => kgFullTriples(s, dir)),
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -1,0 +1,241 @@
+package graft.datagen
+
+import graft.core._
+import graft.gazetteer._
+import graft.graph.XrefEdge
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Deterministic synthetic code-corpus generator (seed-fixed, no external
+  * data) producing the north-rule input table (repo, path, commit, lang,
+  * content) with gazetteer mentions planted at known offsets — mirroring
+  * the reference's golden full-pipeline assets
+  * (/root/reference/kazu/tests/test_assets/full_pipeline/ 0-2.csv) where every
+  * expected (namespace, match, class, start, end, mapping_id) row is known
+  * a priori. FIXTURES.md §1-4.
+  */
+object CorpusGen {
+
+  // ---- deterministic RNG (splitmix64) ----
+  final class Rng(seed0: Long) {
+    private var state = seed0
+    def nextLong(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def nextInt(bound: Int): Int = {
+      val v = nextLong() % bound
+      (if (v < 0) v + bound else v).toInt
+    }
+    def pick[T](xs: IndexedSeq[T]): T = xs(nextInt(xs.length))
+  }
+
+  def sha256(s: String): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes(StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  // ---- the fixture ontology (two parsers, URI-shaped ids for CURIE strip) ----
+
+  val AlgoParser = "algo_onto"
+  val FwParser = "fw_onto"
+  private def algoId(n: Int) = f"http://graft.fake/onto/ALGO_$n%04d"
+  private def fwId(n: Int) = f"http://graft.fake/onto/FW_$n%04d"
+
+  /** (syn, parser, idx, defaultLabel). */
+  val plainTerms: Seq[(String, String, String, String)] = Seq(
+    ("quicksort", AlgoParser, algoId(1), "Quicksort Algorithm"),
+    ("merge sort", AlgoParser, algoId(2), "Merge Sort Algorithm"),
+    ("sort", AlgoParser, algoId(3), "Generic Sorting"),
+    ("binary search", AlgoParser, algoId(4), "Binary Search Algorithm"),
+    ("hash map", AlgoParser, algoId(5), "Hash Map Structure"),
+    ("dijkstra", AlgoParser, algoId(6), "Dijkstra Shortest Path"),
+    ("bloom filter", AlgoParser, algoId(7), "Bloom Filter Structure"),
+    ("spark streaming", FwParser, fwId(1), "Spark Streaming Framework"),
+    ("hadoop", FwParser, fwId(3), "Hadoop Platform"),
+    ("kafka", FwParser, fwId(4), "Kafka Message Broker"),
+    ("ray cluster runtime", FwParser, fwId(10), "Ray Distributed Framework")
+  )
+
+  /** The planted ambiguity: 'ray' (symbolic: single short token) shared by
+    * two ids with dissimilar labels -> two EquivalentIdSets. */
+  val ambiguousTerm: Seq[(String, String, String, String)] = Seq(
+    ("ray", FwParser, fwId(10), "Ray Distributed Framework"),
+    ("ray", FwParser, fwId(11), "Ray Tracing Library"))
+
+  /** Case-sensitive curated term. */
+  val FlinkId: String = fwId(5)
+  /** Linking-only term (never NER'd). */
+  val LinkOnlySyn = "cluster manager service"
+
+  def ontologyRows: Seq[OntologyRow] = {
+    val base = (plainTerms ++ ambiguousTerm).map { case (syn, parser, idx, label) =>
+      val cls = if (parser == AlgoParser) "algorithm" else "framework"
+      OntologyRow(parser, cls, idx, label, syn, "name", "gen-v1")
+    }
+    base ++ Seq(
+      OntologyRow(FwParser, "framework", FlinkId, "Flink Engine", "Flink", "name", "gen-v1"),
+      OntologyRow(FwParser, "framework", fwId(3), "Hadoop Platform", LinkOnlySyn, "syn", "gen-v1"))
+  }
+
+  def curations: Seq[Curation] = {
+    val nerSyns = (plainTerms ++ ambiguousTerm).map(t => (t._1, t._2)).distinct
+    nerSyns.map { case (syn, parser) =>
+      Curation(parser, syn, MentionConfidence.HIGHLY_LIKELY,
+        Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, None, None)
+    } ++ Seq(
+      Curation(FwParser, "Flink", MentionConfidence.HIGHLY_LIKELY,
+        Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = true, None, None),
+      Curation(FwParser, LinkOnlySyn, MentionConfidence.PROBABLE,
+        Behaviour.ADD_FOR_LINKING_ONLY, caseSensitive = false, None, None))
+  }
+
+  lazy val gazetteer: Gazetteer = GazetteerBuilder.buildLocal(ontologyRows, curations)
+
+  /** Cross-reference fixture: hadoop (FW_0003) <-> dijkstra (ALGO_0006);
+    * exercises 1-hop xref expansion + connected components. */
+  def xrefEdges: Seq[XrefEdge] = Seq(
+    XrefEdge(SourceResolver.resolve(FwParser, fwId(3)), fwId(3), "ALGO", algoId(6)))
+
+  def xrefSourceToParser: Map[String, String] =
+    Map("ALGO" -> AlgoParser, "FW" -> FwParser)
+
+  private def stripped(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+
+  // ---- gold ----
+
+  final case class GoldMention(docId: String, start: Int, end: Int, entityClass: String, matchText: String)
+  /** idx here is CURIE-stripped (the pipeline's cleanup does the same). */
+  final case class GoldTriple(docId: String, start: Int, end: Int, entityClass: String, idx: String, source: String)
+  final case class GenDoc(row: DocRow, gold: Seq[GoldMention], goldTriples: Seq[GoldTriple], quarantined: Boolean)
+
+  private val filler: IndexedSeq[String] = Vector(
+    "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
+    "elit", "sed", "tempor", "incididunt", "labore", "dolore", "magna", "aliqua")
+
+  private val langs = Vector("scala", "py", "java", "txt")
+
+  /** source of a stripped id (SourceResolver on URI ids yields the prefix
+    * of the last path segment; here "HTTP" since scheme prefix wins).
+    * We record what the engine computes for stability. */
+  private def sourceOf(parser: String, idx: String): String =
+    SourceResolver.resolve(parser, idx)
+
+  /** Generate `n` docs. Plant patterns round-robin + rng filler. */
+  def generate(n: Int, seed: Long = 42L): Seq[GenDoc] =
+    (0 until n).map(i => generateDoc(i, new Rng(seed + i * 7919)))
+
+  private def generateDoc(i: Int, rng: Rng): GenDoc = {
+    val repo = if (i % 5 == 0) "org/mono" else f"org/proj-${i % 37}%06d" // planted skew: hot repo
+    val path = s"src/pkg${i % 13}/File_$i.${langs(i % langs.length)}"
+    val commit = sha256(s"$repo|$path").substring(0, 40)
+    val docId = sha256(s"$repo|$path|$commit")
+
+    val sb = new StringBuilder
+    val gold = scala.collection.mutable.ArrayBuffer.empty[GoldMention]
+    val goldTriples = scala.collection.mutable.ArrayBuffer.empty[GoldTriple]
+
+    def pad(k: Int): Unit = {
+      var j = 0
+      while (j < k) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(filler(rng.nextInt(filler.length)))
+        j += 1
+      }
+    }
+
+    def plant(text: String): (Int, Int) = {
+      if (sb.nonEmpty) sb.append(' ')
+      val start = sb.length
+      sb.append(text)
+      (start, sb.length)
+    }
+
+    def plantTerm(syn: String, parser: String, idx: String): Unit = {
+      val cls = if (parser == AlgoParser) "algorithm" else "framework"
+      val (s, e) = plant(syn)
+      gold += GoldMention(docId, s, e, cls, syn)
+      goldTriples += GoldTriple(docId, s, e, cls, stripped(idx), sourceOf(parser, idx))
+      // xref expansion gold: hadoop also emits the dijkstra xref id
+      if (stripped(idx) == stripped(fwId(3)))
+        goldTriples += GoldTriple(docId, s, e, cls, stripped(algoId(6)), "ALGO")
+    }
+
+    val pattern = i % 10
+    pattern match {
+      case 6 => // giant doc: quarantined by the length guard
+        while (sb.length < 200001) pad(16)
+        return GenDoc(DocRow(repo, path, commit, langs(i % langs.length), sb.toString),
+          Seq.empty, Seq.empty, quarantined = true)
+
+      case 1 => // ambiguous 'ray' + defining context phrase
+        pad(3 + rng.nextInt(4))
+        val (s1, e1) = plant("ray")
+        gold += GoldMention(docId, s1, e1, "framework", "ray")
+        goldTriples += GoldTriple(docId, s1, e1, "framework", stripped(fwId(10)), sourceOf(FwParser, fwId(10)))
+        pad(4 + rng.nextInt(4))
+        val (s2, e2) = plant("ray cluster runtime")
+        gold += GoldMention(docId, s2, e2, "framework", "ray cluster runtime")
+        goldTriples += GoldTriple(docId, s2, e2, "framework", stripped(fwId(10)), sourceOf(FwParser, fwId(10)))
+        pad(3)
+
+      case 2 => // ambiguous 'ray' alone: mention survives, no triple
+        pad(4 + rng.nextInt(4))
+        val (s1, e1) = plant("ray")
+        gold += GoldMention(docId, s1, e1, "framework", "ray")
+        pad(4)
+
+      case 3 => // abbreviation definition + later use
+        pad(3 + rng.nextInt(3))
+        plantTerm("spark streaming", FwParser, fwId(1))
+        sb.append(" (SST)")
+        val defStart = sb.length - 4
+        gold += GoldMention(docId, defStart, defStart + 3, "framework", "SST")
+        goldTriples += GoldTriple(docId, defStart, defStart + 3, "framework",
+          stripped(fwId(1)), sourceOf(FwParser, fwId(1)))
+        pad(5 + rng.nextInt(4))
+        val (s2, e2) = plant("SST")
+        gold += GoldMention(docId, s2, e2, "framework", "SST")
+        goldTriples += GoldTriple(docId, s2, e2, "framework", stripped(fwId(1)), sourceOf(FwParser, fwId(1)))
+        pad(3)
+
+      case 4 => // case sensitivity: 'Flink' hits, 'flink' does not
+        pad(3)
+        val (s1, e1) = plant("Flink")
+        gold += GoldMention(docId, s1, e1, "framework", "Flink")
+        goldTriples += GoldTriple(docId, s1, e1, "framework", stripped(FlinkId), sourceOf(FwParser, FlinkId))
+        pad(3)
+        plant("flink") // must NOT match (case-sensitive curation)
+        pad(3)
+
+      case 5 => // linking-only synonym: no NER mention
+        pad(3)
+        plant(LinkOnlySyn)
+        pad(3)
+
+      case 7 => // nested overlap: 'merge sort' wins over inner 'sort'
+        pad(3)
+        plantTerm("merge sort", AlgoParser, algoId(2))
+        pad(4)
+        plantTerm("sort", AlgoParser, algoId(3))
+        pad(2)
+
+      case _ => // 1-4 unambiguous plants
+        val k = 1 + rng.nextInt(4)
+        for (_ <- 0 until k) {
+          pad(2 + rng.nextInt(5))
+          val t = plainTerms(rng.nextInt(plainTerms.length))
+          // avoid terms that interact with other patterns' semantics
+          if (t._1 != "sort" && t._1 != "ray cluster runtime") plantTerm(t._1, t._2, t._3)
+          else plantTerm("quicksort", AlgoParser, algoId(1))
+        }
+        pad(2 + rng.nextInt(4))
+    }
+
+    GenDoc(DocRow(repo, path, commit, langs(i % langs.length), sb.toString),
+      gold.toSeq, goldTriples.toSeq, quarantined = false)
+  }
+}

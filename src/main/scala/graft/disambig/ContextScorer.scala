@@ -1,0 +1,41 @@
+package graft.disambig
+
+import graft.gazetteer.Gazetteer
+import graft.link.{SparseVec, TfIdfVectorizer}
+
+/** Per-parser word(1,2)+char(2,3) TF-IDF context scorer used by the TF-IDF
+  * disambiguation strategy. Ref: TfIdfScorer,
+  * /root/reference/kazu/steps/linking/post_processing/disambiguation/
+  * context_scoring.py:49-89 — one vectorizer per parser, fit on that
+  * parser's normalized synonyms. Built on the driver, broadcast with the
+  * rest of the linking artifacts.
+  */
+final class ContextScorer private (
+    val vectorizers: Map[String, TfIdfVectorizer]
+) extends Serializable {
+
+  def hasParser(parser: String): Boolean = vectorizers.contains(parser)
+
+  /** Document representation: the parser vectorizer applied to the
+    * space-joined match_norms of all entities in the doc
+    * (disambiguation/strategies.py:206-225). */
+  def docRepresentation(parser: String, matchNormsJoined: String): SparseVec =
+    vectorizers(parser).transform(matchNormsJoined)
+
+  /** Score candidate synonyms against the document representation, best
+    * first. A single candidate short-circuits at 100.0
+    * (context_scoring.py:79-89). */
+  def score(parser: String, syns: Seq[String], docVec: SparseVec): Seq[(String, Double)] =
+    if (syns.size == 1) Seq((syns.head, 100.0))
+    else {
+      val vec = vectorizers(parser)
+      syns.map(s => (s, vec.transform(s).dot(docVec))).sortBy { case (s, score) => (-score, s) }
+    }
+}
+
+object ContextScorer {
+  def build(gaz: Gazetteer): ContextScorer =
+    new ContextScorer(gaz.termsByParser.map { case (parser, terms) =>
+      parser -> new TfIdfVectorizer("word12char23").fit(terms.keys.toArray.sorted)
+    })
+}

@@ -1,0 +1,463 @@
+package graft.disambig
+
+import graft.core._
+import graft.gazetteer.Gazetteer
+import graft.text.{Fuzz, StringNormalizer}
+
+/** A candidate resolved against its gazetteer SynTerm. */
+final case class CandTerm(cand: Candidate, term: SynTerm)
+
+/** Configuration of one mapping strategy in a cascade.
+  * Data encoding of /root/reference/kazu/conf/MappingStep/default.yaml.
+  */
+final case class StrategySpec(
+    name: String, // ExactMatch | SymbolMatch | TermNormIsSubString | StrongMatch | StrongMatchLexicalConfirm
+    confidence: String,
+    disambig: Seq[DisambigSpec],
+    essential: Boolean = false,
+    symbolicOnly: Boolean = false,
+    searchThreshold: Double = 80.0,
+    differential: Double = 2.0,
+    lexicalThreshold: Double = 0.60
+)
+
+/** One disambiguation strategy reference.
+  * Data encoding of conf/DisambiguationStrategies/default.yaml. */
+final case class DisambigSpec(
+    name: String, // DefinedElsewhere | TfIdfContext | AnnotationLevel | PreferDefaultLabel
+    confidence: String,
+    relevantAgg: Set[String] = DisambigSpec.DefaultAgg
+)
+
+object DisambigSpec {
+  val DefaultAgg: Set[String] =
+    Set(AggStrategy.UNAMBIGUOUS, AggStrategy.RESOLVED_BY_SIMILARITY, AggStrategy.MERGED_AS_NON_SYMBOLIC)
+}
+
+final case class LevelExecution(
+    default: Seq[StrategySpec],
+    perClass: Map[String, Seq[StrategySpec]],
+    stopOnSuccess: Boolean
+) {
+  def strategiesFor(entityClass: String): Seq[StrategySpec] =
+    perClass.getOrElse(entityClass, default)
+  def maxIndex: Int =
+    (default.size +: perClass.values.map(_.size).toSeq).max
+}
+
+final case class RunnerConfig(
+    symbolic: Map[Int, LevelExecution],
+    nonSymbolic: Map[Int, LevelExecution]
+)
+
+/** The default strategy cascade (conf/MappingStep/default.yaml), with the
+  * documented model-free substitutions: SapBERT embedding confirmation ->
+  * lexical Fuzz confirmation; Gilda pretrained TF-IDF -> the standard
+  * context TF-IDF (SURVEY §2.5 M6/M9 notes).
+  */
+object RunnerConfig {
+  import StringMatchConfidence._
+
+  private val HL = "HIGHLY_LIKELY"
+  private val PROB = "PROBABLE"
+  private val POSS = "POSSIBLE"
+
+  val disambDefault: Seq[DisambigSpec] = Seq(
+    DisambigSpec("DefinedElsewhere", HL),
+    DisambigSpec("TfIdfContext", PROB))
+  val disambGene: Seq[DisambigSpec] = Seq(
+    DisambigSpec("DefinedElsewhere", HL),
+    DisambigSpec("TfIdfContext", PROB),
+    DisambigSpec("AnnotationLevel", POSS))
+  val disambCellLine: Seq[DisambigSpec] = Seq(
+    DisambigSpec("DefinedElsewhere", HL),
+    DisambigSpec("TfIdfContext", PROB, Set(AggStrategy.CUSTOM)))
+  val preferDefaultLabel: Seq[DisambigSpec] = Seq(DisambigSpec("PreferDefaultLabel", HL))
+  val definedElsewhereOnly: Seq[DisambigSpec] = Seq(DisambigSpec("DefinedElsewhere", HL))
+
+  private def exact(conf: String, d: Seq[DisambigSpec], essential: Boolean = false) =
+    StrategySpec("ExactMatch", conf, d, essential = essential)
+
+  val default: RunnerConfig = RunnerConfig(
+    symbolic = Map(
+      MentionConfidence.HIGHLY_LIKELY -> LevelExecution(
+        default = Seq(
+          exact(HIGHLY_LIKELY, disambDefault),
+          StrategySpec("SymbolMatch", PROBABLE, disambDefault),
+          StrategySpec("TermNormIsSubString", PROBABLE, disambDefault),
+          StrategySpec("StrongMatch", POSSIBLE, disambDefault, symbolicOnly = true)),
+        perClass = Map(
+          "gene" -> Seq(
+            exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+            exact(HIGHLY_LIKELY, disambGene),
+            StrategySpec("SymbolMatch", PROBABLE, disambGene),
+            StrategySpec("TermNormIsSubString", PROBABLE, disambGene),
+            StrategySpec("StrongMatch", POSSIBLE, disambGene, symbolicOnly = true, searchThreshold = 90.0)),
+          "disease" -> Seq(
+            exact(HIGHLY_LIKELY, disambDefault),
+            StrategySpec("SymbolMatch", PROBABLE, disambDefault),
+            StrategySpec("TermNormIsSubString", PROBABLE, disambDefault),
+            StrategySpec("StrongMatch", POSSIBLE, disambDefault, symbolicOnly = true)),
+          "drug" -> Seq(exact(HIGHLY_LIKELY, disambDefault)),
+          "cell_line" -> Seq(
+            exact(HIGHLY_LIKELY, disambCellLine),
+            StrategySpec("SymbolMatch", PROBABLE, disambCellLine),
+            StrategySpec("TermNormIsSubString", PROBABLE, disambCellLine))),
+        stopOnSuccess = true),
+      MentionConfidence.PROBABLE -> LevelExecution(
+        default = Seq(exact(HIGHLY_LIKELY, disambDefault)),
+        perClass = Map(
+          "gene" -> Seq(
+            exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+            exact(HIGHLY_LIKELY, disambGene))),
+        stopOnSuccess = true),
+      MentionConfidence.POSSIBLE -> LevelExecution(
+        default = Seq(exact(HIGHLY_LIKELY, definedElsewhereOnly, essential = true)),
+        perClass = Map.empty,
+        stopOnSuccess = true)
+    ),
+    nonSymbolic = Map(
+      MentionConfidence.HIGHLY_LIKELY -> LevelExecution(
+        default = Seq(
+          exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+          exact(HIGHLY_LIKELY, disambDefault),
+          StrategySpec("StrongMatch", POSSIBLE, disambDefault)),
+        perClass = Map(
+          "drug" -> Seq(
+            exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+            exact(HIGHLY_LIKELY, disambDefault)),
+          "gene" -> Seq(
+            exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+            exact(HIGHLY_LIKELY, disambGene),
+            StrategySpec("TermNormIsSubString", PROBABLE, disambGene),
+            StrategySpec("StrongMatch", PROBABLE, disambGene)),
+          "disease" -> Seq(
+            exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+            exact(HIGHLY_LIKELY, disambDefault),
+            StrategySpec("StrongMatchLexicalConfirm", POSSIBLE, disambDefault)),
+          "cell_line" -> Seq(
+            exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+            exact(HIGHLY_LIKELY, disambCellLine),
+            StrategySpec("SymbolMatch", PROBABLE, disambCellLine),
+            StrategySpec("TermNormIsSubString", PROBABLE, disambCellLine))),
+        stopOnSuccess = true),
+      MentionConfidence.PROBABLE -> LevelExecution(
+        default = Seq(
+          exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+          exact(HIGHLY_LIKELY, disambDefault)),
+        perClass = Map(
+          "gene" -> Seq(
+            exact(HIGHLY_LIKELY, preferDefaultLabel, essential = true),
+            exact(HIGHLY_LIKELY, disambGene))),
+        stopOnSuccess = true),
+      MentionConfidence.POSSIBLE -> LevelExecution(
+        default = Seq(exact(HIGHLY_LIKELY, definedElsewhereOnly, essential = true)),
+        perClass = Map.empty,
+        stopOnSuccess = true)
+    )
+  )
+}
+
+/** The document-local mapping fold: orchestrates mapping strategies over one
+  * document's mentions, highest NER confidence first, symbolic split, work
+  * dedup by entity key, stop-on-success and per-parser resolution tracking.
+  *
+  * Faithful port of StrategyRunner + ConfidenceLevelStrategyExecution
+  * (/root/reference/kazu/steps/linking/post_processing/strategy_runner.py)
+  * as a *pure function* DocMentions => DocMentions, applied inside
+  * mapPartitions — document-local sequential semantics (SURVEY §7.3) with
+  * no cross-document state, so it parallelizes embarrassingly.
+  */
+final class StrategyRunner(
+    gaz: Gazetteer,
+    ctx: ContextScorer,
+    cfg: RunnerConfig = RunnerConfig.default,
+    contextThreshold: Double = 0.7
+) extends Serializable {
+
+  private type EntityKey = (String, String, String, String)
+
+  private def entityKey(m: Mention): EntityKey =
+    (m.matchText, m.matchNorm, m.entityClass,
+      m.candidates.map(c => s"${c.parserName}|${c.termNorm}|${c.searchScore.getOrElse(-1.0)}|${c.exactMatch}")
+        .sorted.mkString(";"))
+
+  def mapDoc(dm: DocMentions): DocMentions = {
+    val mentions = dm.mentions.toArray
+    val accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]] =
+      Array.fill(mentions.length)(scala.collection.mutable.LinkedHashSet.empty[Mapping])
+
+    // sort indices: -confidence then entity key (strategy_runner.py:250-263)
+    val sortedIdx = mentions.indices.sortBy { i =>
+      val m = mentions(i)
+      (-m.confidence, m.matchText, m.matchNorm, m.entityClass, entityKey(m)._4)
+    }
+
+    // consecutive runs of sortedIdx share a confidence (it's the leading
+    // sort key), so LinkedHashMap insertion order = descending confidence
+    // with entity-key order preserved within each level
+    val byConfidence = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    for (i <- sortedIdx)
+      byConfidence.getOrElseUpdate(mentions(i).confidence,
+        scala.collection.mutable.ArrayBuffer.empty) += i
+    for ((confidence, idxsThisConf) <- byConfidence) {
+      // split symbolic / non-symbolic by (match, class) (ref :213-237)
+      val (symbolic, nonSymbolic) = idxsThisConf.partition { i =>
+        val m = mentions(i)
+        StringNormalizer.classifySymbolic(m.matchText, m.entityClass)
+      }
+      for ((idxs, levels) <- Seq((nonSymbolic, cfg.nonSymbolic), (symbolic, cfg.symbolic)) if idxs.nonEmpty) {
+        levels.get(confidence).foreach { level =>
+          executeLevel(mentions, idxs.toSeq, level, accMappings)
+        }
+      }
+    }
+
+    dm.copy(mentions = mentions.toSeq.zipWithIndex.map { case (m, i) =>
+      m.copy(mappings = accMappings(i).toSeq)
+    })
+  }
+
+  private def executeLevel(
+      mentions: Array[Mention],
+      idxs: Seq[Int],
+      level: LevelExecution,
+      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]]
+  ): Unit = {
+    // group by entity key, preserving sorted order (ref :318-326)
+    val groups = scala.collection.mutable.LinkedHashMap.empty[EntityKey, scala.collection.mutable.ArrayBuffer[Int]]
+    for (i <- idxs) groups.getOrElseUpdate(entityKey(mentions(i)), scala.collection.mutable.ArrayBuffer.empty) += i
+
+    val unresolvedParsers = scala.collection.mutable.Map.empty[EntityKey, scala.collection.mutable.Set[String]]
+    val entityMapped = scala.collection.mutable.Map.empty[EntityKey, Boolean]
+
+    for (strategyIndex <- 0 until level.maxIndex) {
+      for ((key, groupIdxs) <- groups) {
+        val ref = mentions(groupIdxs.head)
+        val strategies = level.strategiesFor(ref.entityClass)
+        if (strategyIndex < strategies.size) {
+          val unresolved = unresolvedParsers.getOrElseUpdate(key,
+            scala.collection.mutable.Set(ref.candidates.map(_.parserName): _*))
+          val skip = unresolved.isEmpty ||
+            (level.stopOnSuccess && entityMapped.getOrElse(key, false))
+          if (!skip) {
+            val spec = strategies(strategyIndex)
+            val candsByParser = ref.candidates
+              .filter(c => unresolved.contains(c.parserName))
+              .flatMap(c => gaz.term(c.parserName, c.termNorm).map(t => CandTerm(c, t)))
+              .groupBy(_.cand.parserName)
+            for ((parser, cands) <- candsByParser.toSeq.sortBy(_._1)) {
+              val mappings = runStrategy(spec, ref, parser, cands, mentions, accMappings)
+              if (mappings.nonEmpty) {
+                unresolved -= parser
+                entityMapped(key) = true
+                for (i <- groupIdxs) accMappings(i) ++= mappings
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  // ---- mapping strategies (mapping_strategies/strategies.py) ----
+
+  private def runStrategy(
+      spec: StrategySpec,
+      ref: Mention,
+      parser: String,
+      cands: Seq[CandTerm],
+      mentions: Array[Mention],
+      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]]
+  ): Seq[Mapping] = {
+    val filtered: Seq[CandTerm] = spec.name match {
+      case "ExactMatch" => cands.filter(_.cand.exactMatch)
+      case "SymbolMatch" => cands.filter(ct => matchSymbols(ref.matchNorm, ct.term.termNorm))
+      case "TermNormIsSubString" => termNormSubString(ref.matchNorm, cands)
+      case "StrongMatch" => strongMatch(spec, cands)
+      case "StrongMatchLexicalConfirm" => strongMatchLexicalConfirm(spec, ref.matchText, cands)
+      case other => throw new IllegalArgumentException(s"unknown strategy $other")
+    }
+    if (filtered.isEmpty) Seq.empty
+    else {
+      val (idSets, disambStrategy, disambConfidence) =
+        disambiguateIfRequired(spec, filtered, parser, ref, mentions, accMappings)
+      createMappings(idSets, parser, spec, disambStrategy, disambConfidence)
+    }
+  }
+
+  /** Ref: SymbolMatchMappingStrategy.match_symbols (strategies.py:303-325). */
+  def matchSymbols(s1: String, s2: String): Boolean = {
+    val t1 = s1.split(" ", -1)
+    val t2 = s2.split(" ", -1)
+    val (longest, shortest0) = if (t1.length > t2.length) (t1, s2) else (t2, s1)
+    var shortest = shortest0
+    for (tok <- longest) {
+      if (!shortest.contains(tok)) return false
+      shortest = shortest.replaceFirst(java.util.regex.Pattern.quote(tok), "")
+    }
+    shortest.trim.isEmpty
+  }
+
+  /** Ref: TermNormIsSubStringMappingStrategy (strategies.py:335-390). */
+  private def termNormSubString(matchNorm: String, cands: Seq[CandTerm], minLen: Int = 3): Seq[CandTerm] = {
+    val tokens = matchNorm.split(" ", -1).toSet
+    val withLen = cands
+      .filter(ct => tokens.contains(ct.term.termNorm) && ct.term.termNorm.length >= minLen)
+      .map(ct => (ct, ct.term.termNorm.length))
+      .sortBy(-_._2)
+    // prefer the unique longest
+    withLen.groupBy(_._2).toSeq.sortBy(-_._1)
+      .collectFirst { case (_, group) if group.size == 1 => group.head._1 }
+      .toSeq
+  }
+
+  /** Ref: StrongMatchMappingStrategy (strategies.py:393-454). */
+  private def strongMatch(spec: StrategySpec, cands: Seq[CandTerm]): Seq[CandTerm] = {
+    val relevant = cands
+      .filter(ct => !spec.symbolicOnly || ct.term.isSymbolic)
+      .flatMap(ct => ct.cand.searchScore.map(s => (ct, s)))
+    if (relevant.isEmpty) Seq.empty
+    else {
+      val best = relevant.map(_._2).max
+      relevant.filter { case (_, s) => s >= spec.searchThreshold && best - s <= spec.differential }
+        .map(_._1)
+    }
+  }
+
+  /** Model-free analog of StrongMatchWithEmbeddingConfirmation
+    * (strategies.py:457-528): lexical Fuzz similarity >= threshold against
+    * any original term, first per distinct id-set by descending score. */
+  private def strongMatchLexicalConfirm(spec: StrategySpec, entMatch: String, cands: Seq[CandTerm]): Seq[CandTerm] = {
+    val strong = strongMatch(spec, cands).sortBy(ct => -ct.cand.searchScore.getOrElse(0.0))
+    val selectedIdSets = scala.collection.mutable.Set.empty[Set[EquivIdSet]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandTerm]
+    for (ct <- strong) {
+      val idSetKey = ct.term.idSets.map(_.canonical).toSet
+      if (!selectedIdSets.contains(idSetKey)) {
+        selectedIdSets += idSetKey
+        if (ct.term.terms.exists(t => Fuzz.similarity(entMatch, t) >= spec.lexicalThreshold))
+          out += ct
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- disambiguation (disambiguation/strategies.py) ----
+
+  private def disambiguateIfRequired(
+      spec: StrategySpec,
+      filtered: Seq[CandTerm],
+      parser: String,
+      ref: Mention,
+      mentions: Array[Mention],
+      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]]
+  ): (Seq[EquivIdSet], Option[String], Option[String]) = {
+    val allIdSets: Seq[EquivIdSet] =
+      filtered.flatMap(_.term.idSets.map(_.canonical)).distinct
+    if (!spec.essential && allIdSets.size == 1)
+      (allIdSets, Some("disambiguation_not_required"), None)
+    else if (!spec.essential && spec.disambig.isEmpty)
+      (allIdSets, None, Some(DisambiguationConfidence.AMBIGUOUS))
+    else {
+      for (d <- spec.disambig) {
+        val result = runDisambig(d, allIdSets, parser, ref, mentions, accMappings)
+        if (result.size == 1)
+          return (result, Some(d.name), Some(d.confidence))
+      }
+      if (spec.essential) (Seq.empty, None, Some(DisambiguationConfidence.AMBIGUOUS))
+      else (allIdSets, None, Some(DisambiguationConfidence.AMBIGUOUS))
+    }
+  }
+
+  private def runDisambig(
+      d: DisambigSpec,
+      idSets: Seq[EquivIdSet],
+      parser: String,
+      ref: Mention,
+      mentions: Array[Mention],
+      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]]
+  ): Seq[EquivIdSet] = d.name match {
+
+    case "DefinedElsewhere" =>
+      // ids already mapped elsewhere in the doc (strategies.py:100-149)
+      val mapped: Set[(String, String, String)] =
+        accMappings.iterator.flatMap(_.iterator.map(m => (m.parserName, m.source, m.idx))).toSet
+      idSets.flatMap { s =>
+        val kept = s.idsAndSource.filter(i => mapped.contains((parser, i.source, i.idx)))
+        if (kept.nonEmpty) Some(EquivIdSet(kept).canonical) else None
+      }.distinct
+
+    case "TfIdfContext" =>
+      // (strategies.py:152-269)
+      if (!ctx.hasParser(parser)) Seq.empty
+      else {
+        val docText = mentions.map(_.matchNorm).mkString(" ")
+        val docVec = ctx.docRepresentation(parser, docText)
+        val synToIdSets = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.LinkedHashSet[EquivIdSet]]
+        for (idSet <- idSets; id <- idSet.ids.sorted) {
+          for ((syn, agg) <- gaz.synsForId.getOrElse((parser, id), Seq.empty).sorted
+               if d.relevantAgg.contains(agg)) {
+            synToIdSets.getOrElseUpdate(syn, scala.collection.mutable.LinkedHashSet.empty) += idSet.canonical
+          }
+        }
+        if (synToIdSets.isEmpty) Seq.empty
+        else {
+          val ranked = ctx.score(parser, synToIdSets.keys.toSeq, docVec)
+          ranked.collectFirst {
+            case (syn, score) if score >= contextThreshold && synToIdSets(syn).size == 1 =>
+              synToIdSets(syn).head
+          }.toSeq
+        }
+      }
+
+    case "AnnotationLevel" =>
+      // proxy popularity (strategies.py:361-397)
+      var bestScore = 0.0
+      var best = Seq.empty[EquivIdSet]
+      for (idSet <- idSets) {
+        val score = idSet.ids.map(id =>
+          gaz.meta(parser, id).flatMap(_.annotationScore).getOrElse(0.0)).max
+        if (score > bestScore) { bestScore = score; best = Seq(idSet) }
+        else if (score == bestScore) best = best :+ idSet
+      }
+      best
+
+    case "PreferDefaultLabel" =>
+      // normalized default label == match norm (strategies.py:400-446)
+      val entityClass = gaz.entityClassByParser(parser)
+      val kept = for {
+        idSet <- idSets
+        ias <- idSet.idsAndSource
+        label <- gaz.meta(parser, ias.idx).map(_.defaultLabel).toSeq
+        if StringNormalizer.normalize(label, entityClass) == ref.matchNorm
+      } yield ias
+      if (kept.isEmpty) Seq.empty else Seq(EquivIdSet(kept.distinct).canonical)
+
+    case other => throw new IllegalArgumentException(s"unknown disambiguation $other")
+  }
+
+  /** Ref: MappingFactory (mapping_strategies/strategies.py:21-105). */
+  private def createMappings(
+      idSets: Seq[EquivIdSet],
+      parser: String,
+      spec: StrategySpec,
+      disambStrategy: Option[String],
+      disambConfidence: Option[String]
+  ): Seq[Mapping] =
+    for {
+      idSet <- idSets
+      ias <- idSet.idsAndSource
+    } yield Mapping(
+      parserName = parser,
+      source = ias.source,
+      idx = ias.idx,
+      defaultLabel = gaz.meta(parser, ias.idx).map(_.defaultLabel).getOrElse(""),
+      stringMatchStrategy = spec.name,
+      stringMatchConfidence = spec.confidence,
+      disambiguationStrategy = disambStrategy.filter(_ != "disambiguation_not_required"),
+      disambiguationConfidence = disambConfidence,
+      xrefSourceParserName = None
+    )
+}

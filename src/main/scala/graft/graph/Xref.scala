@@ -1,0 +1,124 @@
+package graft.graph
+
+import graft.core._
+import graft.gazetteer.Gazetteer
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One cross-reference edge between KB identifiers. Shaped after
+  * XrefDatabase (/root/reference/kazu/steps/linking/post_processing/
+  * xref_manager.py:18-23): source ontology + id -> (target source, target
+  * id).
+  */
+final case class XrefEdge(source: String, idx: String, targetSource: String, targetIdx: String)
+
+/** Broadcast cross-reference expansion: each Mapping gains one additional
+  * Mapping per xref edge whose target parser metadata is resolvable.
+  * Faithful to CrossReferenceManager.create_xref_mappings
+  * (xref_manager.py:67-106) — 1-hop expansion; transitive closure is the
+  * job of [[ConnectedComponents]].
+  */
+final class XrefManager(
+    val xrefDb: Map[(String, String), Seq[(String, String)]],
+    val sourceToParser: Map[String, String]
+) extends Serializable {
+
+  def createXrefMappings(mapping: Mapping, gaz: Gazetteer): Seq[Mapping] =
+    for {
+      (targetSource, targetIdx) <- xrefDb.getOrElse((mapping.source, mapping.idx), Seq.empty)
+      parser <- sourceToParser.get(targetSource).toSeq
+      meta <- gaz.meta(parser, targetIdx).toSeq // skip if metadata missing (ref :95-105)
+    } yield mapping.copy(
+      parserName = parser,
+      source = targetSource,
+      idx = targetIdx,
+      defaultLabel = meta.defaultLabel,
+      stringMatchStrategy = "CrossReferenceManager",
+      xrefSourceParserName = Some(mapping.parserName)
+    )
+}
+
+object XrefManager {
+  def fromEdges(edges: Seq[XrefEdge], sourceToParser: Map[String, String]): XrefManager =
+    new XrefManager(
+      edges.groupBy(e => (e.source, e.idx))
+        .map { case (k, es) => k -> es.map(e => (e.targetSource, e.targetIdx)).distinct },
+      sourceToParser)
+
+  /** Expand every mapping on every mention with its xref mappings. */
+  def expand(
+      docs: Dataset[DocMentions],
+      bcXref: Broadcast[XrefManager],
+      bcGaz: Broadcast[Gazetteer]
+  ): Dataset[DocMentions] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val xref = bcXref.value
+      val gaz = bcGaz.value
+      it.map { dm =>
+        dm.copy(mentions = dm.mentions.map { m =>
+          val extra = m.mappings.flatMap(mp => xref.createXrefMappings(mp, gaz))
+          if (extra.isEmpty) m else m.copy(mappings = (m.mappings ++ extra).distinct)
+        })
+      }
+    }
+  }
+}
+
+/** Connected components over cross-reference edges by iterative DataFrame
+  * self-join (hash-min propagation) — the canonicalization step the north
+  * rule names. No GraphFrames dependency: plain joins + groupBy, AQE
+  * handles skew. Iterations ~ graph diameter; xref graphs are shallow.
+  */
+object ConnectedComponents {
+
+  /** edges: DataFrame with string columns (src, dst). Returns (id,
+    * component) where component = lexicographic min id reachable. */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val bidirectional = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+
+    var comps = bidirectional.select(col("src").as("id"))
+      .union(bidirectional.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("component", col("id"))
+      .cache()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // message passing: each node proposes its component to its neighbors
+      val messages = bidirectional
+        .join(comps, bidirectional("src") === comps("id"))
+        .select(col("dst").as("id"), col("component").as("proposed"))
+        .groupBy("id").agg(min("proposed").as("proposed"))
+      val updated = comps
+        .join(messages, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("proposed"), col("component"))).as("component"))
+        .cache()
+      val changed = updated.alias("u").join(comps.alias("c"), Seq("id"))
+        .filter(col("u.component") =!= col("c.component")).limit(1).count()
+      comps.unpersist()
+      comps = updated
+      converged = changed == 0
+      iter += 1
+    }
+    bidirectional.unpersist()
+    comps
+  }
+
+  /** Canonicalize triple objects: map each obj to its component
+    * representative, given xref edges between (source-qualified) ids. */
+  def canonicalizeTriples(triples: Dataset[Triple], edges: DataFrame): DataFrame = {
+    val comps = run(edges)
+    triples.toDF()
+      .join(comps.withColumnRenamed("id", "obj").withColumnRenamed("component", "canonical_obj"),
+        Seq("obj"), "left")
+      .withColumn("canonical_obj", coalesce(col("canonical_obj"), col("obj")))
+  }
+}

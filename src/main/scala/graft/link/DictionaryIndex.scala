@@ -1,0 +1,116 @@
+package graft.link
+
+import graft.core._
+import graft.gazetteer.Gazetteer
+import graft.text.StringNormalizer
+import java.util.regex.Pattern
+
+/** Boolean precision filters applied to candidate terms.
+  * Ref: /root/reference/kazu/language/string_similarity_scorers.py:27-76;
+  * per-entity-class stacks from kazu/conf/StringScorers/default.yaml.
+  */
+object BooleanScorers {
+
+  private val numberFinder = Pattern.compile("[0-9]+")
+
+  /** All numbers in the reference term must be represented identically. */
+  def numberMatch(referenceTerm: String, queryTerm: String): Boolean =
+    countMatches(numberFinder, referenceTerm) == countMatches(numberFinder, queryTerm)
+
+  private val subtypePhrase = Pattern.compile("TYPE (?:I|[0-9]+)")
+
+  /** All "TYPE X" phrases in the reference must appear at least as often in
+    * the query (keeps subtype refinements available for disambiguation). */
+  def entitySubtype(referenceTerm: String, queryTerm: String): Boolean = {
+    val ref = countMatches(subtypePhrase, referenceTerm)
+    val query = countMatches(subtypePhrase, queryTerm)
+    ref.forall { case (phrase, n) => query.getOrElse(phrase, 0) >= n }
+  }
+
+  /** Each modifier phrase must be in both strings or neither. */
+  def nounModifier(phrases: Seq[String])(referenceTerm: String, queryTerm: String): Boolean =
+    phrases.forall(p => referenceTerm.contains(p) == queryTerm.contains(p))
+
+  private def countMatches(p: Pattern, s: String): Map[String, Int] = {
+    val m = p.matcher(s)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    while (m.find()) counts(m.group()) = counts.getOrElse(m.group(), 0) + 1
+    counts.toMap
+  }
+
+  /** Per-entity-class scorer stacks (conf/StringScorers/default.yaml). */
+  def forEntityClass(entityClass: String): Seq[(String, String) => Boolean] =
+    entityClass match {
+      case "gene" => Seq(
+        numberMatch,
+        nounModifier(Seq("LIKE", "SUBUNIT", "PSEUDOGENE", "RECEPTOR")),
+        entitySubtype)
+      case "disease" => Seq(numberMatch, entitySubtype)
+      case _ => Seq(numberMatch)
+    }
+}
+
+/** Per-parser char-ngram TF-IDF candidate index. Built on the driver from
+  * the gazetteer table, broadcast, queried inside mapPartitions.
+  * Faithful to DictionaryIndex (/root/reference/kazu/utils/link_index.py:
+  * 26-141): exact-norm short-circuit at score 100; otherwise sparse
+  * dot-product over the term matrix, top-n by score, keep > 0, boolean
+  * precision filters.
+  */
+final class DictionaryIndex private (
+    val parserName: String,
+    val entityClass: String,
+    val termNorms: Array[String],
+    private val vectorizer: TfIdfVectorizer,
+    private val matrix: CsrMatrix
+) extends Serializable {
+
+  private lazy val termSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](termNorms.length * 2)
+    termNorms.foreach(s.add)
+    s
+  }
+
+  def search(query: String, topN: Int = 15): Seq[Candidate] = {
+    val matchNorm = StringNormalizer.normalize(query, entityClass)
+    if (termSet.contains(matchNorm)) {
+      Seq(Candidate(parserName, matchNorm, Some(100.0), Some(true), exactMatch = true))
+    } else {
+      val q = vectorizer.transform(matchNorm)
+      // densify the query (link_index.py:95-99 benchmark note)
+      val dense = new Array[Double](vectorizer.vocabSize)
+      var i = 0
+      while (i < q.indices.length) { dense(q.indices(i)) = q.values(i); i += 1 }
+      val scores = new Array[Double](matrix.numRows)
+      matrix.dotDense(dense, scores)
+      val scorers = BooleanScorers.forEntityClass(entityClass)
+      val order = scores.indices.sortBy(r => (-scores(r), r)).take(topN)
+      order.iterator
+        .map(r => (r, 100.0 * scores(r)))
+        .filter(_._2 > 0.0)
+        .map { case (r, score) =>
+          val boolOk = scorers.forall(f => f(matchNorm, termNorms(r)))
+          (r, score, boolOk)
+        }
+        .filter(_._3)
+        .map { case (r, score, _) =>
+          Candidate(parserName, termNorms(r), Some(score), Some(true), exactMatch = false)
+        }
+        .toSeq
+    }
+  }
+}
+
+object DictionaryIndex {
+  /** Build one index per parser from the gazetteer, in sorted term order
+    * (link_index.py:53-59 sorts for cache stability; we sort for
+    * determinism). */
+  def buildAll(gaz: Gazetteer): Map[String, DictionaryIndex] =
+    gaz.termsByParser.map { case (parser, terms) =>
+      val entityClass = gaz.entityClassByParser(parser)
+      val norms = terms.keys.toArray.sorted
+      val vec = new TfIdfVectorizer("char2").fit(norms)
+      val matrix = CsrMatrix.fromRows(norms.iterator.map(vec.transform).toSeq)
+      parser -> new DictionaryIndex(parser, entityClass, norms, vec, matrix)
+    }
+}

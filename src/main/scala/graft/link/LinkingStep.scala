@@ -1,0 +1,47 @@
+package graft.link
+
+import graft.ac.DictionaryNer
+import graft.core._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+
+/** Entity-linking stage: attach TF-IDF candidates to mentions that don't
+  * come from dictionary NER (those already carry exact-match candidates).
+  *
+  * Ref: DictionaryEntityLinkingStep (/root/reference/kazu/steps/linking/
+  * dictionary.py:14-83): group by (match, entity_class), search the indexes
+  * of that entity class, top_n=20, LRU dedup cache. The cache becomes a
+  * per-partition memo — an exact algebraic rewrite that also removes the
+  * cross-batch shared state (SURVEY §4): each distinct (match, class) is
+  * scored once per partition, no shuffle introduced.
+  */
+object LinkingStep {
+
+  val DefaultSkipNamespaces: Set[String] = Set(DictionaryNer.Namespace)
+
+  def apply(
+      docs: Dataset[DocMentions],
+      bcIndexes: Broadcast[Map[String, DictionaryIndex]],
+      topN: Int = 20,
+      skipNamespaces: Set[String] = DefaultSkipNamespaces
+  ): Dataset[DocMentions] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val byClass: Map[String, Seq[DictionaryIndex]] =
+        bcIndexes.value.values.toSeq.sortBy(_.parserName).groupBy(_.entityClass)
+      val memo = scala.collection.mutable.HashMap.empty[(String, String), Seq[Candidate]]
+      it.map { dm =>
+        dm.copy(mentions = dm.mentions.map { m =>
+          if (skipNamespaces.contains(m.namespace)) m
+          else {
+            val cands = memo.getOrElseUpdate((m.matchText, m.entityClass),
+              byClass.getOrElse(m.entityClass, Seq.empty)
+                .flatMap(_.search(m.matchText, topN)))
+            if (cands.isEmpty) m
+            else m.copy(candidates = (m.candidates ++ cands).distinct)
+          }
+        })
+      }
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.link
+
+import graft.text.Ngrams
+
+/** Sparse vector with strictly increasing indices. */
+final case class SparseVec(indices: Array[Int], values: Array[Double]) extends Serializable {
+  def dot(other: SparseVec): Double = {
+    var i = 0; var j = 0; var acc = 0.0
+    while (i < indices.length && j < other.indices.length) {
+      val a = indices(i); val b = other.indices(j)
+      if (a == b) { acc += values(i) * other.values(j); i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    acc
+  }
+  def nnz: Int = indices.length
+}
+
+/** Minimal TF-IDF vectorizer replicating the sklearn defaults the reference
+  * relies on (/root/reference/kazu/utils/link_index.py:125-132 and
+  * context_scoring.py:61-69): raw term counts, smooth idf
+  * (ln((1+n)/(1+df)) + 1), L2-normalized rows, vocabulary indexed in sorted
+  * order. Analyzer is pluggable (char 2-grams for the linking index;
+  * word(1,2)+char(2,3) for the context scorer). Serializable — built once
+  * on the driver, broadcast to executors.
+  */
+final class TfIdfVectorizer(val analyzerKind: String) extends Serializable {
+
+  private var vocab: java.util.HashMap[String, Int] = _
+  private var idf: Array[Double] = _
+
+  def analyze(s: String): Array[String] = analyzerKind match {
+    case "char2" => Ngrams.charNgrams(s, 2)
+    case "word12char23" =>
+      Ngrams.wordNgrams(s, 1) ++ Ngrams.wordNgrams(s, 2) ++
+        Ngrams.charNgrams(s, 2) ++ Ngrams.charNgrams(s, 3)
+    case other => throw new IllegalArgumentException(s"unknown analyzer $other")
+  }
+
+  def fit(corpus: Iterable[String]): this.type = {
+    val df = scala.collection.mutable.HashMap.empty[String, Int]
+    var n = 0
+    for (doc <- corpus) {
+      n += 1
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      for (t <- analyze(doc)) if (seen.add(t)) df(t) = df.getOrElse(t, 0) + 1
+    }
+    val sortedTerms = df.keys.toArray.sorted
+    vocab = new java.util.HashMap[String, Int](sortedTerms.length * 2)
+    idf = new Array[Double](sortedTerms.length)
+    var i = 0
+    while (i < sortedTerms.length) {
+      vocab.put(sortedTerms(i), i)
+      idf(i) = math.log((1.0 + n) / (1.0 + df(sortedTerms(i)))) + 1.0
+      i += 1
+    }
+    this
+  }
+
+  def vocabSize: Int = idf.length
+
+  /** L2-normalized tf-idf vector of one string. */
+  def transform(s: String): SparseVec = {
+    val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+    for (t <- analyze(s)) {
+      val j = vocab.getOrDefault(t, -1)
+      if (j >= 0) counts(j) = counts.getOrElse(j, 0) + 1
+    }
+    val idxs = counts.keys.toArray.sorted
+    val vals = new Array[Double](idxs.length)
+    var norm = 0.0
+    var i = 0
+    while (i < idxs.length) {
+      val v = counts(idxs(i)) * idf(idxs(i))
+      vals(i) = v; norm += v * v; i += 1
+    }
+    if (norm > 0) {
+      val inv = 1.0 / math.sqrt(norm)
+      i = 0
+      while (i < idxs.length) { vals(i) *= inv; i += 1 }
+    }
+    SparseVec(idxs, vals)
+  }
+}
+
+/** CSR matrix of row vectors (the per-parser term matrix). */
+final class CsrMatrix(val indptr: Array[Int], val indices: Array[Int], val data: Array[Double])
+    extends Serializable {
+  def numRows: Int = indptr.length - 1
+
+  /** Dense-query dot products: scores(i) = row_i . q, where q is given as a
+    * dense array (benchmark note in link_index.py:95-97: dense query is
+    * faster than sparse-sparse). */
+  def dotDense(q: Array[Double], out: Array[Double]): Unit = {
+    var r = 0
+    while (r < numRows) {
+      var acc = 0.0
+      var p = indptr(r)
+      val end = indptr(r + 1)
+      while (p < end) { acc += data(p) * q(indices(p)); p += 1 }
+      out(r) = acc
+      r += 1
+    }
+  }
+}
+
+object CsrMatrix {
+  def fromRows(rows: Iterable[SparseVec]): CsrMatrix = {
+    val indptr = scala.collection.mutable.ArrayBuffer(0)
+    val indices = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val data = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (row <- rows) {
+      indices ++= row.indices
+      data ++= row.values
+      indptr += indices.length
+    }
+    new CsrMatrix(indptr.toArray, indices.toArray, data.toArray)
+  }
+}

@@ -1,0 +1,187 @@
+package graft.post
+
+import graft.core._
+import graft.text.Tokenizer
+
+/** Schwartz & Hearst (2003) abbreviation expansion, document-global entity
+  * propagation. Pure-function port of the reference's modified scispacy
+  * detector (/root/reference/kazu/utils/abbreviation_detector.py): find
+  * (long form, short form) definitions via parenthesis candidates + char
+  * back-matching, then copy the long form's entities to *every* occurrence
+  * of the short form in the document, removing pre-existing entities at
+  * those locations (unless excluded).
+  *
+  * Doc-local: runs inside the per-doc fold, no cross-document state.
+  */
+object Abbreviation {
+
+  val Namespace = "AbbreviationFinderStep"
+
+  private final case class Tok(start: Int, end: Int, text: String)
+
+  private def tokens(text: String): Array[Tok] =
+    Tokenizer.tokenSpans(text).map(s => Tok(s.start, s.end, text.substring(s.start, s.end)))
+
+  /** S&H char back-match. Returns the long-form token start index within
+    * the candidate (None if no match). Ref: find_abbreviation
+    * (abbreviation_detector.py:88-151). */
+  def findAbbreviation(longToks: Array[String], shortToks: Array[String]): Option[Int] = {
+    val longForm = longToks.mkString(" ")
+    val shortForm = shortToks.mkString(" ")
+    var longIndex = longForm.length - 1
+    var shortIndex = shortForm.length - 1
+    while (shortIndex >= 0) {
+      val currentChar = Character.toLowerCase(shortForm.charAt(shortIndex))
+      if (!Character.isLetterOrDigit(currentChar)) {
+        shortIndex -= 1
+      } else {
+        while (longIndex >= 0 &&
+          (Character.toLowerCase(longForm.charAt(longIndex)) != currentChar ||
+            (shortIndex == 0 && longIndex > 0 && Character.isLetterOrDigit(longForm.charAt(longIndex - 1))))) {
+          longIndex -= 1
+        }
+        if (longIndex < 0) return None
+        longIndex -= 1
+        shortIndex -= 1
+      }
+    }
+    longIndex += 1
+    // translate char index to first token beginning after that value
+    var wordLengths = 0
+    var i = 0
+    while (i < longToks.length) {
+      wordLengths += longToks(i).length + 1 // +1 for the joining space
+      if (wordLengths > longIndex) return Some(i)
+      i += 1
+    }
+    None
+  }
+
+  /** Ref: short_form_filter (abbreviation_detector.py:199-217). */
+  private def shortFormFilter(toks: Array[Tok]): Boolean = {
+    if (toks.isEmpty) return false
+    if (!toks.forall(t => t.text.length >= 2 && t.text.length < 10)) return false
+    val joined = toks.map(_.text).mkString(" ")
+    if (joined.count(_.isLetter).toDouble / joined.length < 0.5) return false
+    joined.head.isLetter
+  }
+
+  /** Find (longTokens, shortTokens) definition candidates around
+    * parentheses. Ref: matcher + filter_matches
+    * (abbreviation_detector.py:155-196,434-448). */
+  private def candidates(toks: Array[Tok]): Seq[(Array[Tok], Array[Tok])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Tok], Array[Tok])]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).text == "(") {
+        var j = i + 1
+        var found = false
+        while (j < toks.length && j - i <= 10 && !found) {
+          if (toks(j).text == ")") {
+            found = true
+            val start = i + 1 // content tokens [start, end)
+            val end = j
+            val n = end - start
+            if (n >= 1 && n <= 8 && start != 1) {
+              if (n > 3) {
+                // long form inside parens; short form is the word before '('
+                if (i - 1 >= 0) {
+                  val short = Array(toks(i - 1))
+                  val long = toks.slice(start, end)
+                  if (shortFormFilter(short)) out += ((long, short))
+                }
+              } else {
+                val short = toks.slice(start, end)
+                val abbrevLen = short.map(_.text.length).sum
+                val maxWords = math.min(abbrevLen + 5, abbrevLen * 2)
+                val longStart = math.max(i - maxWords, 0)
+                val long = toks.slice(longStart, i)
+                if (long.nonEmpty && shortFormFilter(short)) out += ((long, short))
+              }
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Apply the full step to one document's mentions. */
+  def process(
+      text: String,
+      mentions: Seq[Mention],
+      excludeAbbrvs: Set[String] = Set("COPD", "NSCLC", "mCRC", "NHL", "DEND")
+  ): Seq[Mention] = {
+    val toks = tokens(text)
+    if (!toks.exists(_.text == "(")) return mentions
+
+    // single-span mentions by exact (start, end)
+    val mentionsByLoc: Map[(Int, Int), Seq[Mention]] =
+      mentions.filter(_.spans.size == 1).groupBy(m => (m.start, m.end))
+
+    // identify definitions (first definition of each long/short wins,
+    // ref :380-410)
+    val seenLong = scala.collection.mutable.Set.empty[String]
+    val seenShort = scala.collection.mutable.Set.empty[String]
+    // short token texts -> (long form source mentions)
+    val definitions = scala.collection.mutable.ArrayBuffer.empty[(Array[String], Seq[Mention])]
+    for ((longCand, shortCand) <- candidates(toks)) {
+      findAbbreviation(longCand.map(_.text), shortCand.map(_.text)).foreach { startTokIdx =>
+        val long = longCand.drop(startTokIdx)
+        val longText = long.map(_.text).mkString(" ")
+        val shortText = shortCand.map(_.text).mkString(" ")
+        if (!seenLong.contains(longText) && !seenShort.contains(shortText)) {
+          seenLong += longText
+          seenShort += shortText
+          val longLoc = (long.head.start, long.last.end)
+          val sourceEnts = mentionsByLoc.getOrElse(longLoc, Seq.empty)
+          definitions += ((shortCand.map(_.text), sourceEnts))
+        }
+      }
+    }
+    if (definitions.isEmpty) return mentions
+
+    // find all occurrences of each short form (token-sequence equality)
+    val toRemove = scala.collection.mutable.Set.empty[(Int, Int)]
+    val toAdd = scala.collection.mutable.ArrayBuffer.empty[Mention]
+    for ((shortToks, sourceEnts) <- definitions) {
+      var i = 0
+      while (i + shortToks.length <= toks.length) {
+        var k = 0
+        var ok = true
+        while (ok && k < shortToks.length) {
+          if (toks(i + k).text != shortToks(k)) ok = false
+          k += 1
+        }
+        if (ok) {
+          val start = toks(i).start
+          val end = toks(i + shortToks.length - 1).end
+          // remove existing ents at this exact location unless excluded
+          for (existing <- mentionsByLoc.getOrElse((start, end), Seq.empty)
+               if !excludeAbbrvs.contains(existing.matchText)) {
+            toRemove += ((start, end))
+          }
+          val matchText = text.substring(start, end)
+          for (src <- sourceEnts) {
+            toAdd += src.copy(
+              start = start,
+              end = end,
+              spans = Seq(Span(start, end)),
+              matchText = matchText,
+              matchNorm = graft.text.StringNormalizer.normalize(matchText, src.entityClass),
+              namespace = Namespace,
+              confidence = MentionConfidence.HIGHLY_LIKELY)
+          }
+        }
+        i += 1
+      }
+    }
+
+    val kept = mentions.filterNot(m =>
+      m.spans.size == 1 && toRemove.contains((m.start, m.end)) &&
+        !excludeAbbrvs.contains(m.matchText))
+    kept ++ toAdd.toSeq
+  }
+}

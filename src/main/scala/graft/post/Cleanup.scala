@@ -1,0 +1,90 @@
+package graft.post
+
+import graft.core._
+
+/** Cleanup actions (P3-P6). Ref: /root/reference/kazu/steps/other/cleanup.py
+  * + conf/CleanupActions/default.yaml (default: drop AMBIGUOUS-disambiguated
+  * mappings, drop unmapped low-confidence entities). URI stripping is the
+  * CURIE canonicalization named by the north rule.
+  */
+object Cleanup {
+
+  /** Drop mappings whose confidence ranks are in the given sets.
+    * Default config: disambiguation AMBIGUOUS only (cleanup.py:53-67). */
+  def dropMappingsByConfidence(
+      mentions: Seq[Mention],
+      stringMatchRanksToDrop: Set[String] = Set.empty,
+      disambiguationRanksToDrop: Set[String] = Set(DisambiguationConfidence.AMBIGUOUS)
+  ): Seq[Mention] =
+    mentions.map { m =>
+      m.copy(mappings = m.mappings.filterNot(mp =>
+        stringMatchRanksToDrop.contains(mp.stringMatchConfidence) ||
+          mp.disambiguationConfidence.exists(disambiguationRanksToDrop.contains)))
+    }
+
+  /** Drop unmapped entities below the confidence floor (cleanup.py:70-91). */
+  def dropUnmappedEntities(
+      mentions: Seq[Mention],
+      minConfidence: Option[Int] = Some(MentionConfidence.PROBABLE),
+      fromNamespaces: Option[Set[String]] = None
+  ): Seq[Mention] =
+    mentions.filterNot { m =>
+      val relevantNamespace = fromNamespaces.forall(_.contains(m.namespace))
+      minConfidence match {
+        case None => relevantNamespace && m.mappings.isEmpty
+        case Some(floor) => relevantNamespace && m.mappings.isEmpty && m.confidence < floor
+      }
+    }
+
+  /** http://purl.obolibrary.org/obo/MONDO_0004979 -> MONDO_0004979
+    * (cleanup.py:94-135). */
+  def stripUri(idx: String): String = {
+    val schemeEnd = idx.indexOf("://")
+    if (schemeEnd <= 0) idx
+    else {
+      val afterScheme = idx.substring(schemeEnd + 3)
+      val pathStart = afterScheme.indexOf('/')
+      if (pathStart < 0) idx
+      else afterScheme.substring(afterScheme.lastIndexOf('/') + 1)
+    }
+  }
+
+  def stripMappingUris(
+      mentions: Seq[Mention],
+      parsersToStrip: Option[Set[String]] = None
+  ): Seq[Mention] =
+    mentions.map { m =>
+      m.copy(mappings = m.mappings.map { mp =>
+        if (parsersToStrip.forall(_.contains(mp.parserName)))
+          mp.copy(idx = stripUri(mp.idx))
+        else mp
+      }.distinct)
+    }
+
+  /** Keep mappings only from the highest-ranked parser present per entity
+    * class (cleanup.py:138-181). */
+  def dropMappingsByParserRank(
+      mentions: Seq[Mention],
+      classToParserRank: Map[String, Seq[String]]
+  ): Seq[Mention] =
+    mentions.map { m =>
+      classToParserRank.get(m.entityClass) match {
+        case None => m
+        case Some(ranks) =>
+          val present = m.mappings.map(_.parserName).distinct
+            .filter(ranks.contains).sortBy(ranks.indexOf)
+          present.headOption match {
+            case None => m
+            case Some(top) => m.copy(mappings = m.mappings.filter(_.parserName == top))
+          }
+      }
+    }
+
+  /** The default cleanup stack. */
+  def defaultCleanup(mentions: Seq[Mention], stripUris: Boolean = true): Seq[Mention] = {
+    var ms = dropMappingsByConfidence(mentions)
+    ms = dropUnmappedEntities(ms)
+    if (stripUris) ms = stripMappingUris(ms)
+    ms
+  }
+}

@@ -1,0 +1,65 @@
+package graft.post
+
+import graft.core._
+
+/** Overlapping-entity resolution: interval-union grouping of contiguous
+  * mentions into "locations" (sweep line), then pick the best mention per
+  * location. Faithful port of MergeOverlappingEntsStep
+  * (/root/reference/kazu/steps/other/merge_overlapping_ents.py) — doc-local
+  * pure function.
+  */
+object MergeOverlaps {
+
+  /** ent_class_preferred_order from conf/MergeOverlappingEntsStep/
+    * default.yaml (first = highest priority). */
+  val DefaultClassOrder: Seq[String] = Seq(
+    "disease", "drug", "gene", "anatomy", "cell_line", "cell_type",
+    "biological_process", "molecular_function", "cellular_component")
+
+  def process(
+      mentions: Seq[Mention],
+      classOrder: Seq[String] = DefaultClassOrder,
+      ignoreNonContiguous: Boolean = true
+  ): Seq[Mention] = {
+    if (mentions.isEmpty) return mentions
+    val rank: Map[String, Int] = classOrder.reverse.zipWithIndex.toMap
+
+    val (toMerge, nonContig) =
+      if (ignoreNonContiguous) mentions.partition(_.spans.size == 1)
+      else (mentions, Seq.empty[Mention])
+
+    if (toMerge.isEmpty) return mentions
+
+    // sweep line into locations (ref :106-140)
+    val sorted = toMerge.sortBy(_.start)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Mention]]
+    var cur = scala.collection.mutable.ArrayBuffer(sorted.head)
+    var start = sorted.head.start
+    var end = sorted.head.end
+    for (m <- sorted.tail) {
+      if (start <= m.start && m.start < end) {
+        if (m.end > end) end = m.end
+        cur += m
+      } else {
+        groups += cur
+        cur = scala.collection.mutable.ArrayBuffer(m)
+        start = m.start
+        end = m.end
+      }
+    }
+    groups += cur
+
+    // pick best per location (ref :54-70): prefer mapped, longer span,
+    // preferred class, higher confidence, class name desc
+    val kept = groups.map { g =>
+      if (g.size == 1) g.head
+      else g.maxBy(m => (
+        m.mappings.nonEmpty,
+        m.end - m.start,
+        rank.getOrElse(m.entityClass, 0),
+        m.confidence,
+        m.entityClass))
+    }
+    kept.toSeq ++ nonContig
+  }
+}

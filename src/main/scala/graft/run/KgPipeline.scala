@@ -1,0 +1,117 @@
+package graft.run
+
+import graft.ac.{DictionaryNer, NerDictionary}
+import graft.core._
+import graft.disambig.{ContextScorer, RunnerConfig, StrategyRunner}
+import graft.gazetteer.Gazetteer
+import graft.graph.{Triples, XrefManager}
+import graft.link.{DictionaryIndex, LinkingStep}
+import graft.post.{Abbreviation, Cleanup, MergeOverlaps}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** All broadcastable build-once artifacts of the pipeline (the analog of
+  * the reference's populated singleton databases + disk caches, SURVEY §4).
+  */
+final case class Artifacts(
+    gaz: Gazetteer,
+    dict: NerDictionary,
+    indexes: Map[String, DictionaryIndex],
+    ctx: ContextScorer,
+    xref: Option[XrefManager]
+)
+
+object Artifacts {
+  def build(gaz: Gazetteer, xref: Option[XrefManager] = None): Artifacts =
+    Artifacts(gaz, DictionaryNer.buildDictionary(gaz), DictionaryIndex.buildAll(gaz),
+      ContextScorer.build(gaz), xref)
+}
+
+/** The end-to-end KG-construction pipeline, mirroring the reference default
+  * pipeline order (/root/reference/kazu/conf/Pipeline/default.yaml):
+  * dictionary NER -> dictionary linking -> mapping cascade -> abbreviation
+  * expansion -> cleanup -> overlap merge, then xref expansion + triple
+  * materialization.
+  *
+  * Execution shape: every step after ingest is a narrow per-partition
+  * transform over DocMentions (docs never change partition), so the whole
+  * semantic core is ONE WholeStage pipeline with zero shuffles; the only
+  * wide operations in a full run are the final triple write and whatever
+  * the caller adds (e.g. distinct).
+  */
+object KgPipeline {
+
+  final case class Config(
+      runnerConfig: RunnerConfig = RunnerConfig.default,
+      linkTopN: Int = 20,
+      excludeAbbrvs: Set[String] = Set("COPD", "NSCLC", "mCRC", "NHL", "DEND"),
+      classOrder: Seq[String] = MergeOverlaps.DefaultClassOrder,
+      stripUris: Boolean = true,
+      mergeOverlaps: Boolean = true
+  )
+
+  /** Broadcast all artifacts once per session. */
+  def broadcastArtifacts(spark: SparkSession, artifacts: Artifacts): Broadcast[Artifacts] =
+    spark.sparkContext.broadcast(artifacts)
+
+  /** Run NER + the full doc-local semantic pipeline. The doc text is needed
+    * by the abbreviation finder, so this composes directly over Docs.
+    */
+  def annotate(
+      docs: Dataset[Doc],
+      bcArtifacts: Broadcast[Artifacts],
+      cfg: Config = Config()
+  ): Dataset[DocMentions] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter((d: Doc) => d.error.isEmpty)
+      .mapPartitions { rows =>
+        val art = bcArtifacts.value
+        val runner = new StrategyRunner(art.gaz, art.ctx, cfg.runnerConfig)
+        val byClass: Map[String, Seq[DictionaryIndex]] =
+          art.indexes.values.toSeq.sortBy(_.parserName).groupBy(_.entityClass)
+        val linkMemo = scala.collection.mutable.HashMap.empty[(String, String), Seq[Candidate]]
+
+        rows.map { d =>
+          // 1. dictionary NER (N1)
+          var mentions = DictionaryNer.scanText(art.dict, d.docId, d.content)
+          // 2. dictionary linking for non-dictionary namespaces (L1-L3)
+          mentions = mentions.map { m =>
+            if (LinkingStep.DefaultSkipNamespaces.contains(m.namespace)) m
+            else {
+              val cands = linkMemo.getOrElseUpdate((m.matchText, m.entityClass),
+                byClass.getOrElse(m.entityClass, Seq.empty).flatMap(_.search(m.matchText, cfg.linkTopN)))
+              if (cands.isEmpty) m else m.copy(candidates = (m.candidates ++ cands).distinct)
+            }
+          }
+          var dm = DocMentions(d.docId, d.contentSha, mentions)
+          // 3. mapping cascade (M1-M13)
+          dm = runner.mapDoc(dm)
+          // 3b. cross-reference expansion (M14) — reference runs this inside
+          // the mapping step, i.e. before cleanup strips URIs
+          art.xref.foreach { x =>
+            dm = dm.copy(mentions = dm.mentions.map { m =>
+              val extra = m.mappings.flatMap(mp => x.createXrefMappings(mp, art.gaz))
+              if (extra.isEmpty) m else m.copy(mappings = (m.mappings ++ extra).distinct)
+            })
+          }
+          // 4. abbreviation expansion (P1)
+          dm = dm.copy(mentions = Abbreviation.process(d.content, dm.mentions, cfg.excludeAbbrvs))
+          // 5. cleanup (P3-P5)
+          dm = dm.copy(mentions = Cleanup.defaultCleanup(dm.mentions, cfg.stripUris))
+          // 6. overlap merge (P2)
+          if (cfg.mergeOverlaps)
+            dm = dm.copy(mentions = MergeOverlaps.process(dm.mentions, cfg.classOrder))
+          dm
+        }
+      }
+  }
+
+  /** Full run: annotate (incl. xref expansion) + triples. */
+  def triples(
+      docs: Dataset[Doc],
+      bcArtifacts: Broadcast[Artifacts],
+      cfg: Config = Config()
+  ): Dataset[Triple] =
+    Triples.fromDocMentions(annotate(docs, bcArtifacts, cfg))
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.core._
+import graft.datagen.CorpusGen
+import graft.graph.XrefManager
+import graft.run.{Artifacts, KgPipeline, Stages}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end acceptance: run the full pipeline over the deterministic
+  * synthetic corpus and score against the generator's gold annotations with
+  * the reference's SectionScorer semantics
+  * (/root/reference/kazu/annotation/acceptance_test.py:65-133): NER TP on
+  * span equality or partial overlap with matching class; linking P/R on
+  * per-source (source, idx) sets per document. Gate: P >= 0.95 AND
+  * R >= 0.95 (BASELINE.json metric), per entity class.
+  */
+class AcceptanceSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val nDocs = 300
+  lazy val gen = CorpusGen.generate(nDocs)
+  lazy val result: (Seq[DocMentions], Seq[Doc]) = {
+    val corpus = spark.createDataset(gen.map(_.row)).toDF()
+    val docs = Stages.ingest(corpus)(spark)
+    val artifacts = Artifacts.build(
+      CorpusGen.gazetteer,
+      Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser)))
+    val bc = KgPipeline.broadcastArtifacts(spark, artifacts)
+    val annotated = KgPipeline.annotate(docs, bc).collect().toSeq
+    val allDocs = docs.collect().toSeq
+    (annotated, allDocs)
+  }
+
+  def overlaps(aStart: Int, aEnd: Int, bStart: Int, bEnd: Int): Boolean =
+    aStart < bEnd && bStart < aEnd
+
+  test("NER P/R >= 0.95 per entity class (soft span match)") {
+    val (annotated, _) = result
+    val testByDoc = annotated.map(dm => dm.docId -> dm.mentions).toMap
+    val perClass = scala.collection.mutable.Map.empty[String, (Int, Int, Int)] // tp, fp, fn
+
+    for (g <- gen if !g.quarantined) {
+      val docId = CorpusGen.sha256(s"${g.row.repo}|${g.row.path}|${g.row.commit}")
+      val test = testByDoc.getOrElse(docId, Seq.empty)
+      for (cls <- (g.gold.map(_.entityClass) ++ test.map(_.entityClass)).distinct) {
+        val goldC = g.gold.filter(_.entityClass == cls)
+        val testC = test.filter(_.entityClass == cls)
+        val tp = goldC.count(gm => testC.exists(t => overlaps(gm.start, gm.end, t.start, t.end)))
+        val fn = goldC.size - tp
+        val fp = testC.count(t => !goldC.exists(gm => overlaps(gm.start, gm.end, t.start, t.end)))
+        val (a, b, c) = perClass.getOrElse(cls, (0, 0, 0))
+        perClass(cls) = (a + tp, b + fp, c + fn)
+      }
+    }
+    for ((cls, (tp, fp, fn)) <- perClass) {
+      val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+      val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+      info(f"NER $cls%-12s P=$p%.4f R=$r%.4f (tp=$tp fp=$fp fn=$fn)")
+      assert(p >= 0.95, s"NER precision for $cls below gate: $p")
+      assert(r >= 0.95, s"NER recall for $cls below gate: $r")
+    }
+    assert(perClass.nonEmpty)
+  }
+
+  test("linking P/R >= 0.95 per entity class (per-source id sets)") {
+    val (annotated, _) = result
+    val testByDoc = annotated.map(dm => dm.docId -> dm.mentions).toMap
+    val perClass = scala.collection.mutable.Map.empty[String, (Int, Int, Int)]
+
+    for (g <- gen if !g.quarantined) {
+      val docId = CorpusGen.sha256(s"${g.row.repo}|${g.row.path}|${g.row.commit}")
+      val test = testByDoc.getOrElse(docId, Seq.empty)
+      for (cls <- (g.goldTriples.map(_.entityClass) ++ test.map(_.entityClass)).distinct) {
+        val goldSet: Set[(String, String)] =
+          g.goldTriples.filter(_.entityClass == cls).map(t => (t.source, t.idx)).toSet
+        val testSet: Set[(String, String)] =
+          test.filter(_.entityClass == cls)
+            .flatMap(_.mappings.map(mp => (mp.source, mp.idx))).toSet
+        val tp = (goldSet intersect testSet).size
+        val fp = (testSet diff goldSet).size
+        val fn = (goldSet diff testSet).size
+        val (a, b, c) = perClass.getOrElse(cls, (0, 0, 0))
+        perClass(cls) = (a + tp, b + fp, c + fn)
+      }
+    }
+    for ((cls, (tp, fp, fn)) <- perClass) {
+      val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+      val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+      info(f"LINK $cls%-12s P=$p%.4f R=$r%.4f (tp=$tp fp=$fp fn=$fn)")
+      assert(p >= 0.95, s"linking precision for $cls below gate: $p")
+      assert(r >= 0.95, s"linking recall for $cls below gate: $r")
+    }
+    assert(perClass.nonEmpty)
+  }
+
+  test("triple spans slice back to their mention text") {
+    val (annotated, docsOut) = result
+    val contentByDoc = gen.map(g =>
+      CorpusGen.sha256(s"${g.row.repo}|${g.row.path}|${g.row.commit}") -> g.row.content).toMap
+    for (dm <- annotated; m <- dm.mentions if m.spans.size == 1) {
+      assert(contentByDoc(dm.docId).substring(m.start, m.end) == m.matchText)
+    }
+    assert(docsOut.nonEmpty)
+  }
+
+  test("per-row content sha256 invariance (in == out)") {
+    val (annotated, docsOut) = result
+    val expectedSha = gen.map(g =>
+      CorpusGen.sha256(s"${g.row.repo}|${g.row.path}|${g.row.commit}") ->
+        CorpusGen.sha256(g.row.content)).toMap
+    // every ingested row carries the right sha
+    for (d <- docsOut) assert(d.contentSha == expectedSha(d.docId))
+    // every annotated row preserves it
+    for (dm <- annotated) assert(dm.contentSha == expectedSha(dm.docId))
+    // nothing lost except quarantined
+    val quarantined = gen.count(_.quarantined)
+    assert(annotated.size == nDocs - quarantined)
+  }
+
+  test("length guard quarantines giant docs with error rows") {
+    val corpus = spark.createDataset(gen.map(_.row)).toDF()
+    val docs = Stages.ingest(corpus)(spark)
+    val q = Stages.quarantine(docs).collect()
+    assert(q.length == gen.count(_.quarantined))
+    assert(q.forall(_.getAs[String]("error").startsWith("doc exceeds max length")))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.gazetteer._
+import graft.link.{BooleanScorers, DictionaryIndex, TfIdfVectorizer}
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkingSpec extends AnyFunSuite {
+
+  def gaz: Gazetteer = GazetteerBuilder.buildLocal(
+    Seq(
+      OntologyRow("p", "disease", "MONDO_001", "type 1 diabetes", "type 1 diabetes", "name", "f"),
+      OntologyRow("p", "disease", "MONDO_001", "type 1 diabetes", "T1D", "syn", "f"),
+      OntologyRow("p", "disease", "MONDO_002", "type 2 diabetes", "type 2 diabetes", "name", "f"),
+      OntologyRow("p", "disease", "MONDO_003", "lung cancer", "lung cancer", "name", "f"),
+      OntologyRow("p", "disease", "MONDO_004", "breast cancer", "breast cancer", "name", "f")
+    ),
+    Seq.empty)
+
+  test("tfidf vectorizer produces normalized vectors") {
+    val v = new TfIdfVectorizer("char2").fit(Seq("ABCD", "ABCE", "XYZ"))
+    val t = v.transform("ABCD")
+    val norm = math.sqrt(t.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    assert(t.dot(t) > 0.999)
+  }
+
+  test("exact norm match short-circuits at score 100") {
+    val idx = DictionaryIndex.buildAll(gaz)("p")
+    val res = idx.search("Type 1 Diabetes")
+    assert(res.size == 1)
+    assert(res.head.exactMatch && res.head.searchScore.contains(100.0))
+  }
+
+  test("fuzzy search ranks closest term first and respects number-match") {
+    val idx = DictionaryIndex.buildAll(gaz)("p")
+    // query close to 'type 1 diabetes' but not exact after normalization
+    // (note "type 1 diabete" WOULD be exact: whole-phrase depluralization)
+    val res = idx.search("type 1 diabetus")
+    assert(res.nonEmpty)
+    assert(!res.head.exactMatch)
+    // number-match boolean scorer must exclude 'TYPE 2 DIABETES' (wrong number)
+    val norms = res.map(_.termNorm)
+    assert(norms.head == graft.text.StringNormalizer.normalize("type 1 diabetes", "disease"))
+    assert(!norms.contains(graft.text.StringNormalizer.normalize("type 2 diabetes", "disease")))
+  }
+
+  test("boolean scorers") {
+    assert(BooleanScorers.numberMatch("TYPE 1 DIABETES", "DIABETES TYPE 1"))
+    assert(!BooleanScorers.numberMatch("TYPE 1 DIABETES", "TYPE 2 DIABETES"))
+    assert(BooleanScorers.entitySubtype("DIABETES", "DIABETES TYPE 1"))
+    assert(!BooleanScorers.entitySubtype("DIABETES TYPE 1", "DIABETES"))
+    val nm = BooleanScorers.nounModifier(Seq("RECEPTOR")) _
+    assert(nm("X RECEPTOR", "Y RECEPTOR"))
+    assert(!nm("X RECEPTOR", "Y"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.core._
+import graft.post.{Abbreviation, Cleanup, MergeOverlaps}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PostProcessingSpec extends AnyFunSuite {
+
+  def m(start: Int, end: Int, text: String, cls: String = "disease",
+        conf: Int = MentionConfidence.HIGHLY_LIKELY,
+        mappings: Seq[Mapping] = Seq.empty, spans: Option[Seq[Span]] = None): Mention =
+    Mention("d", start, end, spans.getOrElse(Seq(Span(start, end))), text,
+      text.toUpperCase, cls, "DictionaryNerStep", conf, Seq.empty, mappings)
+
+  def mapping(idx: String, parser: String = "p",
+              disambConf: Option[String] = None): Mapping =
+    Mapping(parser, "SRC", idx, "label", "ExactMatch",
+      StringMatchConfidence.HIGHLY_LIKELY, None, disambConf, None)
+
+  // ---- Schwartz & Hearst ----
+
+  test("finds standard abbreviation and propagates entities") {
+    val text = "we study non small cell lung cancer (NSCLC) here; NSCLC is common"
+    //          0123456789...
+    val longStart = text.indexOf("non small")
+    val longEnd = text.indexOf(" (")
+    val src = m(longStart, longEnd, "non small cell lung cancer",
+      mappings = Seq(mapping("MONDO_005")))
+    val out = Abbreviation.process(text, Seq(src))
+    val added = out.filter(_.namespace == Abbreviation.Namespace)
+    // both occurrences of NSCLC get the long form's entity
+    assert(added.size == 2)
+    assert(added.forall(_.mappings.map(_.idx) == Seq("MONDO_005")))
+    assert(added.forall(a => text.substring(a.start, a.end) == "NSCLC"))
+    assert(added.forall(_.confidence == MentionConfidence.HIGHLY_LIKELY))
+  }
+
+  test("existing entities at abbreviation locations are replaced") {
+    val text = "alpha beta gamma (ABG) more text ABG end"
+    val longStart = 0
+    val longEnd = text.indexOf(" (")
+    val src = m(longStart, longEnd, "alpha beta gamma", mappings = Seq(mapping("ID_1")))
+    // a pre-existing (wrong) entity at the second ABG occurrence
+    val abgStart = text.lastIndexOf("ABG")
+    val wrong = m(abgStart, abgStart + 3, "ABG", cls = "gene", mappings = Seq(mapping("WRONG")))
+    val out = Abbreviation.process(text, Seq(src, wrong))
+    assert(!out.exists(x => x.matchText == "ABG" && x.mappings.exists(_.idx == "WRONG")))
+    assert(out.count(x => x.matchText == "ABG" && x.mappings.exists(_.idx == "ID_1")) == 2)
+  }
+
+  test("no long form match -> no propagation") {
+    val text = "we talk about something (XYZQW) here"
+    val src = m(0, 2, "we")
+    val out = Abbreviation.process(text, Seq(src))
+    assert(out == Seq(src))
+  }
+
+  test("S&H char back-matching") {
+    assert(Abbreviation.findAbbreviation(
+      Array("non", "small", "cell", "lung", "cancer"), Array("NSCLC")).contains(0))
+    // partial long form: match starts at 'cell'
+    assert(Abbreviation.findAbbreviation(
+      Array("the", "cell", "lung", "cancer"), Array("CLC")).contains(1))
+    assert(Abbreviation.findAbbreviation(
+      Array("unrelated", "words"), Array("QQQ")).isEmpty)
+  }
+
+  // ---- merge overlaps ----
+
+  test("nested mentions keep longest") {
+    val a = m(0, 9, "hash join", cls = "dbop")
+    val b = m(5, 9, "join", cls = "dbop")
+    assert(MergeOverlaps.process(Seq(a, b)) == Seq(a))
+  }
+
+  test("mapped mention beats longer unmapped") {
+    val a = m(0, 9, "hash join", cls = "dbop")
+    val b = m(5, 9, "join", cls = "dbop", mappings = Seq(mapping("OP_JOIN")))
+    assert(MergeOverlaps.process(Seq(a, b)) == Seq(b))
+  }
+
+  test("class preference breaks ties") {
+    val a = m(0, 4, "gene", cls = "gene")
+    val b = m(0, 4, "gene", cls = "disease")
+    // disease ranks above gene in the default order
+    assert(MergeOverlaps.process(Seq(a, b)) == Seq(b))
+  }
+
+  test("disjoint locations all kept; non-contiguous bypass") {
+    val a = m(0, 4, "aaaa")
+    val b = m(10, 14, "bbbb")
+    val nc = m(20, 30, "cc dd", spans = Some(Seq(Span(20, 22), Span(28, 30))))
+    val out = MergeOverlaps.process(Seq(a, b, nc))
+    assert(out.toSet == Set(a, b, nc))
+  }
+
+  // ---- cleanup ----
+
+  test("strip URI to final path segment") {
+    assert(Cleanup.stripUri("http://purl.obolibrary.org/obo/MONDO_0004979") == "MONDO_0004979")
+    assert(Cleanup.stripUri("MONDO_0004979") == "MONDO_0004979")
+    assert(Cleanup.stripUri("http://my.fake.ontology/complex_disease_123") == "complex_disease_123")
+  }
+
+  test("drop ambiguous mappings and unmapped low-confidence entities") {
+    val good = m(0, 4, "good", mappings = Seq(mapping("ID_OK")))
+    val ambig = m(5, 9, "ambg", mappings = Seq(
+      mapping("ID_A", disambConf = Some(DisambiguationConfidence.AMBIGUOUS))))
+    val weak = m(10, 14, "weak", conf = MentionConfidence.POSSIBLE)
+    val strongUnmapped = m(15, 19, "strn", conf = MentionConfidence.PROBABLE)
+    val out = Cleanup.defaultCleanup(Seq(good, ambig, weak, strongUnmapped))
+    // ambig loses its mapping and (being HIGHLY_LIKELY) survives unmapped;
+    // weak POSSIBLE unmapped entity is dropped
+    assert(out.map(_.matchText) == Seq("good", "ambg", "strn"))
+    assert(out.find(_.matchText == "ambg").get.mappings.isEmpty)
+  }
+
+  test("parser rank mapping selection") {
+    val mm = m(0, 4, "both", mappings = Seq(mapping("A", parser = "meddra"), mapping("B", parser = "mondo")))
+    val out = Cleanup.dropMappingsByParserRank(Seq(mm), Map("disease" -> Seq("meddra", "mondo")))
+    assert(out.head.mappings.map(_.idx) == Seq("A"))
+  }
+}

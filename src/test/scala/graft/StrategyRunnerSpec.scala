@@ -1,0 +1,94 @@
+package graft
+
+import graft.core._
+import graft.disambig.{ContextScorer, StrategyRunner}
+import graft.gazetteer._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StrategyRunnerSpec extends AnyFunSuite {
+
+  // p27-style ambiguity fixture: 'p27' shared by three gene ids with
+  // dissimilar default labels (FIXTURES.md §2)
+  val rows = Seq(
+    OntologyRow("g", "gene", "ENSG_CDKN1B", "CDKN1B", "p27", "syn", "f"),
+    OntologyRow("g", "gene", "ENSG_CDKN1B", "CDKN1B", "CDKN1B", "name", "f"),
+    OntologyRow("g", "gene", "ENSG_CDKN1B", "CDKN1B", "cyclin dependent kinase inhibitor 1B", "syn", "f"),
+    OntologyRow("g", "gene", "ENSG_PAK2", "PAK2", "p27", "syn", "f"),
+    OntologyRow("g", "gene", "ENSG_PAK2", "PAK2", "PAK2", "name", "f"),
+    OntologyRow("g", "gene", "ENSG_ZNRD2", "ZNRD2", "p27", "syn", "f"),
+    OntologyRow("g", "gene", "ENSG_ZNRD2", "ZNRD2", "ZNRD2", "name", "f")
+  )
+  val gaz: Gazetteer = GazetteerBuilder.buildLocal(rows, Seq.empty)
+  val ctx: ContextScorer = ContextScorer.build(gaz)
+  val runner = new StrategyRunner(gaz, ctx)
+
+  def mention(text: String, cls: String = "gene", start: Int = 0,
+              conf: Int = MentionConfidence.HIGHLY_LIKELY): Mention = {
+    val norm = graft.text.StringNormalizer.normalize(text, cls)
+    val cands =
+      if (gaz.term("g", norm).isDefined)
+        Seq(Candidate("g", norm, None, None, exactMatch = true))
+      else Seq.empty
+    Mention("doc1", start, start + text.length, Seq(Span(start, start + text.length)),
+      text, norm, cls, "DictionaryNerStep", conf, cands, Seq.empty)
+  }
+
+  test("unambiguous exact match maps directly") {
+    val dm = runner.mapDoc(DocMentions("doc1", "sha", Seq(mention("PAK2"))))
+    val maps = dm.mentions.head.mappings
+    assert(maps.map(_.idx) == Seq("ENSG_PAK2"))
+    assert(maps.head.stringMatchConfidence == StringMatchConfidence.HIGHLY_LIKELY)
+  }
+
+  test("PreferDefaultLabel resolves exact default-label match") {
+    // CDKN1B is both a synonym of one id and matches its default label
+    val dm = runner.mapDoc(DocMentions("doc1", "sha", Seq(mention("CDKN1B"))))
+    val maps = dm.mentions.head.mappings
+    assert(maps.map(_.idx).distinct == Seq("ENSG_CDKN1B"))
+    assert(maps.head.disambiguationStrategy.contains("PreferDefaultLabel"))
+  }
+
+  test("ambiguous p27 resolved by DefinedElsewhereInDocument") {
+    // doc mentions CDKN1B unambiguously AND the ambiguous p27: the already
+    // mapped id wins (ref disambiguation/strategies.py:100-149)
+    val dm = runner.mapDoc(DocMentions("doc1", "sha",
+      Seq(mention("CDKN1B"), mention("p27", start = 20))))
+    val p27 = dm.mentions.find(_.matchText == "p27").get
+    assert(p27.mappings.nonEmpty)
+    assert(p27.mappings.map(_.idx).distinct == Seq("ENSG_CDKN1B"))
+    assert(p27.mappings.head.disambiguationStrategy.contains("DefinedElsewhere"))
+  }
+
+  test("ambiguous p27 alone resolved by TfIdf document context") {
+    // other synonyms of CDKN1B in the doc provide context
+    val dm = runner.mapDoc(DocMentions("doc1", "sha",
+      Seq(mention("cyclin dependent kinase inhibitor 1B"), mention("p27", start = 50))))
+    val p27 = dm.mentions.find(_.matchText == "p27").get
+    assert(p27.mappings.map(_.idx).distinct == Seq("ENSG_CDKN1B"))
+  }
+
+  test("ambiguous p27 with no context stays AMBIGUOUS and maps all ids") {
+    val dm = runner.mapDoc(DocMentions("doc1", "sha", Seq(mention("p27"))))
+    val p27 = dm.mentions.head
+    // gene class, HIGHLY_LIKELY symbolic: first strategy is essential
+    // PreferDefaultLabel (fails), then ExactMatch with gene disambiguation
+    // (DefinedElsewhere fails, TfIdf fails: all syns ambiguous,
+    // AnnotationLevel: no scores -> all sets tie) -> ambiguous
+    assert(p27.mappings.isEmpty ||
+      p27.mappings.forall(_.disambiguationConfidence.contains(DisambiguationConfidence.AMBIGUOUS)) ||
+      p27.mappings.map(_.idx).toSet.size == 3)
+  }
+
+  test("symbol match: MAP K8 vs MAPK8") {
+    assert(runner.matchSymbols("MAP K 8", "MAPK 8"))
+    assert(runner.matchSymbols("MAPK 8", "MAPK 8"))
+    assert(!runner.matchSymbols("MAP K 9", "MAPK 8"))
+  }
+
+  test("work dedup: identical mentions share mappings") {
+    val dm = runner.mapDoc(DocMentions("doc1", "sha",
+      Seq(mention("PAK2"), mention("PAK2", start = 30))))
+    val allMaps = dm.mentions.map(_.mappings.map(_.idx).toSet)
+    assert(allMaps.forall(_ == Set("ENSG_PAK2")))
+  }
+}
