@@ -1,0 +1,136 @@
+package graft
+
+import graft.datagen.CorpusGen
+import graft.graph.XrefManager
+import graft.run.{Artifacts, KgPipeline, Stages}
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence (north rule: throughput scaling efficiency
+  * >= 0.8 between N and 4N parallelism; sandbox proxy local[8] vs local[32]
+  * per BASELINE.md). Runs the full KG pipeline over the same deterministic
+  * corpus at both parallelism levels in fresh sessions and reports docs/sec
+  * at each plus efficiency = (T_8 / T_32) / (32 / 8).
+  *
+  * Usage: runMain graft.ScalingBench [nDocs] [lowCores] [highCores]
+  */
+object ScalingBench {
+
+  def runOnce(cores: Int, nDocs: Int): Double = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // corpus generation runs ON THE EXECUTORS (pure per-index function) —
+    // the driver never materializes the corpus
+    val corpus = spark.range(nDocs).repartition(cores * 4)
+      .as[Long]
+      .mapPartitions(_.map(i => CorpusGen.generateOne(i.toInt).row))
+      .cache()
+    corpus.count() // materialize input outside the timed section
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(
+      CorpusGen.gazetteer,
+      Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser))))
+
+    def run(): Long = {
+      val docs = Stages.ingest(corpus.toDF())(spark)
+      KgPipeline.triples(docs, bc).count()
+    }
+    run() // warm-up (JIT + codegen)
+    // best-of-3: the sandbox VM's per-run variance is large (turbo/host
+    // contention); min is the least-noise estimator of steady-state time
+    val dt = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    spark.stop()
+    // allow a fresh context afterwards
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    dt
+  }
+
+  /** Pure-CPU burn at a given thread count — the machine's own scaling
+    * ceiling (virtualized hosts often deliver <4x from 4x threads at high
+    * counts due to all-core frequency scaling). */
+  def cpuBaseline(threads: Int, work: Long = 4000000000L): Double = {
+    val per = work / threads
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map(_ => new Thread(() => {
+      var h = 1469598103934665603L
+      var i = 0L
+      while (i < per) { h ^= i; h *= 1099511628211L; i += 1 }
+      if (h == 42L) println("") // defeat dead-code elimination
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Phase breakdown at one core count (diagnostics): cache-scan vs ingest
+    * vs NER vs full pipeline. */
+  def phases(cores: Int, nDocs: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = spark.range(nDocs).repartition(cores * 4)
+      .as[Long].mapPartitions(_.map(i => CorpusGen.generateOne(i.toInt).row)).cache()
+    corpus.count()
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(CorpusGen.gazetteer,
+      Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser))))
+    def time(name: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); val n = f
+      println(f"PHASE $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+    time("cache_scan") { corpus.count() }
+    time("ingest") { Stages.ingest(corpus.toDF())(spark).count() }
+    time("ner_only") {
+      val docs = Stages.ingest(corpus.toDF())(spark)
+      val bcD = spark.sparkContext.broadcast(bc.value.dict)
+      Stages.nerStage(docs, bcD).count()
+    }
+    time("full") {
+      KgPipeline.triples(Stages.ingest(corpus.toDF())(spark), bc).count()
+    }
+    spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("phases")) {
+      phases(args.lift(1).map(_.toInt).getOrElse(16), args.lift(2).map(_.toInt).getOrElse(1000000))
+      return
+    }
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val low = args.lift(1).map(_.toInt).getOrElse(8)
+    val high = args.lift(2).map(_.toInt).getOrElse(32)
+
+    val tLow = runOnce(low, nDocs)
+    val tHigh = runOnce(high, nDocs)
+    val dpsLow = nDocs / tLow
+    val dpsHigh = nDocs / tHigh
+    val speedup = tLow / tHigh
+    val efficiency = speedup / (high.toDouble / low)
+    val cpuLow = cpuBaseline(low)
+    val cpuHigh = cpuBaseline(high)
+    val machineCeiling = (cpuLow / cpuHigh) / (high.toDouble / low)
+    println(
+      s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio",""" +
+        s""""n_docs":$nDocs,"cores_low":$low,"cores_high":$high,""" +
+        s""""sec_low":$tLow,"sec_high":$tHigh,""" +
+        s""""docs_per_sec_low":$dpsLow,"docs_per_sec_high":$dpsHigh,"speedup":$speedup,""" +
+        s""""machine_ceiling":$machineCeiling,"efficiency_vs_ceiling":${efficiency / machineCeiling}}""")
+  }
+}

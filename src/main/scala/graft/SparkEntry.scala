@@ -1,9 +1,11 @@
 package graft
 
 import graft.datagen.{CorpusGen, DemoOntology}
-import graft.graph.{Triples, XrefManager}
+import graft.graph.{ConnectedComponents, XrefManager}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.run.{Artifacts, KgPipeline, Stages}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,10 +13,13 @@ import org.apache.spark.sql.functions._
   * Every implemented operator has an entry in `queries`; SQL-expressible
   * ones also have a DuckDB oracle in `oracleSql` (same parquet tables, same
   * column names — the driver sorts columns by name and hashes values).
+  * Non-SQL-expressible ops (LSH families, IVF, full KG pipeline) get
+  * rows-only checks here and exact/brute-force verification in ScalaTest.
   */
 object SparkEntry {
 
-  /** The demo-gazetteer VALUES clause shared by KG oracles. */
+  // ---------------------------------------------------------------- KG ----
+
   private def gazValues(terms: Seq[(String, String, String)]): String =
     terms.map { case (syn, cls, idx) => s"('$syn','$cls','$idx')" }.mkString(", ")
 
@@ -22,8 +27,8 @@ object SparkEntry {
     gazValues(DemoOntology.terms.map(t => (t._1, t._3, t._4)).distinct.map(t => (t._1, t._2, t._3)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the slice-0 KG pipeline end to end (ingest -> broadcast Aho-Corasick
-    * NER -> exact-match linking -> triples). */
+    * the KG pipeline end to end (ingest -> broadcast Aho-Corasick NER ->
+    * exact-match linking -> triples). */
   def entry(spark: SparkSession): DataFrame =
     kgTriples(spark, "/root/testdata/sf0.001")
 
@@ -46,19 +51,16 @@ object SparkEntry {
     val bcDict = spark.sparkContext.broadcast(DemoOntology.dictionary)
     val bcGaz = spark.sparkContext.broadcast(DemoOntology.gazetteer)
     val mentions = Stages.nerStage(docs, bcDict)
-    val mapped = Triples.exactUnambiguousMappings(mentions, bcGaz)
-    Triples.fromDocMentions(mapped)
+    val mapped = graft.graph.Triples.exactUnambiguousMappings(mentions, bcGaz)
+    graft.graph.Triples.fromDocMentions(mapped)
       .map(t => (t.subj.takeWhile(_ != '#'), t.pred, t.obj))
       .toDF("doc_id", "pred", "obj")
       .distinct()
   }
 
-  /** The FULL KAZU-semantics pipeline (NER -> linking -> mapping cascade ->
-    * xref -> abbreviation -> cleanup -> merge) over the deterministic
-    * synthetic code corpus (north-rule input shape). Not SQL-expressible ->
-    * rows-only check here; the P/R >= 0.95 acceptance gate lives in
-    * AcceptanceSpec. sfDir scales the corpus size.
-    */
+  /** The FULL KAZU-semantics pipeline over the deterministic synthetic
+    * code corpus (north-rule input shape). Rows-only check here; the
+    * P/R >= 0.95 acceptance gate lives in AcceptanceSpec. */
   def kgFullTriples(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val n = if (sfDir.contains("0.1")) 3000 else if (sfDir.contains("0.01")) 1000 else 300
@@ -72,23 +74,202 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** Deterministic component fixture: a 6-node chain (forces multiple
+    * hash-min iterations), a triangle, an isolated pair. */
+  private val ccEdges: Seq[(String, String)] = Seq(
+    "n01" -> "n02", "n02" -> "n03", "n03" -> "n04", "n04" -> "n05", "n05" -> "n06",
+    "t1" -> "t2", "t2" -> "t3", "t3" -> "t1",
+    "p1" -> "p2")
+
+  /** Connected components by iterative DataFrame hash-min propagation. */
+  def graphCc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ConnectedComponents.run(ccEdges.toDF("src", "dst"))
+  }
+
+  // ------------------------------------------------------------- dedup ----
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+
+  def dedupFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), Dedup.normalizedFingerprint(col("text")).as("fingerprint"))
+
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLsh(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      threshold = 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      maxHamming = 12)
+
+  // -------------------------------------------------------- similarity ----
+
+  private def embeddingsDf(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+
+  private def queryVectors(spark: SparkSession, sfDir: String, n: Int): Seq[(Long, Array[Float])] = {
+    import spark.implicits._
+    embeddingsDf(spark, sfDir).filter(col("id") < n)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+  }
+
+  def annTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.bruteForceTopK(embeddingsDf(spark, sfDir), queryVectors(spark, sfDir, 5), 10)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+
+  def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embeddingsDf(spark, sfDir)
+    val (centroids, assignments) = Similarity.ivfAssign(emb, numCells = 16)
+    Similarity.ivfTopK(emb, centroids, assignments, queryVectors(spark, sfDir, 5), k = 10, nProbe = 4)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+  }
+
+  /** Exact cosine-threshold pairs (oracle-checkable; the LSH variant below
+    * is the approximate scale path). */
+  def embedSimPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddingsDf(spark, sfDir).as[(Long, Array[Float])]
+    emb.crossJoin(emb.toDF("id_b", "emb_b"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"), col("embedding"), col("emb_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (a, b, ea, eb) => (a, b, Similarity.cosine(ea, eb)) }
+      .toDF("id_a", "id_b", "cos")
+      .filter(col("cos") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.embeddingNearDup(embeddingsDf(spark, sfDir), dim = 64, threshold = 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+
+  // ---------------------------------------------------- text analysis ----
+
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.predictLang(col("text")).as("lang_pred"))
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    TextAnalysis.qualityColumns(col("text")).foldLeft(df.select(col("doc_id"), col("text"))) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }.drop("text")
+  }
+
+  def textTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpeish(col("text")).cast("long").as("n_tokens_bpeish"))
+
+  // ------------------------------------------------------- multimodal ----
+
+  def mmMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(spark.read.parquet(s"$sfDir/documents.parquet"))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("id").as("doc_id"), col("mediaType").as("media_type"),
+        col("byteLen").as("byte_len"), col("sha"), col("frames").cast("long").as("frames"))
+  }
+
+  // -------------------------------------------- relational / streaming ----
+
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  def q2JoinTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+  }
+
+  def q3SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    f.intersect(o)
+  }
+
+  def q4StringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/part.parquet")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(upper(col("p_name"))).as("min_name_upper"),
+        max(substring(col("p_type"), 1, 5)).as("max_type_prefix"),
+        sum(when(col("p_name").like("%green%"), 1).otherwise(0)).cast("long").as("n_green"))
+
+  def q5SortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Batch analog of a tumbling-window streaming aggregation (the events
+    * table is the stream source; Structured Streaming uses the same
+    * window() expression — see graft.streaming). */
+  def eventsWindowedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").cast("timestamp").cast("long").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // ---------------------------------------------------------- registry ----
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kg_ner_mentions" -> ((s, dir) => kgNerMentions(s, dir)),
-    "kg_triples" -> ((s, dir) => kgTriples(s, dir)),
-    "kg_full_triples" -> ((s, dir) => kgFullTriples(s, dir)),
-    "q1_agg" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          count(lit(1)).as("n_rows"))
-    })
+    "kg_ner_mentions" -> kgNerMentions,
+    "kg_triples" -> kgTriples,
+    "kg_full_triples" -> kgFullTriples,
+    "graph_cc" -> graphCc,
+    "dedup_exact" -> dedupExact,
+    "dedup_fingerprint" -> dedupFingerprint,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "ann_topk" -> annTopK,
+    "ann_ivf_topk" -> annIvfTopK,
+    "embed_sim_pairs" -> embedSimPairs,
+    "embed_near_dup_lsh" -> embedNearDupLsh,
+    "text_langid" -> textLangId,
+    "text_quality" -> textQuality,
+    "text_token_count" -> textTokenCount,
+    "mm_media_features" -> mmMediaFeatures,
+    "q1_agg" -> q1Agg,
+    "q2_join_topk" -> q2JoinTopK,
+    "q3_setops" -> q3SetOps,
+    "q4_string_agg" -> q4StringAgg,
+    "q5_sort_limit" -> q5SortLimit,
+    "events_windowed_agg" -> eventsWindowedAgg
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  // ------------------------------------------------------------ oracles ----
+
+  private val markerSqlEn = TextAnalysis.markers("en")
+  private def hitsSql(lang: String): String =
+    TextAnalysis.markers(lang)
+      .map(w => s"(len(string_split_regex(' '||lower(text)||' ', '\\s$w\\s'))-1)")
+      .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
@@ -104,10 +285,113 @@ object SparkEntry {
          |       'denotes:' || g.entity_class AS pred, g.obj AS obj
          |FROM documents d JOIN gaz g
          |  ON regexp_matches(lower(d.text), '\\b' || g.syn || '\\b')""".stripMargin,
+    "graph_cc" -> {
+      val edgeValues = ccEdges.map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+      s"""WITH RECURSIVE e(src, dst) AS (VALUES $edgeValues),
+         |bi(src, dst) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |nodes(id) AS (SELECT src FROM bi),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT bi.dst, reach.r FROM reach JOIN bi ON bi.src = reach.id)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin
+    },
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) i FROM w WHERE len(ws) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |co AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+        |FROM co JOIN sz na ON na.doc_id = ia JOIN sz nb ON nb.doc_id = ib
+        |WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.05""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+        |SELECT qid, id, round(c, 6) AS score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) rn FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "embed_sim_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN (${hitsSql("en")}) >= greatest(${Seq("en", "de", "es", "fr").map(hitsSql).mkString(", ")}) THEN 'en'
+         |       WHEN (${hitsSql("de")}) >= greatest(${Seq("en", "de", "es", "fr").map(hitsSql).mkString(", ")}) THEN 'de'
+         |       WHEN (${hitsSql("es")}) >= greatest(${Seq("en", "de", "es", "fr").map(hitsSql).mkString(", ")}) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM documents""".stripMargin,
+    "text_quality" -> {
+      val en = markerSqlEn.map(w =>
+        s"(len(string_split_regex(' '||lower(text)||' ', '\\s$w\\s'))-1)").mkString(" + ")
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+         |  round(($en) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio,
+         |  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS mean_word_len,
+         |  (CASE WHEN length(text) BETWEEN 50 AND 50000 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN ($en) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+         |   + CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS quality_score
+         |FROM documents""".stripMargin
+    },
+    "text_token_count" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+         |  len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS n_tokens_bpeish
+         |FROM documents""".stripMargin,
+    "mm_media_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS sha,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0
+        |       ELSE greatest(1, (n_chars * 10) // 1000) END AS frames
+        |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |       count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_topk" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY c.c_mktsegment
+        |                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |WHERE rn <= 3""".stripMargin,
+    "q3_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q4_string_agg" ->
+      """SELECT p_brand, count(*) AS n, min(upper(p_name)) AS min_name_upper,
+        |       max(substr(p_type, 1, 5)) AS max_type_prefix,
+        |       CAST(sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "q5_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "events_windowed_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -128,6 +128,10 @@ object CorpusGen {
   def generate(n: Int, seed: Long = 42L): Seq[GenDoc] =
     (0 until n).map(i => generateDoc(i, new Rng(seed + i * 7919)))
 
+  /** Per-index generation (pure, executor-side parallelizable). */
+  def generateOne(i: Int, seed: Long = 42L): GenDoc =
+    generateDoc(i, new Rng(seed + i * 7919L))
+
   private def generateDoc(i: Int, rng: Rng): GenDoc = {
     val repo = if (i % 5 == 0) "org/mono" else f"org/proj-${i % 37}%06d" // planted skew: hot repo
     val path = s"src/pkg${i % 13}/File_$i.${langs(i % langs.length)}"
@@ -164,7 +168,9 @@ object CorpusGen {
         goldTriples += GoldTriple(docId, s, e, cls, stripped(algoId(6)), "ALGO")
     }
 
-    val pattern = i % 10
+    // giant docs are planted at ~0.5% (pattern 6 fires only every 20th
+    // round) — enough to exercise the guard without dominating data volume
+    val pattern = if (i % 10 == 6 && i % 200 != 6) 0 else i % 10
     pattern match {
       case 6 => // giant doc: quarantined by the length guard
         while (sb.length < 200001) pad(16)

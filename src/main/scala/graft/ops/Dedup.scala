@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines. Each operator is a
+  * DataFrame program designed for the 100 TB case: shuffles are keyed on
+  * hashes (uniform), candidate generation is banded (no quadratic blow-up),
+  * and exact verification only touches candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one shuffle on md5(text).
+    * Output: (id, cluster_id, is_duplicate) where cluster_id = min id of
+    * the identical-content group.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_md5"))
+    df.select(col(idCol), md5(col(textCol)).as("content_md5"))
+      .withColumn("cluster_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("is_duplicate"))
+  }
+
+  /** Exact-dup *normalized* (whitespace-collapsed, lowercased) fingerprint —
+    * the md5 document fingerprint variant. */
+  def normalizedFingerprint(textCol: Column): Column =
+    md5(lower(regexp_replace(trim(textCol), "\\s+", " ")))
+
+  /** MinHash signature of hashed shingles: sig(i) = min over shingles of
+    * h_i(shingle), h_i(x) = mix(x + i * GOLDEN). */
+  def minhashSignature(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val base = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = Hashing.mix(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Plan shape (scale-first): signatures computed per-partition (narrow),
+    * exploded to `bands` rows/doc, ONE shuffle on (band, band_hash) to form
+    * buckets, pairs emitted inside buckets only, then exact Jaccard
+    * verification on the (small) candidate set via a self-join on ids.
+    * With b bands of r rows, P(bucket-collision) = 1-(1-j^r)^b — defaults
+    * (b=16, r=4) give the classic S-curve around j ~ 0.6.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sh = Hashing.wordShingles(text, shingleSize)
+          (id, minhashSignature(sh, numHashes))
+        }
+      }
+      .toDF("id", "sig")
+
+    val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+      (0 until bands).iterator.map { b =>
+        var h = 0xcbf29ce484222325L
+        var i = b * rows
+        while (i < (b + 1) * rows) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+        (b, h, id)
+      }
+    }.toDF("band", "bucket", "id")
+
+    val pairs = banded.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(sortedPairsExpr(col("ids"))).as("pair"))
+      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+      .distinct()
+
+    verifyJaccard(df, idCol, textCol, pairs, shingleSize, threshold)
+  }
+
+  /** All (a,b) a<b pairs from an array column, as an array of structs. */
+  private def sortedPairsExpr(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i.plus(lit(2)), size(sorted)), b =>
+        struct(a.as("_1"), b.as("_2")))))
+  }
+
+  /** Join candidate pairs back to texts and keep those with exact shingle
+    * Jaccard >= threshold. Broadcast-friendly when candidates are small. */
+  def verifyJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      shingleSize: Int,
+      threshold: Double
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val joined = pairs
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+    joined.map { case (a, b, ta, tb) =>
+      (a, b, Hashing.jaccard(Hashing.wordShingles(ta, shingleSize), Hashing.wordShingles(tb, shingleSize)))
+    }.toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of word tokens. */
+  def simhash(text: String): Long = {
+    val v = new Array[Int](64)
+    for (w <- Hashing.words(text)) {
+      val h = Hashing.fnv1a64(w)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) v(j) += 1 else v(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (v(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of 4 16-bit
+    * bands (guarantees recall for hamming distance <= 3), verified by
+    * exact hamming distance <= maxHamming. Same banded one-shuffle shape
+    * as MinHash LSH. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash(t)) }
+      .toDF("id", "simhash")
+
+    val banded = hashes.as[(Long, Long)].flatMap { case (id, h) =>
+      (0 until 4).iterator.map(b => (b, (h >>> (b * 16)) & 0xffffL, id, h))
+    }.toDF("band", "bucket", "id", "simhash")
+
+    banded.as[(Int, Long, Long, Long)]
+      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val members = it.map { case (_, _, id, h) => (id, h) }.toArray.sortBy(_._1)
+        for {
+          i <- members.indices.iterator
+          j <- (i + 1) until members.length
+          d = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
+          if d <= maxHamming
+        } yield (members(i)._1, members(j)._1, d)
+      }
+      .toDF("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  /** N-gram Jaccard all-pairs (exact, for modest candidate domains): one
+    * shuffle on shingle hash, pair counts from co-occurrence, Jaccard from
+    * |A∩B| / (|A|+|B|-|A∩B|). Exact counterpart of the LSH approximation.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shingled = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => Hashing.wordShingles(t, shingleSize).distinct.map(s => (id, s)) }
+      .toDF("id", "shingle")
+      .cache()
+
+    val sizes = shingled.groupBy("id").agg(count(lit(1)).as("n"))
+
+    val co = shingled.as("a").join(shingled.as("b"), Seq("shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

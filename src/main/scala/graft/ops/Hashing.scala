@@ -1,0 +1,50 @@
+package graft.ops
+
+/** Deterministic 64-bit hashing + shingling primitives shared by the dedup
+  * family. Pure functions — safe in codegen'd pipelines and mapPartitions.
+  */
+object Hashing {
+
+  /** FNV-1a 64-bit over a string's UTF-16 chars. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Mix for derived hash families (splitmix64 finalizer). */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Whitespace word tokens, lowercased. */
+  def words(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
+  /** Hashed word n-gram shingles (the dedup unit). */
+  def wordShingles(text: String, n: Int = 3): Array[Long] = {
+    val ws = words(text)
+    if (ws.length < n) {
+      if (ws.isEmpty) Array.empty else Array(fnv1a64(ws.mkString(" ")))
+    } else
+      Array.tabulate(ws.length - n + 1)(i => fnv1a64(ws.slice(i, i + n).mkString(" ")))
+  }
+
+  /** Exact Jaccard over hashed shingle sets. */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = a.toSet
+    val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The actual media decode is STUBBED (this container ships no image/audio
+  * codecs): `decodeStub` produces a deterministic fake decode from the
+  * bytes. Everything Spark-side — schema, batch iteration shape,
+  * partitioning, metadata propagation — is real and tested, so swapping the
+  * stub for a JNI/codec call (or moving the stage to `mapInPandas` in a
+  * PySpark deployment) changes only the inner function.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  final case class MediaMeta(
+      mediaType: String, // image | audio | video
+      width: Int,
+      height: Int,
+      sampleRate: Int,
+      durationMs: Long)
+
+  final case class MediaRow(id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      id: Long,
+      mediaType: String,
+      byteLen: Long,
+      sha: String,
+      histogram: Array[Long], // 16-bin byte histogram (stub "features")
+      frames: Int)
+
+  /** STUB decode: deterministic pseudo-decode of the payload. A real
+    * deployment replaces the body with an actual codec call; the signature
+    * (bytes -> fixed-shape features) is the contract. */
+  def decodeStub(meta: MediaMeta, payload: Array[Byte]): (Array[Long], Int) = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >>> 4) += 1
+      i += 1
+    }
+    val frames = meta.mediaType match {
+      case "video" => math.max(1, (meta.durationMs / 1000L).toInt) // 1 fps frame sample
+      case "image" => 1
+      case _       => 0
+    }
+    (hist, frames)
+  }
+
+  /** Feature-extraction stage: batched per partition over binary payloads;
+    * output schema is fixed and columnar-friendly. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { row =>
+        val (hist, frames) = decodeStub(row.meta, row.payload)
+        digest.reset()
+        val sha = digest.digest(row.payload).map(b => f"$b%02x").mkString
+        MediaFeatures(row.id, row.meta.mediaType, row.payload.length.toLong, sha, hist, frames)
+      }
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table
+    * (payload = utf8 bytes of text; metadata derived from doc fields) —
+    * exercises the real binary-column path end to end. */
+  def mediaFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents
+      .select(
+        col("doc_id").cast("long").as("id"),
+        struct(
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("mediaType"),
+          (col("doc_id") % 640 + 1).cast("int").as("width"),
+          (col("doc_id") % 480 + 1).cast("int").as("height"),
+          lit(16000).as("sampleRate"),
+          (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

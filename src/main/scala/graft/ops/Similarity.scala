@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]). Baseline: exact brute-force cosine top-k with
+  * per-partition heaps (no cross-join materialization, shuffle is only
+  * Q*k*P candidate rows). Scale path: IVF — k-means-lite coarse quantizer,
+  * probe-limited exact search within cells.
+  */
+object Similarity {
+
+  final case class Scored(qid: Long, id: Long, score: Double)
+
+  @inline def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  @inline def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val d = norm(a) * norm(b)
+    if (d == 0) 0.0 else dot(a, b) / d
+  }
+
+  /** Exact brute-force top-k: broadcast the (small) query set, compute
+    * per-partition top-k heaps, merge per query. One narrow scan + one
+    * tiny shuffle of Q*k*numPartitions candidate rows.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, // (id, embedding)
+      queries: Seq[(Long, Array[Float])],
+      k: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(queries.map { case (id, v) => (id, v, norm(v)) })
+
+    corpus.select(col("id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        // per-query bounded min-heaps of (score, id)
+        val heaps = qs.map(q => q._1 ->
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))).toMap
+        for ((id, emb) <- it) {
+          val n = norm(emb)
+          for ((qid, qv, qn) <- qs if id != qid) {
+            val score = if (n == 0 || qn == 0) 0.0 else dot(qv, emb) / (qn * n)
+            val heap = heaps(qid)
+            if (heap.size < k) heap.enqueue((score, id))
+            else if (score > heap.head._1 || (score == heap.head._1 && id < heap.head._2)) {
+              heap.dequeue(); heap.enqueue((score, id))
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, heap) => heap.iterator.map(e => Scored(qid, e._2, e._1)) }
+      }
+      .groupByKey(_.qid)
+      .flatMapGroups { (qid, it) =>
+        it.toArray.sortBy(s => (-s.score, s.id)).take(k).iterator
+      }
+      .toDF("qid", "id", "score")
+  }
+
+  /** IVF index: deterministic k-means-lite centroids (init = first C
+    * vectors by id, `iters` Lloyd rounds computed with groupBy/avg), then
+    * per-vector cell assignment. */
+  def ivfAssign(
+      corpus: DataFrame, // (id, embedding)
+      numCells: Int,
+      iters: Int = 3
+  ): (Seq[Array[Float]], DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus.select(col("id").cast("long"), col("embedding")).as[(Long, Array[Float])].cache()
+
+    var centroids: Seq[Array[Float]] =
+      ds.sort("id").limit(numCells).collect().map(_._2).toSeq
+
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = ds.map { case (_, emb) =>
+        val cs = bc.value
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = cosine(emb, cs(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        (best, emb.map(_.toDouble))
+      }.toDF("cell", "emb")
+      val dim = centroids.head.length
+      val sums = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("vec"))
+        .collect()
+        .map(r => r.getAs[Int]("cell") ->
+          r.getAs[Seq[org.apache.spark.sql.Row]]("vec").map(_.getAs[Double]("m").toFloat).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
+        .map(v => { require(v.length == dim); v })
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignments = ds.map { case (id, emb) =>
+      val cs = bc.value
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val s = cosine(emb, cs(c)); if (s > bestScore) { bestScore = s; best = c }; c += 1
+      }
+      (id, best)
+    }.toDF("id", "cell")
+    (centroids, assignments)
+  }
+
+  /** IVF probe-limited search: only rows in the nProbe nearest cells are
+    * scored — the 100 TB path (cell assignment is a bucketable partition
+    * key; probing reads a fraction ~ nProbe/numCells of the data).
+    */
+  def ivfTopK(
+      corpus: DataFrame, // (id, embedding)
+      centroids: Seq[Array[Float]],
+      assignments: DataFrame, // (id, cell)
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    // query -> probed cells (driver-side, centroids are small)
+    val probes: Seq[(Long, Seq[Int])] = queries.map { case (qid, qv) =>
+      qid -> centroids.indices.sortBy(c => -cosine(qv, centroids(c))).take(nProbe)
+    }
+    val probedCells = probes.flatMap(_._2).distinct
+    val restricted = corpus.join(assignments, "id")
+      .filter(col("cell").isin(probedCells: _*))
+    val cellByQuery = probes.toMap
+    val bcCells = spark.sparkContext.broadcast(cellByQuery)
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(queries.map { case (id, v) => (id, v, norm(v)) })
+
+    restricted.select(col("id").cast("long"), col("embedding"), col("cell"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val cells = bcCells.value
+        val heaps = qs.map(q => q._1 ->
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))).toMap
+        for ((id, emb, cell) <- it) {
+          val n = norm(emb)
+          for ((qid, qv, qn) <- qs if id != qid && cells(qid).contains(cell)) {
+            val score = if (n == 0 || qn == 0) 0.0 else dot(qv, emb) / (qn * n)
+            val heap = heaps(qid)
+            if (heap.size < k) heap.enqueue((score, id))
+            else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, id)) }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, heap) => heap.iterator.map(e => Scored(qid, e._2, e._1)) }
+      }
+      .groupByKey(_.qid)
+      .flatMapGroups { (qid, it) => it.toArray.sortBy(s => (-s.score, s.id)).take(k).iterator }
+      .toDF("qid", "id", "score")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, via random
+    * hyperplane LSH banding (signature bits from sign(dot(v, plane))),
+    * verified exactly. Deterministic planes from splitmix. */
+  def embeddingNearDup(
+      corpus: DataFrame, // (id, embedding)
+      dim: Int,
+      threshold: Double = 0.9,
+      bits: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(bits % bands == 0)
+    val rowsPerBand = bits / bands
+    // deterministic gaussian-ish planes via sum of uniforms
+    val planes: Array[Array[Float]] = Array.tabulate(bits) { b =>
+      Array.tabulate(dim) { d =>
+        val u = (0 until 4).map(r => (Hashing.mix(b * 1000003L + d * 7919L + r).toDouble
+          / Long.MaxValue)).sum / 4.0
+        u.toFloat
+      }
+    }
+    val bcPlanes = spark.sparkContext.broadcast(planes)
+
+    val ds = corpus.select(col("id").cast("long"), col("embedding")).as[(Long, Array[Float])].cache()
+    val banded = ds.flatMap { case (id, emb) =>
+      val ps = bcPlanes.value
+      val sig = (0 until bits).map(i => if (dot(emb, ps(i)) >= 0) 1 else 0)
+      (0 until bands).iterator.map { b =>
+        val h = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).foldLeft(0)((acc, x) => acc * 2 + x)
+        (b, h, id)
+      }
+    }.toDF("band", "bucket", "id")
+
+    val pairs = banded.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+
+    val embs = ds.toDF("id", "embedding")
+    pairs
+      .join(embs.withColumnRenamed("id", "id_a").withColumnRenamed("embedding", "emb_a"), "id_a")
+      .join(embs.withColumnRenamed("id", "id_b").withColumnRenamed("embedding", "emb_b"), "id_b")
+      // joins with usingColumn reorder columns (join key first) — fix order
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (a, b, ea, eb) => (a, b, cosine(ea, eb)) }
+      .toDF("id_a", "id_b", "cos")
+      .filter(col("cos") >= threshold)
+  }
+}

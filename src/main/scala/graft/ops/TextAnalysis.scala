@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, fingerprinting. All built from codegen'd
+  * `functions._` columns (no UDFs) so they stay inside WholeStageCodegen
+  * and push down through parquet scans.
+  */
+object TextAnalysis {
+
+  /** Per-language marker stopwords (deterministic n-gram-free heuristic).
+    * Scores = count of marker-word hits; prediction = argmax with
+    * deterministic tie-break on language code; 'zh' wins when CJK chars
+    * are present.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y", "una")
+  )
+
+  private def markerHits(textCol: Column, ws: Seq[String]): Column =
+    ws.map(w => size(split(concat(lit(" "), lower(textCol), lit(" ")),
+      s"\\s${java.util.regex.Pattern.quote(w)}\\s")) - 1)
+      .reduce(_ + _)
+
+  /** Language-ID column. The same arithmetic is expressible in the DuckDB
+    * oracle (split-count marker hits + greatest + CJK check). */
+  def langIdColumns(textCol: Column): Seq[(String, Column)] = {
+    val scores = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> markerHits(textCol, ws)
+    }
+    scores :+ ("zh" -> when(textCol.rlike("[\\u4e00-\\u9fff]"), lit(1000000)).otherwise(lit(0)))
+  }
+
+  /** Deterministic rule (portable to the SQL oracle as a CASE chain):
+    * 'zh' when CJK chars present; otherwise the first of en > de > es > fr
+    * whose marker-hit count equals the maximum. */
+  def predictLang(textCol: Column): Column = {
+    val s = markers.map { case (lang, ws) => lang -> markerHits(textCol, ws) }
+    val m = greatest(s("en"), s("de"), s("es"), s("fr"))
+    when(textCol.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(s("en") === m, lit("en"))
+      .when(s("de") === m, lit("de"))
+      .when(s("es") === m, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(textCol: Column): Column =
+    size(split(trim(textCol), "\\s+"))
+
+  /** BPE-ish subword unit count: letter runs, digits, and single
+    * punctuation marks each count as one token. Same regex works in
+    * DuckDB's RE2. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpeish(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit(BpeishPattern), lit(0)))
+
+  /** Quality metrics + a composite score in [0,1]:
+    * length band, alpha ratio, stopword presence, mean word length band.
+    */
+  def qualityColumns(textCol: Column): Seq[(String, Column)] = {
+    val nChars = length(textCol)
+    val nTokens = tokenCountWs(textCol)
+    val alphaRatio = (length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("double") /
+      greatest(nChars.cast("double"), lit(1.0)))
+    val stopHits = markerHits(textCol, markers("en"))
+    val stopRatio = stopHits.cast("double") / greatest(nTokens.cast("double"), lit(1.0))
+    val meanWordLen = (length(regexp_replace(textCol, "\\s+", "")).cast("double") /
+      greatest(nTokens.cast("double"), lit(1.0)))
+    val score =
+      (when(nChars.between(50, 50000), lit(0.25)).otherwise(lit(0.0))
+        + when(alphaRatio >= 0.6, lit(0.25)).otherwise(lit(0.0))
+        + when(stopRatio >= 0.05, lit(0.25)).otherwise(lit(0.0))
+        + when(meanWordLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0)))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nTokens.cast("long"),
+      "alpha_ratio" -> round(alphaRatio, 6),
+      "stopword_ratio" -> round(stopRatio, 6),
+      "mean_word_len" -> round(meanWordLen, 6),
+      "quality_score" -> score)
+  }
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  /** Rolling polynomial fingerprint (Rabin-style) of the normalized text —
+    * the non-cryptographic doc fingerprint. Pure Scala (used via Dataset
+    * map), exact counterpart tested against Cleanup.normalizedFingerprint
+    * for the md5 variant. */
+  def rollingFingerprint(text: String): Long = {
+    val norm = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    var h = 0L
+    var i = 0
+    while (i < norm.length) { h = h * 1000003L + norm.charAt(i); i += 1 }
+    h
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.core._
+import graft.run.{Artifacts, KgPipeline}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference has no streaming path
+  * (SURVEY §1.3) — these jobs extend the engine to continuous ingestion:
+  * the same per-doc pipeline stages run unchanged inside a streaming query
+  * (they are stateless mapPartitions), windowed aggregations use the exact
+  * expression the batch `events_windowed_agg` query uses, and custom state
+  * is expressed with flatMapGroupsWithState.
+  */
+object StreamingJobs {
+
+  /** Continuous KG annotation: a streaming Dataset of corpus rows ->
+    * streaming triples. All stages are narrow, so the streaming plan is
+    * identical to the batch plan modulo the source/sink. */
+  def streamingTriples(
+      corpusStream: DataFrame,
+      bcArtifacts: Broadcast[Artifacts]
+  )(implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    val docs = corpusStream
+      .select(
+        sha2(concat_ws("|", col("repo"), col("path"), col("commit")), 256).as("docId"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("content"),
+        sha2(col("content"), 256).as("contentSha"),
+        when(length(col("content")) >= graft.run.Stages.MaxDocChars, lit("doc exceeds max length"))
+          .cast("string").as("error"))
+      .as[Doc]
+    KgPipeline.triples(docs, bcArtifacts)
+  }
+
+  /** Tumbling-window event counts with a watermark for late data — the
+    * streaming twin of SparkEntry.eventsWindowedAgg. */
+  def windowedEventCounts(
+      events: DataFrame, // streaming (ts: timestamp, event_type, value)
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
+  final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  final case class SessionOut(userId: Long, nEvents: Long, totalValue: Double, endedByTimeout: Boolean)
+
+  /** Custom sessionization state machine: per-user session aggregates,
+    * emitted when a session gap exceeds the processing-time timeout —
+    * KeyValueGroupedDataset.flatMapGroupsWithState per the builder contract.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.nEvents, s.totalValue, endedByTimeout = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption.getOrElse(SessionState(0, 0.0, Long.MinValue))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            for (e <- sorted) {
+              if (current.nEvents > 0 && e.ts.getTime - current.lastTs > gapMs) {
+                closed += SessionOut(userId, current.nEvents, current.totalValue, endedByTimeout = false)
+                current = SessionState(0, 0.0, Long.MinValue)
+              }
+              current = SessionState(current.nEvents + 1, current.totalValue + e.value, e.ts.getTime)
+            }
+            state.update(current)
+            state.setTimeoutDuration(gapMs)
+            closed.iterator
+          }
+      }
+  }
+}

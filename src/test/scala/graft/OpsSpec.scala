@@ -1,0 +1,188 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  def docsDf(rows: Seq[(Long, String)]) = rows.toDF("id", "text")
+
+  // deterministic fake docs: clusters of near-duplicates
+  val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  // 4 and 5 are LONG near-identical docs (simhash needs weight-dominated
+  // signatures: at short lengths a one-word change flips many sign bits)
+  val longDoc: String = (1 to 12).map(i =>
+    s"completely different content about spark dataframes and shuffle partitions in cluster mode part$i").mkString(" ")
+  val docs: Seq[(Long, String)] = Seq(
+    1L -> base,
+    2L -> base, // exact dup of 1
+    3L -> base.replace("lazy", "sleepy"), // near dup of 1
+    4L -> longDoc,
+    5L -> longDoc.replace("part7", "part99"),
+    6L -> "unrelated short text"
+  )
+
+  test("exact dedup clusters identical texts") {
+    val out = Dedup.exact(docsDf(docs), "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.filter(_._1 <= 2L).map(_._2).toSet == Set(1L))
+    assert(out.find(_._1 == 2L).get._3) // 2 is the duplicate
+    assert(!out.find(_._1 == 1L).get._3)
+    assert(out.count(!_._3) == 5) // 5 distinct clusters
+  }
+
+  test("minhash approximates jaccard") {
+    val a = Hashing.wordShingles(docs(0)._2, 3)
+    val b = Hashing.wordShingles(docs(2)._2, 3)
+    val exact = Hashing.jaccard(a, b)
+    val sa = Dedup.minhashSignature(a, 256)
+    val sb = Dedup.minhashSignature(b, 256)
+    val est = sa.zip(sb).count(p => p._1 == p._2).toDouble / 256
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("minhash LSH finds near-duplicate pairs matching brute force") {
+    val threshold = 0.5
+    val out = Dedup.minhashLsh(docsDf(docs), "id", "text", threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force
+    val brute = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      ja = Hashing.jaccard(Hashing.wordShingles(docs(i)._2, 3), Hashing.wordShingles(docs(j)._2, 3))
+      if ja >= threshold
+    } yield (docs(i)._1, docs(j)._1)).toSet
+    // LSH recall on clearly-similar pairs (jaccard >= 0.7 band-collides whp)
+    val strong = brute.filter { case (a, b) =>
+      Hashing.jaccard(
+        Hashing.wordShingles(docs.find(_._1 == a).get._2, 3),
+        Hashing.wordShingles(docs.find(_._1 == b).get._2, 3)) >= 0.7
+    }
+    assert(strong.subsetOf(out))
+    assert(out.subsetOf(brute)) // verification step guarantees precision
+  }
+
+  test("simhash pairs: identical and near-identical texts collide") {
+    val out = Dedup.simhashPairs(docsDf(docs), "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    // 4 vs 5 differ by one word
+    assert(out.exists(p => p._1 == 4L && p._2 == 5L))
+    assert(!out.exists(p => p._2 == 6L || p._1 == 6L))
+  }
+
+  test("ngram jaccard pairs match brute force exactly") {
+    val out = Dedup.ngramJaccardPairs(docsDf(docs), "id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      ja = Hashing.jaccard(
+        Hashing.wordShingles(docs(i)._2, 3).distinct, Hashing.wordShingles(docs(j)._2, 3).distinct)
+      if ja >= 0.3
+    } yield (docs(i)._1, docs(j)._1, ja)).toSet
+    assert(out.map(p => (p._1, p._2)) == brute.map(p => (p._1, p._2)))
+    for (o <- out; b <- brute if o._1 == b._1 && o._2 == b._2)
+      assert(math.abs(o._3 - b._3) < 1e-9)
+  }
+
+  // ---- similarity ----
+
+  def embDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding"))
+
+  test("brute force topk matches naive computation") {
+    val all = embDf.as[(Long, Array[Float])].collect()
+    val queries = all.filter(_._1 < 3).toSeq
+    val out = Similarity.bruteForceTopK(embDf, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 15)
+    for (q <- queries) {
+      val expected = all.filter(_._1 != q._1)
+        .map { case (id, v) => (id, Similarity.cosine(q._2, v)) }
+        .sortBy(x => (-x._2, x._1)).take(5).map(_._1).toSeq
+      val got = out.filter(_._1 == q._1).sortBy(x => (-x._3, x._2)).map(_._2).toSeq
+      assert(got == expected, s"query ${q._1}")
+    }
+  }
+
+  test("IVF topk achieves high recall vs brute force") {
+    val all = embDf.as[(Long, Array[Float])].collect()
+    val queries = all.filter(_._1 < 5).toSeq
+    val (centroids, assignments) = Similarity.ivfAssign(embDf, numCells = 8)
+    val ivf = Similarity.ivfTopK(embDf, centroids, assignments, queries, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val brute = Similarity.bruteForceTopK(embDf, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = queries.map { q =>
+      val b = brute(q._1).map(_._2).toSet
+      val i = ivf.getOrElse(q._1, Array.empty[(Long, Long)]).map(_._2).toSet
+      (b intersect i).size.toDouble / b.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 (nProbe=4/8 cells): $meanRecall%.3f")
+    assert(meanRecall >= 0.6) // half the cells probed -> high recall expected
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val planted = embDf.as[(Long, Array[Float])].collect().take(3)
+      .map { case (id, v) => (id + 10000L, v.map(x => x * 1.0001f)) }
+    val withDups = embDf.union(spark.createDataset(planted.toSeq).toDF("id", "embedding"))
+    val out = Similarity.embeddingNearDup(withDups, dim = 64, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((id, _) <- planted) assert(out.contains((id - 10000L, id)), s"missing pair for $id")
+  }
+
+  // ---- text analysis ----
+
+  test("language id picks marker-heavy language deterministically") {
+    val df = Seq(
+      (1L, "the cat and the dog sat in the garden of the house"),
+      (2L, "der hund und die katze das ist nicht gut und der rest"),
+      (3L, "le chat et le chien est dans les jardins des maisons"),
+      (4L, "el gato y los perros es una casa y los jardines"),
+      (5L, "这是一个中文文本 with some english words the and of")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.predictLang(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
+  }
+
+  test("token counts and quality columns") {
+    val df = Seq((1L, "Hello, world! This is a test-case with 42 tokens?")).toDF("id", "text")
+    val row = df.select(
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpeish(col("text")).as("bpe")).collect().head
+    assert(row.getInt(0) == 9)
+    // Hello , world ! This is a test - case with 4 2 tokens ? => 15
+    assert(row.getInt(1) == 15)
+    val q = TextAnalysis.withQuality(df, "text").collect().head
+    assert(q.getAs[Long]("n_tokens") == 9)
+    assert(q.getAs[Double]("quality_score") >= 0.25)
+  }
+
+  test("rolling fingerprint is whitespace-normalization invariant") {
+    assert(TextAnalysis.rollingFingerprint("a  b\tc") == TextAnalysis.rollingFingerprint("A b C"))
+    assert(TextAnalysis.rollingFingerprint("abc") != TextAnalysis.rollingFingerprint("abd"))
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal stub pipeline: schema, batching, deterministic features") {
+    val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(documents)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == documents.count())
+    assert(rows.forall(_.histogram.length == 16))
+    assert(rows.forall(r => r.histogram.sum == r.byteLen)) // every byte binned
+    assert(rows.filter(_.mediaType == "image").forall(_.frames == 1))
+    assert(rows.filter(_.mediaType == "audio").forall(_.frames == 0))
+    assert(rows.filter(_.mediaType == "video").forall(_.frames >= 1))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.sha).sorted.sameElements(again.map(_.sha).sorted))
+  }
+}
