@@ -1,0 +1,102 @@
+package graft.disambig
+
+import graft.core._
+import graft.text.Tokenizer
+
+/** Rules-based entity-class disambiguation filter (M15). Faithful port of
+  * /root/reference/kazu/steps/linking/rules_based_disambiguation.py:37-288:
+  * token-pattern TP/FP rules evaluated on the *sentence* containing each
+  * mention; a (match, entity_class) key survives only if no configured FP
+  * rule fires anywhere in the document AND every configured TP rule aspect
+  * fires somewhere in the document. Rules are data; the engine is a simple
+  * consecutive-token pattern matcher (the spaCy Matcher subset the
+  * reference's config actually uses: LOWER equality / IN-lists).
+  */
+object RulesFilter {
+
+  /** One token predicate: matches when the lowercased token is in the set
+    * (empty set = wildcard). */
+  final case class TokenPattern(lowerIn: Set[String]) {
+    def matches(tok: String): Boolean =
+      lowerIn.isEmpty || lowerIn.contains(tok.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  type Rule = Seq[TokenPattern]
+
+  final case class TpFp(tp: Option[Seq[Rule]], fp: Option[Seq[Rule]])
+
+  /** class rules: entityClass -> TP/FP; mention rules: entityClass ->
+    * mention string -> TP/FP. Shapes mirror the reference's
+    * MatcherClassRules / MatcherMentionRules. */
+  final case class Config(
+      classRules: Map[String, TpFp] = Map.empty,
+      mentionRules: Map[String, Map[String, TpFp]] = Map.empty)
+
+  private def ruleFires(rule: Rule, toks: IndexedSeq[String]): Boolean = {
+    if (rule.isEmpty) return false
+    var i = 0
+    while (i + rule.size <= toks.size) {
+      var k = 0
+      var ok = true
+      while (ok && k < rule.size) {
+        if (!rule(k).matches(toks(i + k))) ok = false
+        k += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  private def anyRuleFires(rules: Seq[Rule], toks: IndexedSeq[String]): Boolean =
+    rules.exists(ruleFires(_, toks))
+
+  /** Doc-local filter. */
+  def process(text: String, mentions: Seq[Mention], cfg: Config): Seq[Mention] = {
+    if (cfg.classRules.isEmpty && cfg.mentionRules.isEmpty) return mentions
+    val sentences = Tokenizer.sentenceSpans(text)
+
+    def sentenceTokens(m: Mention): IndexedSeq[String] = {
+      val sent = sentences.find(s => s.start <= m.start && m.start < s.end)
+        .getOrElse(Span(0, text.length))
+      Tokenizer.tokenSpans(text.substring(sent.start, sent.end))
+        .map(s => text.substring(sent.start + s.start, sent.start + s.end)).toIndexedSeq
+    }
+
+    // doc-level voting per (match, class) key (ref :248-260)
+    final case class Votes(var tpConfigured: Boolean = false, var tpHit: Boolean = false,
+                           var fpConfigured: Boolean = false, var fpHit: Boolean = false)
+    val classVotes = scala.collection.mutable.Map.empty[(String, String), Votes]
+    val mentionVotes = scala.collection.mutable.Map.empty[(String, String), Votes]
+
+    val considered = mentions.filter { m =>
+      cfg.classRules.contains(m.entityClass) ||
+        cfg.mentionRules.get(m.entityClass).exists(_.contains(m.matchText))
+    }
+    for (m <- considered) {
+      val key = (m.matchText, m.entityClass)
+      val toks = sentenceTokens(m)
+      cfg.classRules.get(m.entityClass).foreach { r =>
+        val v = classVotes.getOrElseUpdate(key, Votes())
+        r.tp.foreach { rules => v.tpConfigured = true; if (anyRuleFires(rules, toks)) v.tpHit = true }
+        r.fp.foreach { rules => v.fpConfigured = true; if (anyRuleFires(rules, toks)) v.fpHit = true }
+      }
+      cfg.mentionRules.get(m.entityClass).flatMap(_.get(m.matchText)).foreach { r =>
+        val v = mentionVotes.getOrElseUpdate(key, Votes())
+        r.tp.foreach { rules => v.tpConfigured = true; if (anyRuleFires(rules, toks)) v.tpHit = true }
+        r.fp.foreach { rules => v.fpConfigured = true; if (anyRuleFires(rules, toks)) v.fpHit = true }
+      }
+    }
+
+    mentions.filterNot { m =>
+      val key = (m.matchText, m.entityClass)
+      val cv = classVotes.get(key)
+      val mv = mentionVotes.get(key)
+      considered.contains(m) && (
+        cv.exists(v => v.fpConfigured && v.fpHit) ||
+          cv.exists(v => v.tpConfigured && !v.tpHit) ||
+          mv.exists(v => v.fpConfigured && v.fpHit) ||
+          mv.exists(v => v.tpConfigured && !v.tpHit))
+    }
+  }
+}

@@ -424,6 +424,20 @@ final class StrategyRunner(
       }
       best
 
+    case "PreferNearestLabel" =>
+      // lexical analog of PreferNearestEmbeddingToDefaultLabel
+      // (strategies.py:449-507): top similarity group of default labels
+      val scored = for {
+        idSet <- idSets
+        ias <- idSet.idsAndSource
+        label <- gaz.meta(parser, ias.idx).map(_.defaultLabel).toSeq
+      } yield (ias, Fuzz.similarity(ref.matchText, label))
+      if (scored.isEmpty) Seq.empty
+      else {
+        val best = scored.map(_._2).max
+        Seq(EquivIdSet(scored.filter(_._2 == best).map(_._1).distinct).canonical)
+      }
+
     case "PreferDefaultLabel" =>
       // normalized default label == match norm (strategies.py:400-446)
       val entityClass = gaz.entityClassByParser(parser)

@@ -1,0 +1,99 @@
+package graft.gazetteer
+
+import graft.core.MentionConfidence
+import graft.text.LanguagePhenomena
+
+/** Combinatorial synonym generation (G5): string mutations over curated
+  * synonyms producing INHERIT_FROM_SOURCE_TERM curations, mirroring
+  * CombinatorialSynonymGenerator (/root/reference/kazu/ontology_preprocessing
+  * /synonym_generation.py:23-270): each generator proposes variants, and
+  * all orderings of generator application are folded so combined variants
+  * are found too. Pure function — runs as a flatMap over curation rows.
+  */
+object SynonymGeneration {
+
+  trait Generator extends Serializable {
+    def name: String
+    def apply(s: String): Set[String]
+  }
+
+  /** Greek letter <-> spelled-name substitution, both directions
+    * (synonym_generation.py GreekSymbolSubstitution). */
+  final case class GreekSymbolSubstitution() extends Generator {
+    val name = "GreekSymbolSubstitution"
+    private val charToName = LanguagePhenomena.GREEK_SUBS.toMap
+    private val nameToChar: Map[String, Char] =
+      LanguagePhenomena.GREEK_SUBS.filter(_._1.isLower).map(_.swap).toMap
+    def apply(s: String): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      for ((ch, nm) <- charToName if s.indexOf(ch.toInt) >= 0)
+        out += s.replace(ch.toString, nm)
+      for ((nm, ch) <- nameToChar if s.contains(nm))
+        out += s.replace(nm, ch.toString)
+      out.toSet - s
+    }
+  }
+
+  /** Literal string replacement table (e.g. "-" -> " ", "(" -> ""). */
+  final case class StringReplacement(replacements: Map[String, Seq[String]]) extends Generator {
+    val name = "StringReplacement"
+    def apply(s: String): Set[String] =
+      (for {
+        (from, tos) <- replacements.toSeq
+        if s.contains(from)
+        to <- tos
+      } yield s.replace(from, to)).toSet - s
+  }
+
+  /** Remove stopwords from multi-token synonyms. */
+  final case class StopwordRemoval(stopwords: Set[String] = Set("of", "the", "in")) extends Generator {
+    val name = "StopwordRemoval"
+    def apply(s: String): Set[String] = {
+      val toks = s.split(" ").toSeq
+      val kept = toks.filterNot(t => stopwords.contains(t.toLowerCase(java.util.Locale.ROOT)))
+      if (kept.size == toks.size || kept.isEmpty) Set.empty else Set(kept.mkString(" "))
+    }
+  }
+
+  val defaultGenerators: Seq[Generator] = Seq(
+    GreekSymbolSubstitution(),
+    StringReplacement(Map("-" -> Seq(" ", ""))),
+    StopwordRemoval())
+
+  /** All variants from applying every ordering of the generators (the
+    * reference's permutation fold, synonym_generation.py:74-107). */
+  def generate(original: String, generators: Seq[Generator] = defaultGenerators): Set[String] = {
+    val results = scala.collection.mutable.Set.empty[String]
+    for (perm <- generators.permutations) {
+      var current = Set(original)
+      for (g <- perm) {
+        val produced = current.flatMap(g.apply)
+        results ++= produced
+        current = current ++ produced
+      }
+    }
+    results.toSet - original
+  }
+
+  /** Expand NER curations with generated synonyms as
+    * INHERIT_FROM_SOURCE_TERM children (the curation processor then applies
+    * inheritance; ref curated_term_tools.py usage). */
+  def expandCurations(
+      curations: Seq[Curation],
+      generators: Seq[Generator] = defaultGenerators
+  ): Seq[Curation] = {
+    val generated = for {
+      c <- curations
+      if c.behaviour == Behaviour.ADD_FOR_NER_AND_LINKING && c.sourceTerm.isEmpty
+      variant <- generate(c.curatedSynonym, generators).toSeq.sorted
+    } yield Curation(
+      parserName = c.parserName,
+      curatedSynonym = variant,
+      mentionConfidence = math.min(c.mentionConfidence, MentionConfidence.PROBABLE),
+      behaviour = Behaviour.INHERIT_FROM_SOURCE_TERM,
+      caseSensitive = c.caseSensitive,
+      idSets = None,
+      sourceTerm = Some(c.curatedSynonym))
+    curations ++ generated.distinct
+  }
+}

@@ -1,0 +1,45 @@
+package graft.post
+
+import graft.core._
+
+/** Non-contiguous entity splitter (N7): conjunction mentions like
+  * "X and Y cancer" yield two extra entities — contiguous "Y cancer" and
+  * non-contiguous [X ... cancer]. Rule-pack analog of
+  * /root/reference/kazu/steps/ner/entity_post_processing.py:29-189 (which
+  * uses spaCy noun chunks; we use a deterministic token rule over the
+  * mention text). flatMap-shaped, doc-local.
+  */
+object NonContiguousSplitter {
+
+  val Namespace = "NonContiguousSplitterStep"
+
+  private val conjRe = """^(\S+) (and|or) (\S+) (\S+)$""".r
+
+  def split(text: String, m: Mention): Seq[Mention] = m.matchText match {
+    case conjRe(x, _, y, head) =>
+      val xStart = m.start
+      val xEnd = m.start + x.length
+      val yStart = m.start + m.matchText.lastIndexOf(s"$y $head")
+      val headStart = m.start + m.matchText.length - head.length
+      val contiguous = m.copy(
+        start = yStart, end = m.end,
+        spans = Seq(Span(yStart, m.end)),
+        matchText = s"$y $head",
+        matchNorm = graft.text.StringNormalizer.normalize(s"$y $head", m.entityClass),
+        namespace = Namespace,
+        candidates = Seq.empty, mappings = Seq.empty)
+      val nonContiguous = m.copy(
+        start = xStart, end = m.end,
+        spans = Seq(Span(xStart, xEnd), Span(headStart, m.end)),
+        matchText = s"$x $head",
+        matchNorm = graft.text.StringNormalizer.normalize(s"$x $head", m.entityClass),
+        namespace = Namespace,
+        candidates = Seq.empty, mappings = Seq.empty)
+      Seq(contiguous, nonContiguous)
+    case _ => Seq.empty
+  }
+
+  /** Append split variants for every conjunction-shaped mention. */
+  def process(text: String, mentions: Seq[Mention]): Seq[Mention] =
+    mentions ++ mentions.flatMap(m => split(text, m))
+}

@@ -1,0 +1,66 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.core.DocMentions
+
+/** Pipeline orchestration (X1): an ordered list of named stages folded over
+  * a Dataset, with step subsets / named step groups and per-stage wall
+  * timing — the Spark analog of kazu.pipeline.Pipeline
+  * (/root/reference/kazu/pipeline/pipeline.py:132-326: step_namespaces,
+  * step_groups, profiling).
+  *
+  * Timings here are *submission* timings: stages are lazy transforms, so
+  * each stage triggers a lightweight action when `eager` is set (the
+  * reference's per-step timing semantics); for production runs leave eager
+  * off and let the final sink trigger one fused job.
+  */
+final class PipelineRunner(
+    stages: Seq[PipelineRunner.Stage],
+    stepGroups: Map[String, Seq[String]] = Map.empty
+) {
+
+  def stageNames: Seq[String] = stages.map(_.name)
+
+  /** Run all stages, a named group, or an explicit subset. */
+  def run(
+      input: Dataset[DocMentions],
+      group: Option[String] = None,
+      namespaces: Option[Seq[String]] = None,
+      eager: Boolean = false
+  ): (Dataset[DocMentions], Seq[PipelineRunner.StageMetric]) = {
+    val selected: Seq[PipelineRunner.Stage] = (group, namespaces) match {
+      case (Some(g), _) =>
+        val names = stepGroups.getOrElse(g,
+          throw new IllegalArgumentException(s"unknown step group $g; have ${stepGroups.keys}"))
+        stages.filter(s => names.contains(s.name))
+      case (_, Some(ns)) => stages.filter(s => ns.contains(s.name))
+      case _ => stages
+    }
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[PipelineRunner.StageMetric]
+    var current = input
+    for (stage <- selected) {
+      val t0 = System.nanoTime()
+      current = stage.fn(current)
+      val rows = if (eager) current.count() else -1L
+      metrics += PipelineRunner.StageMetric(stage.name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    (current, metrics.toSeq)
+  }
+
+  /** Metrics as a small DataFrame (writable to the checkpoint/metrics
+    * table). */
+  def metricsDf(spark: SparkSession, ms: Seq[PipelineRunner.StageMetric]): DataFrame = {
+    import spark.implicits._
+    ms.toDF()
+  }
+}
+
+object PipelineRunner {
+  final case class Stage(name: String, fn: Dataset[DocMentions] => Dataset[DocMentions])
+  final case class StageMetric(stage: String, seconds: Double, rows: Long)
+
+  /** The reference's named groups (conf/Pipeline/default.yaml:14-20). */
+  val defaultStepGroups: Map[String, Seq[String]] = Map(
+    "ner_only" -> Seq("DictionaryNerStep"),
+    "linking_only" -> Seq("DictionaryEntityLinkingStep", "MappingStep"))
+}

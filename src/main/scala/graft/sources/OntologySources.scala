@@ -1,0 +1,203 @@
+package graft.sources
+
+import graft.gazetteer.OntologyRow
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KB-format readers (S3): every format is normalized to the 4-column
+  * contract [idx, default_label, syn, mapping_type] + provenance
+  * (/root/reference/kazu/ontology_preprocessing/base.py:44-53,1149-1167;
+  * format implementations in parsers.py). Spark-first: line-oriented
+  * formats (TSV/CSV, JSONL, N-Triples) parallelize on splits; stanza
+  * formats (OBO) read wholetext per file and flatMap stanzas (KB files are
+  * dimension-sized).
+  */
+object OntologySources {
+
+  /** Tabular (TSV/CSV) source — ref parsers.py:1440-1572 (TabularOntologyParser). */
+  def readTabular(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "tabular",
+      sep: String = "\t",
+      idxCol: String = "idx",
+      labelCol: String = "default_label",
+      synCol: String = "syn",
+      mappingTypeCol: String = "mapping_type"
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    spark.read.option("header", "true").option("sep", sep).csv(path)
+      .select(
+        lit(parserName).as("parserName"),
+        lit(entityClass).as("entityClass"),
+        col(idxCol).as("idx"),
+        col(labelCol).as("defaultLabel"),
+        col(synCol).as("syn"),
+        coalesce(col(mappingTypeCol), lit("name")).as("mappingType"),
+        lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
+  }
+
+  /** JSON-lines source (OpenTargets-style: one record per line with id,
+    * label and a synonyms array) — ref parsers.py:56-443. */
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "jsonl",
+      idField: String = "id",
+      labelField: String = "name",
+      synonymsField: String = "synonyms"
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val raw = spark.read.json(path)
+    val hasSyns = raw.columns.contains(synonymsField)
+    val base = raw.select(
+      col(idField).cast("string").as("idx"),
+      col(labelField).cast("string").as("defaultLabel"),
+      if (hasSyns) col(synonymsField) else array().cast("array<string>"))
+      .toDF("idx", "defaultLabel", "synonyms")
+    // default label is always a synonym of itself (reference behaviour)
+    val labelRows = base.select(col("idx"), col("defaultLabel"),
+      col("defaultLabel").as("syn"), lit("name").as("mappingType"))
+    val synRows = base.select(col("idx"), col("defaultLabel"),
+      explode(col("synonyms")).as("syn"), lit("hasExactSynonym").as("mappingType"))
+    labelRows.union(synRows)
+      .where(col("syn").isNotNull && length(col("syn")) > 0)
+      .select(
+        lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
+        col("idx"), col("defaultLabel"), col("syn"), col("mappingType"),
+        lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
+  }
+
+  /** OBO stanza source (Cellosaurus/GO-style) — ref parsers.py:655-857,
+    * 1115-1201. Reads wholetext (stanzas span lines) and flatMaps [Term]
+    * blocks: id, name, synonym "..." TYPE lines. */
+  def readObo(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "obo"
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val synRe = """synonym:\s*"([^"]*)"\s*(\w*)""".r
+    spark.read.option("wholetext", "true").text(path)
+      .as[String]
+      .flatMap { content =>
+        content.split("\\n\\s*\\n").iterator.filter(_.trim.startsWith("[Term]")).flatMap { stanza =>
+          val lines = stanza.split("\n").map(_.trim)
+          val id = lines.collectFirst { case l if l.startsWith("id:") => l.drop(3).trim }
+          val name = lines.collectFirst { case l if l.startsWith("name:") => l.drop(5).trim }
+          (id, name) match {
+            case (Some(idx), Some(label)) =>
+              val syns = lines.toSeq.collect {
+                case l if l.startsWith("synonym:") =>
+                  synRe.findFirstMatchIn(l).map(m =>
+                    (m.group(1), if (m.group(2).isEmpty) "synonym" else m.group(2)))
+              }.flatten
+              (Seq((label, "name")) ++ syns).map { case (syn, mt) =>
+                OntologyRow(parserName, entityClass, idx, label, syn, mt, dataOrigin)
+              }
+            case _ => Seq.empty
+          }
+        }
+      }
+  }
+
+  /** N-Triples RDF source (line-oriented, trivially splittable) — the
+    * parallel analog of the reference's rdflib path (parsers.py:453-600).
+    * Label predicate rows give default labels; synonym-predicate rows give
+    * synonyms; both joined by subject id. */
+  def readNTriples(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "rdf",
+      labelPredicates: Set[String] = Set("http://www.w3.org/2000/01/rdf-schema#label"),
+      synonymPredicates: Set[String] =
+        Set("http://www.geneontology.org/formats/oboInOwl#hasExactSynonym")
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val lineRe = """^<([^>]+)>\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"\s*(?:@\w+)?\s*\.\s*$""".r
+    val parsed = spark.read.text(path).as[String]
+      .flatMap {
+        case lineRe(s, p, o) => Some((s, p, o.replace("\\\"", "\"")))
+        case _ => None
+      }
+      .toDF("subj", "pred", "obj")
+      .cache()
+    val labels = parsed.filter(col("pred").isin(labelPredicates.toSeq: _*))
+      .select(col("subj").as("idx"), col("obj").as("defaultLabel"))
+    val syns = parsed.filter(col("pred").isin(synonymPredicates.toSeq: _*))
+      .select(col("subj").as("idx"), col("obj").as("syn"))
+    val labelRows = labels.select(col("idx"), col("defaultLabel"),
+      col("defaultLabel").as("syn"), lit("name").as("mappingType"))
+    val synRows = labels.join(syns, "idx")
+      .select(col("idx"), col("defaultLabel"), col("syn"), lit("hasExactSynonym").as("mappingType"))
+    labelRows.union(synRows)
+      .select(
+        lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
+        col("idx"), col("defaultLabel"), col("syn"), col("mappingType"),
+        lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
+  }
+}
+
+/** JSON document export sink (S2): Document + mentions -> minified JSON,
+  * mirroring Document.to_json / to_minified_json with the
+  * drop_unmapped_ents / drop_terms projection flags
+  * (/root/reference/kazu/data/data.py:589-659). Deterministic key order,
+  * written with the DataFrame writer (one JSON line per doc).
+  */
+object JsonExport {
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  def mentionJson(m: graft.core.Mention, dropTerms: Boolean): String = {
+    val mappings = m.mappings.map(mp =>
+      s"""{"parser_name":"${esc(mp.parserName)}","source":"${esc(mp.source)}","idx":"${esc(mp.idx)}",""" +
+        s""""default_label":"${esc(mp.defaultLabel)}","string_match_strategy":"${esc(mp.stringMatchStrategy)}",""" +
+        s""""string_match_confidence":"${mp.stringMatchConfidence}"""" +
+        mp.disambiguationConfidence.map(c => s""","disambiguation_confidence":"$c"""").getOrElse("") + "}")
+      .mkString("[", ",", "]")
+    val terms =
+      if (dropTerms) ""
+      else s""","candidates":${m.candidates.map(c =>
+        s"""{"parser_name":"${esc(c.parserName)}","term_norm":"${esc(c.termNorm)}","exact_match":${c.exactMatch}}""")
+        .mkString("[", ",", "]")}"""
+    s"""{"match":"${esc(m.matchText)}","entity_class":"${esc(m.entityClass)}","namespace":"${esc(m.namespace)}",""" +
+      s""""start":${m.start},"end":${m.end},"mention_confidence":${m.confidence},"mappings":$mappings$terms}"""
+  }
+
+  def docJson(dm: graft.core.DocMentions, dropUnmappedEnts: Boolean, dropTerms: Boolean): String = {
+    val ms = (if (dropUnmappedEnts) dm.mentions.filter(_.mappings.nonEmpty) else dm.mentions)
+      .sortBy(m => (m.start, m.end, m.entityClass))
+      .map(mentionJson(_, dropTerms)).mkString("[", ",", "]")
+    s"""{"idx":"${esc(dm.docId)}","content_sha":"${esc(dm.contentSha)}","entities":$ms}"""
+  }
+
+  /** Write one minified JSON line per document. */
+  def write(docs: Dataset[graft.core.DocMentions], outPath: String,
+            dropUnmappedEnts: Boolean = false, dropTerms: Boolean = false): Unit = {
+    import docs.sparkSession.implicits._
+    docs.map(dm => docJson(dm, dropUnmappedEnts, dropTerms)).write.mode("overwrite").text(outPath)
+  }
+}

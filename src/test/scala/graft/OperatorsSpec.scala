@@ -1,0 +1,217 @@
+package graft
+
+import graft.core._
+import graft.disambig.RulesFilter
+import graft.gazetteer._
+import graft.post.NonContiguousSplitter
+import graft.run.PipelineRunner
+import graft.sources.{JsonExport, OntologySources}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class OperatorsSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- S3 ontology readers ----
+
+  test("tabular reader produces the 4-column contract") {
+    val dir = Files.createTempDirectory("onto_tsv")
+    Files.writeString(dir.resolve("kb.tsv"),
+      "idx\tdefault_label\tsyn\tmapping_type\nID1\tAspirin\tacetylsalicylic acid\thasExactSynonym\nID1\tAspirin\tAspirin\tname\n")
+    val rows = OntologySources.readTabular(spark, dir.toString + "/kb.tsv", "p", "drug").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.parserName == "p" && r.entityClass == "drug" && r.idx == "ID1"))
+    assert(rows.map(_.syn).toSet == Set("acetylsalicylic acid", "Aspirin"))
+  }
+
+  test("jsonl reader explodes synonym arrays") {
+    val dir = Files.createTempDirectory("onto_jsonl")
+    Files.writeString(dir.resolve("kb.jsonl"),
+      """{"id":"MONDO_1","name":"lung cancer","synonyms":["cancer of lung","pulmonary cancer"]}
+        |{"id":"MONDO_2","name":"flu","synonyms":[]}
+        |""".stripMargin)
+    val rows = OntologySources.readJsonl(spark, dir.toString + "/kb.jsonl", "p", "disease").collect()
+    assert(rows.count(_.idx == "MONDO_1") == 3) // label + 2 synonyms
+    assert(rows.count(_.idx == "MONDO_2") == 1) // label only
+    assert(rows.filter(_.mappingType == "name").map(_.syn).toSet == Set("lung cancer", "flu"))
+  }
+
+  test("obo reader parses term stanzas") {
+    val dir = Files.createTempDirectory("onto_obo")
+    Files.writeString(dir.resolve("kb.obo"),
+      """format-version: 1.2
+        |
+        |[Term]
+        |id: GO:0001
+        |name: kinase activity
+        |synonym: "phosphokinase activity" EXACT
+        |synonym: "kinase" BROAD
+        |
+        |[Term]
+        |id: GO:0002
+        |name: transport
+        |
+        |[Typedef]
+        |id: part_of
+        |""".stripMargin)
+    val rows = OntologySources.readObo(spark, dir.toString + "/kb.obo", "p", "biological_process").collect()
+    assert(rows.count(_.idx == "GO:0001") == 3)
+    assert(rows.count(_.idx == "GO:0002") == 1)
+    assert(rows.find(_.syn == "phosphokinase activity").get.mappingType == "EXACT")
+  }
+
+  test("ntriples reader joins labels and synonyms") {
+    val dir = Files.createTempDirectory("onto_nt")
+    Files.writeString(dir.resolve("kb.nt"),
+      """<http://x/MONDO_1> <http://www.w3.org/2000/01/rdf-schema#label> "lung cancer" .
+        |<http://x/MONDO_1> <http://www.geneontology.org/formats/oboInOwl#hasExactSynonym> "pulmonary cancer" .
+        |<http://x/MONDO_1> <http://other/pred> "ignored" .
+        |<http://x/MONDO_2> <http://www.w3.org/2000/01/rdf-schema#label> "flu" .
+        |""".stripMargin)
+    val rows = OntologySources.readNTriples(spark, dir.toString + "/kb.nt", "p", "disease").collect()
+    assert(rows.count(_.idx == "http://x/MONDO_1") == 2)
+    assert(rows.count(_.idx == "http://x/MONDO_2") == 1)
+    assert(!rows.exists(_.syn == "ignored"))
+  }
+
+  test("sources feed the gazetteer builder end to end") {
+    val dir = Files.createTempDirectory("onto_pipe")
+    Files.writeString(dir.resolve("kb.tsv"),
+      "idx\tdefault_label\tsyn\tmapping_type\nD1\tWidget Disease\twidget disease\tname\n")
+    val rows = OntologySources.readTabular(spark, dir.toString + "/kb.tsv", "tab_p", "disease").collect()
+    val gaz = GazetteerBuilder.buildLocal(rows.toSeq, Seq(
+      Curation("tab_p", "widget disease", MentionConfidence.HIGHLY_LIKELY,
+        Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, None, None)))
+    assert(gaz.term("tab_p", graft.text.StringNormalizer.normalize("widget disease", "disease")).isDefined)
+    val dict = graft.ac.DictionaryNer.buildDictionary(gaz)
+    assert(graft.ac.DictionaryNer.scanText(dict, "d", "a widget disease case").nonEmpty)
+  }
+
+  // ---- S2 JSON export ----
+
+  test("json export with drop flags") {
+    val m1 = Mention("d1", 0, 4, Seq(Span(0, 4)), "test", "TEST", "disease", "ns", 100,
+      Seq(Candidate("p", "TEST", None, None, exactMatch = true)),
+      Seq(Mapping("p", "SRC", "ID1", "label", "ExactMatch", "HIGHLY_LIKELY", None, None, None)))
+    val m2 = m1.copy(start = 10, end = 14, mappings = Seq.empty)
+    val dm = DocMentions("d1", "sha1", Seq(m1, m2))
+
+    val full = JsonExport.docJson(dm, dropUnmappedEnts = false, dropTerms = false)
+    assert(full.contains(""""idx":"d1""""))
+    assert(full.contains(""""candidates""""))
+    assert(full.split("\"match\"").length - 1 == 2)
+
+    val minified = JsonExport.docJson(dm, dropUnmappedEnts = true, dropTerms = true)
+    assert(minified.split("\"match\"").length - 1 == 1)
+    assert(!minified.contains("candidates"))
+
+    // round-trips as one JSON object per doc through the writer
+    val out = Files.createTempDirectory("json_export").toString + "/docs"
+    JsonExport.write(spark.createDataset(Seq(dm)), out)
+    val read = spark.read.json(out)
+    assert(read.count() == 1)
+    assert(read.select("idx").head().getString(0) == "d1")
+  }
+
+  // ---- G5 synonym generation ----
+
+  test("combinatorial synonym generation") {
+    val variants = SynonymGeneration.generate("TGF-β of receptor")
+    assert(variants.contains("TGF-beta of receptor")) // greek sub
+    assert(variants.contains("TGF β of receptor")) // dash replacement
+    assert(variants.contains("TGF-β receptor")) // stopword removal
+    assert(variants.contains("TGF beta receptor")) // combined (permutation fold)
+  }
+
+  test("generated synonyms hit via inheritance") {
+    val rows = Seq(OntologyRow("p", "gene", "G1", "TGFB", "TGF-β", "name", "f"))
+    val base = Seq(Curation("p", "TGF-β", MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, None, None))
+    val expanded = SynonymGeneration.expandCurations(base)
+    assert(expanded.exists(c => c.curatedSynonym == "TGF-beta" &&
+      c.behaviour == Behaviour.INHERIT_FROM_SOURCE_TERM))
+    val gaz = GazetteerBuilder.buildLocal(rows, expanded)
+    val dict = graft.ac.DictionaryNer.buildDictionary(gaz)
+    val hits = graft.ac.DictionaryNer.scanText(dict, "d", "the TGF-beta pathway")
+    assert(hits.nonEmpty)
+    assert(hits.head.candidates.map(_.termNorm).toSet ==
+      Set(graft.text.StringNormalizer.normalize("TGF-β", "gene")))
+  }
+
+  // ---- M15 rules filter ----
+
+  test("FP rule anywhere in doc removes all occurrences of the key") {
+    val text = "the bank of the river. money in the bank."
+    def m(start: Int) = Mention("d", start, start + 4, Seq(Span(start, start + 4)),
+      "bank", "BANK", "company", "ns", 100, Seq.empty, Seq.empty)
+    val mentions = Seq(m(4), m(36))
+    val cfg = RulesFilter.Config(mentionRules = Map(
+      "company" -> Map("bank" -> RulesFilter.TpFp(
+        tp = None,
+        fp = Some(Seq(Seq(RulesFilter.TokenPattern(Set("river")))))))))
+    assert(RulesFilter.process(text, mentions, cfg).isEmpty)
+  }
+
+  test("TP rule must fire somewhere for the key to survive") {
+    val text = "the bank lends money. another bank sentence."
+    def m(start: Int) = Mention("d", start, start + 4, Seq(Span(start, start + 4)),
+      "bank", "BANK", "company", "ns", 100, Seq.empty, Seq.empty)
+    val mentions = Seq(m(4), m(30))
+    val tpLends = RulesFilter.Config(mentionRules = Map(
+      "company" -> Map("bank" -> RulesFilter.TpFp(
+        tp = Some(Seq(Seq(RulesFilter.TokenPattern(Set("lends"))))), fp = None))))
+    // fires in sentence 1 -> both survive (doc-level vote)
+    assert(RulesFilter.process(text, mentions, tpLends).size == 2)
+    val tpMissing = RulesFilter.Config(mentionRules = Map(
+      "company" -> Map("bank" -> RulesFilter.TpFp(
+        tp = Some(Seq(Seq(RulesFilter.TokenPattern(Set("borrows"))))), fp = None))))
+    assert(RulesFilter.process(text, mentions, tpMissing).isEmpty)
+  }
+
+  test("unconfigured classes pass through untouched") {
+    val mentions = Seq(Mention("d", 0, 4, Seq(Span(0, 4)), "test", "TEST", "gene",
+      "ns", 100, Seq.empty, Seq.empty))
+    val cfg = RulesFilter.Config(classRules = Map(
+      "disease" -> RulesFilter.TpFp(None, Some(Seq(Seq(RulesFilter.TokenPattern(Set("x"))))))))
+    assert(RulesFilter.process("test text", mentions, cfg) == mentions)
+  }
+
+  // ---- N7 splitter ----
+
+  test("conjunction mention splits into contiguous + non-contiguous") {
+    val text = "breast and lung cancer study"
+    val m = Mention("d", 0, 22, Seq(Span(0, 22)), "breast and lung cancer",
+      "X", "disease", "ns", 100, Seq.empty, Seq.empty)
+    val out = NonContiguousSplitter.process(text, Seq(m))
+    assert(out.size == 3)
+    val contiguous = out.find(_.matchText == "lung cancer").get
+    assert(text.substring(contiguous.start, contiguous.end) == "lung cancer")
+    val nc = out.find(_.matchText == "breast cancer").get
+    assert(nc.spans.size == 2)
+    assert(text.substring(nc.spans.head.start, nc.spans.head.end) == "breast")
+    assert(text.substring(nc.spans(1).start, nc.spans(1).end) == "cancer")
+  }
+
+  // ---- X1 pipeline runner ----
+
+  test("pipeline runner: ordering, groups, metrics") {
+    val dm = DocMentions("d", "sha", Seq.empty)
+    def tag(name: String) = PipelineRunner.Stage(name, ds => {
+      import ds.sparkSession.implicits._
+      ds.map(x => x.copy(docId = x.docId + s"|$name"))
+    })
+    val runner = new PipelineRunner(
+      Seq(tag("DictionaryNerStep"), tag("DictionaryEntityLinkingStep"), tag("MappingStep")),
+      PipelineRunner.defaultStepGroups)
+    val input = spark.createDataset(Seq(dm))
+    val (all, metrics) = runner.run(input, eager = true)
+    assert(all.collect().head.docId == "d|DictionaryNerStep|DictionaryEntityLinkingStep|MappingStep")
+    assert(metrics.map(_.stage) == Seq("DictionaryNerStep", "DictionaryEntityLinkingStep", "MappingStep"))
+    assert(metrics.forall(_.rows == 1))
+
+    val (linkOnly, _) = runner.run(input, group = Some("linking_only"))
+    assert(linkOnly.collect().head.docId == "d|DictionaryEntityLinkingStep|MappingStep")
+  }
+}

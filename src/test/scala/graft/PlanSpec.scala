@@ -1,0 +1,66 @@
+package graft
+
+import graft.datagen.CorpusGen
+import graft.run.{Artifacts, KgPipeline, Stages}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB must be
+  * visible in explain() output, not assumed — filter/column pushdown to the
+  * parquet scan, broadcast joins for dimension tables, and zero shuffles in
+  * the per-doc semantic pipeline.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    // pruned read schema: only the two referenced columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = plan(SparkEntry.q2JoinTopK(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("per-doc semantic pipeline is shuffle-free") {
+    import spark.implicits._
+    val corpus = spark.createDataset(CorpusGen.generate(20).map(_.row)).toDF()
+    val docs = Stages.ingest(corpus)(spark)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(CorpusGen.gazetteer))
+    val annotated = KgPipeline.triples(docs, bc)
+    val p = plan(annotated.toDF())
+    // ingest -> NER -> linking -> cascade -> abbrev -> cleanup -> merge ->
+    // triples: one narrow chain, no Exchange anywhere
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("aggregation has a map-side partial phase") {
+    val p = plan(SparkEntry.q1Agg(spark, sfDir))
+    // HashAggregate (partial) ... Exchange ... HashAggregate (final)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipeline") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_discount") > 0.01)
+      .select(col("l_orderkey"), (col("l_extendedprice") * col("l_discount")).as("disc"))
+    val p = plan(df)
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen span
+    assert(p.contains("*(1) Project"), p)
+    assert(p.contains("*(1) Filter"), p)
+  }
+}
