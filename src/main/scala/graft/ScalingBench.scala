@@ -108,7 +108,77 @@ object ScalingBench {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
   }
 
+  /** Gazetteer-scale stress: build the shared automaton from `nTerms`
+    * synthetic synonyms (realistic large-ontology scale, ~19 KBs in the
+    * reference), then measure scan throughput. */
+  def gazetteerStress(nTerms: Int, nDocs: Int, cores: Int): Unit = {
+    import graft.gazetteer._
+    import graft.core.MentionConfidence
+    // deterministic multi-token terms over a letter vocabulary
+    def word(r: CorpusGen.Rng): String = {
+      val len = 4 + r.nextInt(8)
+      val sb = new StringBuilder
+      (0 until len).foreach(_ => sb.append(('a' + r.nextInt(26)).toChar))
+      sb.toString
+    }
+    val rng = new CorpusGen.Rng(7L)
+    val rows = (0 until nTerms).map { i =>
+      val syn = (0 to rng.nextInt(2)).map(_ => word(rng)).mkString(" ")
+      OntologyRow("stress_onto", "concept", f"http://graft.fake/onto/C_$i%07d",
+        s"Concept $i", syn, "name", "stress")
+    }
+    val curations = rows.map(r => Curation(r.parserName, r.syn,
+      MentionConfidence.HIGHLY_LIKELY, Behaviour.ADD_FOR_NER_AND_LINKING,
+      caseSensitive = false, None, None))
+
+    var t0 = System.nanoTime()
+    val gaz = GazetteerBuilder.buildLocal(rows, curations)
+    val tGaz = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val dict = graft.ac.DictionaryNer.buildDictionary(gaz)
+    val tAuto = (System.nanoTime() - t0) / 1e9
+
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val bcDict = spark.sparkContext.broadcast(dict)
+    // docs sprinkle real terms into filler
+    val termSyns = rows.map(_.syn).toArray
+    val docs = spark.range(nDocs).repartition(cores * 4).as[Long].mapPartitions(_.map { i =>
+      val r = new CorpusGen.Rng(31L + i)
+      val sb = new StringBuilder
+      (0 until 60).foreach { _ =>
+        if (sb.nonEmpty) sb.append(' ')
+        if (r.nextInt(10) == 0) sb.append(termSyns(r.nextInt(termSyns.length)))
+        else sb.append(word(r))
+      }
+      (i.toString, sb.toString)
+    }).toDF("docId", "content").cache()
+    docs.count()
+    def scan(): Long = docs.as[(String, String)].mapPartitions { it =>
+      val d = bcDict.value
+      it.map { case (id, text) => graft.ac.DictionaryNer.scanText(d, id, text).size }
+    }.reduce(_ + _)
+    scan() // warm
+    t0 = System.nanoTime()
+    val nMentions = scan()
+    val tScan = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"gazetteer_stress","n_terms":$nTerms,"n_docs":$nDocs,"cores":$cores,""" +
+      s""""gazetteer_build_sec":$tGaz,"automaton_build_sec":$tAuto,""" +
+      s""""scan_sec":$tScan,"docs_per_sec":${nDocs / tScan},"mentions":$nMentions}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("gazetteer")) {
+      gazetteerStress(
+        args.lift(1).map(_.toInt).getOrElse(100000),
+        args.lift(2).map(_.toInt).getOrElse(200000),
+        args.lift(3).map(_.toInt).getOrElse(32))
+      return
+    }
     if (args.headOption.contains("phases")) {
       phases(args.lift(1).map(_.toInt).getOrElse(16), args.lift(2).map(_.toInt).getOrElse(1000000))
       return

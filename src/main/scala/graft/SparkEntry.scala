@@ -135,17 +135,29 @@ object SparkEntry {
   }
 
   /** Exact cosine-threshold pairs (oracle-checkable; the LSH variant below
-    * is the approximate scale path). */
+    * is the approximate scale path). Broadcast-side comparison instead of a
+    * crossJoin: each partition scans its rows against the broadcast vector
+    * block (bounded memory, zero shuffle) — the classic block-nested
+    * all-pairs shape for modest dimension tables. */
   def embedSimPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = embeddingsDf(spark, sfDir).as[(Long, Array[Float])]
-    emb.crossJoin(emb.toDF("id_b", "emb_b"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"), col("embedding"), col("emb_b"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (a, b, ea, eb) => (a, b, Similarity.cosine(ea, eb)) }
-      .toDF("id_a", "id_b", "cos")
-      .filter(col("cos") >= 0.35)
+    val all = emb.collect().sortBy(_._1)
+    val norms = all.map { case (_, v) => Similarity.norm(v) }
+    val bc = spark.sparkContext.broadcast((all, norms))
+    emb.mapPartitions { it =>
+      val (vecs, ns) = bc.value
+      it.flatMap { case (idA, va) =>
+        val na = Similarity.norm(va)
+        vecs.iterator.zipWithIndex
+          .filter { case ((idB, _), _) => idA < idB }
+          .map { case ((idB, vb), j) =>
+            val d = na * ns(j)
+            (idA, idB, if (d == 0) 0.0 else Similarity.dot(va, vb) / d)
+          }
+          .filter(_._3 >= 0.35)
+      }
+    }.toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 

@@ -91,7 +91,9 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // message passing: each node proposes its component to its neighbors
+      // message passing: each node proposes its component to its neighbors.
+      // localCheckpoint truncates the per-iteration lineage — without it
+      // every convergence check replays all previous rounds.
       val messages = bidirectional
         .join(comps, bidirectional("src") === comps("id"))
         .select(col("dst").as("id"), col("component").as("proposed"))
@@ -100,7 +102,7 @@ object ConnectedComponents {
         .join(messages, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("proposed"), col("component"))).as("component"))
-        .cache()
+        .localCheckpoint(true)
       val changed = updated.alias("u").join(comps.alias("c"), Seq("id"))
         .filter(col("u.component") =!= col("c.component")).limit(1).count()
       comps.unpersist()
