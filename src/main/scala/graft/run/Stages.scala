@@ -82,6 +82,26 @@ object Stages {
       }
   }
 
+  /** Salted skew rebalancing (north rule: skew from giant repos/files
+    * handled explicitly). A source partitioned by repo concentrates a hot
+    * monorepo's files on few partitions; salting on the full
+    * (repo,path,commit) identity spreads every repo uniformly across all
+    * partitions. Giant *individual* docs are bounded by the length guard
+    * (reference semantics) so per-row weight variance is capped; AQE skew
+    * settings cover join-side skew. (A global LPT/row_number balance was
+    * rejected: it needs a single-partition window sort — itself a
+    * scalability anti-pattern.)
+    */
+  def saltedRebalance(docs: Dataset[Doc], numPartitions: Int): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    // note: repartition(n, expr) HASHES the expr — so salt with a
+    // high-cardinality value (not a precomputed slot, which would be
+    // re-hashed onto fewer partitions)
+    docs
+      .repartition(numPartitions, xxhash64(col("repo"), col("path"), col("commit")))
+      .as[Doc]
+  }
+
   /** Quarantine sink rows (S4): failed docs with error + provenance. */
   def quarantine(docs: Dataset[Doc]): DataFrame = {
     docs.filter((d: Doc) => d.error.nonEmpty)

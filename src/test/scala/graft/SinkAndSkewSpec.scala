@@ -1,0 +1,52 @@
+package graft
+
+import graft.datagen.CorpusGen
+import graft.graph.TripleSink
+import graft.run.{Artifacts, KgPipeline, Stages}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SinkAndSkewSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("partitioned triple sink prunes partitions on read") {
+    val gen = CorpusGen.generate(100)
+    val docs = Stages.ingest(spark.createDataset(gen.map(_.row)).toDF())(spark)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(CorpusGen.gazetteer))
+    val triples = KgPipeline.triples(docs, bc)
+    val out = Files.createTempDirectory("triple_sink").toString + "/graph"
+    TripleSink.write(triples, out)
+
+    // partition directories exist per predicate
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("pred_part="))
+    assert(dirs.nonEmpty)
+
+    val read = TripleSink.read(spark, out)
+    assert(read.count() == triples.count())
+    // a predicate filter becomes a partition filter (pruned scan)
+    val filtered = read.filter(col("pred_part") === "denotes_framework")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(pred_part"), plan)
+    assert(filtered.count() > 0)
+  }
+
+  test("salted rebalance spreads a hot repo across all partitions") {
+    // pattern: 20% of docs live in the hot 'org/mono' repo (CorpusGen)
+    val gen = CorpusGen.generate(400)
+    val docs = Stages.ingest(spark.createDataset(gen.map(_.row)).toDF())(spark)
+    val p = 8
+    val balanced = Stages.saltedRebalance(docs, p)
+    val perPartition = balanced.mapPartitions(it => Iterator.single(it.count(_ => true)))
+      .collect()
+    assert(perPartition.length == p)
+    val hot = balanced.filter(col("repo") === "org/mono")
+      .mapPartitions(it => Iterator.single(it.count(_ => true))).collect()
+    // the hot repo's docs land on every partition, not one
+    assert(hot.count(_ > 0) == p, hot.mkString(","))
+    // and partition sizes are roughly even (within 3x of each other)
+    assert(perPartition.max <= perPartition.filter(_ > 0).min * 3, perPartition.mkString(","))
+  }
+}
