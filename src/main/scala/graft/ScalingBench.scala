@@ -171,7 +171,42 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** Connected-components at scale: random graph (nEdges over nNodes) plus
+    * long chains (stress the iteration count), timed end to end. */
+  def ccStress(nNodes: Int, nEdges: Int, cores: Int): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val edges = spark.range(nEdges).repartition(cores * 2).as[Long].map { i =>
+      val r = new CorpusGen.Rng(i * 31 + 7)
+      if (i % 10 == 0) // chain edges: node k -> k+1 (long components)
+        (f"n${i % nNodes}%09d", f"n${(i % nNodes) + 1}%09d")
+      else
+        (f"n${r.nextInt(nNodes)}%09d", f"n${r.nextInt(nNodes)}%09d")
+    }.toDF("src", "dst").cache()
+    edges.count()
+    val t0 = System.nanoTime()
+    val comps = graft.graph.ConnectedComponents.run(edges)
+    val nComponents = comps.select("component").distinct().count()
+    val nAssigned = comps.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"cc_stress","n_nodes":$nNodes,"n_edges":$nEdges,"cores":$cores,""" +
+      s""""sec":$dt,"components":$nComponents,"assigned_nodes":$nAssigned,""" +
+      s""""edges_per_sec":${nEdges / dt}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cc")) {
+      ccStress(
+        args.lift(1).map(_.toInt).getOrElse(500000),
+        args.lift(2).map(_.toInt).getOrElse(1000000),
+        args.lift(3).map(_.toInt).getOrElse(32))
+      return
+    }
     if (args.headOption.contains("gazetteer")) {
       gazetteerStress(
         args.lift(1).map(_.toInt).getOrElse(100000),

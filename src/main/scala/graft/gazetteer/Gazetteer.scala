@@ -135,12 +135,13 @@ object SynonymResolver {
       termNorm: String,
       rows: Seq[(String, String, String, String)], // (syn, idx, mappingType, defaultLabel)
       scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
-      mergeThreshold: Double = 0.70
+      mergeThreshold: Double = 0.70,
+      sourceFn: (String, String) => String = SourceResolver.resolve
   ): SynTerm = {
     val syns = rows.map(_._1).distinct.sorted
     val mappingTypes = rows.map(_._3).distinct.sorted
     val isSymbolic = syns.forall(StringNormalizer.classifySymbolic(_, entityClass))
-    val idsAndSource = rows.map(r => IdAndSource(r._2, SourceResolver.resolve(parserName, r._2))).toSet
+    val idsAndSource = rows.map(r => IdAndSource(r._2, sourceFn(parserName, r._2))).toSet
     val labels = rows.map(r => r._2 -> r._4).toMap
     val (idSets, agg) = scoreAndGroupIds(idsAndSource, isSymbolic, labels, scorer, mergeThreshold)
     SynTerm(parserName, termNorm, syns, isSymbolic, mappingTypes, idSets, agg)
@@ -391,7 +392,8 @@ object GazetteerBuilder {
       curations: Seq[Curation],
       globalActions: Seq[GlobalAction] = Seq.empty,
       scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
-      mergeThreshold: Double = 0.70
+      mergeThreshold: Double = 0.70,
+      sourceFn: (String, String) => String = SourceResolver.resolve
   ): Gazetteer = {
     val byParser = rows.groupBy(_.parserName)
     val entityClassByParser = byParser.map { case (p, rs) => p -> rs.head.entityClass }
@@ -412,7 +414,7 @@ object GazetteerBuilder {
         SynonymResolver.resolveGroup(
           parser, entityClass, norm,
           groupRows.map(r => (r.syn, r.idx, r.mappingType, r.defaultLabel)),
-          scorer, mergeThreshold)
+          scorer, mergeThreshold, sourceFn)
       }.toSeq
       val proc = new CurationProcessor(
         parser, entityClass,

@@ -98,10 +98,18 @@ object ConnectedComponents {
         .join(comps, bidirectional("src") === comps("id"))
         .select(col("dst").as("id"), col("component").as("proposed"))
         .groupBy("id").agg(min("proposed").as("proposed"))
-      val updated = comps
+      val relaxed = comps
         .join(messages, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("proposed"), col("component"))).as("component"))
+      // pointer jumping: also adopt component(component(id)) — halves the
+      // remaining propagation depth every round, so convergence is
+      // O(log diameter) instead of O(diameter)
+      val pointers = relaxed.select(col("id").as("p_id"), col("component").as("p_comp"))
+      val updated = relaxed
+        .join(pointers, relaxed("component") === pointers("p_id"), "left")
+        .select(relaxed("id"),
+          least(relaxed("component"), coalesce(col("p_comp"), relaxed("component"))).as("component"))
         .localCheckpoint(true)
       val changed = updated.alias("u").join(comps.alias("c"), Seq("id"))
         .filter(col("u.component") =!= col("c.component")).limit(1).count()

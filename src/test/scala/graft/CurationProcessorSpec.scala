@@ -1,0 +1,135 @@
+package graft
+
+import graft.core._
+import graft.gazetteer._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation/global-action semantics ported from
+  * /root/reference/kazu/tests/test_ontology_parser.py:133-405, using the
+  * DummyParser default data (tests/utils.py:66-71) and a fixed-source
+  * find_kb like the reference's DummyParser.
+  */
+class CurationProcessorSpec extends AnyFunSuite {
+
+  val ParserName = "action_parser"
+  val NoopParser = "noop_parser"
+  val Source = "test_parser_source"
+  val EntityClass = "action_test"
+  val TargetSynonym = "hello I'm injected"
+
+  val fixedSource: (String, String) => String = (_, _) => Source
+
+  /** DummyParser.DEFAULT_DUMMY_DATA. */
+  def defaultRows(parser: String): Seq[OntologyRow] = {
+    val idx = Seq("first", "first", "second", "second", "third", "alpha")
+    val label = Seq("1", "1", "2", "2", "3", "4")
+    val syn = Seq("1", "one", "2", "two", "3", "4")
+    val mt = Seq("int", "text", "int", "text", "int", "int")
+    idx.indices.map(i => OntologyRow(parser, EntityClass, idx(i), label(i), syn(i), mt(i), "f"))
+  }
+
+  def withTarget(parser: String): Seq[OntologyRow] =
+    defaultRows(parser) :+
+      OntologyRow(parser, EntityClass, TargetSynonym, TargetSynonym, TargetSynonym, "x", "f")
+
+  def build(rows: Seq[OntologyRow], curations: Seq[Curation],
+            actions: Seq[GlobalAction] = Seq.empty): Gazetteer =
+    GazetteerBuilder.buildLocal(rows, curations, actions, sourceFn = fixedSource)
+
+  def termCount(g: Gazetteer, parser: String): Int = g.termsByParser(parser).size
+
+  def idSet(ids: String*): Seq[EquivIdSet] =
+    Seq(EquivIdSet(ids.map(IdAndSource(_, Source))))
+
+  test("add synonym term to parser (ADD_FOR_LINKING_ONLY with id set)") {
+    val curation = Curation(ParserName, TargetSynonym, MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.ADD_FOR_LINKING_ONLY, caseSensitive = false, Some(idSet("first")), None)
+    val g = build(defaultRows(ParserName) ++ defaultRows(NoopParser), Seq(curation))
+    assert(termCount(g, ParserName) == termCount(g, NoopParser) + 1)
+  }
+
+  test("drop ids from parser via global action") {
+    val g = build(withTarget(ParserName) ++ withTarget(NoopParser), Seq.empty,
+      Seq(GlobalAction(ParserName, Seq("first"))))
+    // 'first' is the only id of syns '1' and 'one' -> both terms dropped
+    assert(termCount(g, ParserName) + 2 == termCount(g, NoopParser))
+  }
+
+  test("global action also modifies curation override id sets") {
+    val curation = Curation(ParserName, TargetSynonym, MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false,
+      Some(Seq(
+        EquivIdSet(Seq(IdAndSource("first", Source))),
+        EquivIdSet(Seq(IdAndSource("second", Source))))), None)
+    val g = build(defaultRows(ParserName) ++ defaultRows(NoopParser), Seq(curation),
+      Seq(GlobalAction(ParserName, Seq("first"))))
+    assert(termCount(g, ParserName) + 1 == termCount(g, NoopParser))
+    // no synonym of 'first' remains
+    assert(g.synsForId.getOrElse((ParserName, "first"), Seq.empty).isEmpty)
+    // the curated term carries only the surviving id
+    val t = g.term(ParserName,
+      graft.text.StringNormalizer.normalize(TargetSynonym, EntityClass)).get
+    assert(t.idSets.flatMap(_.ids) == Seq("second"))
+  }
+
+  test("curation with nonexistent id does not modify the existing term") {
+    val curation = Curation(ParserName, TargetSynonym, MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.ADD_FOR_LINKING_ONLY, caseSensitive = false, Some(idSet("I do not exist")), None)
+    val g = build(withTarget(ParserName) ++ withTarget(NoopParser), Seq(curation))
+    assert(termCount(g, ParserName) == termCount(g, NoopParser))
+    val t = g.term(ParserName,
+      graft.text.StringNormalizer.normalize(TargetSynonym, EntityClass)).get
+    assert(t.idSets.size == 1)
+    assert(!t.idSets.head.ids.contains("I do not exist"))
+  }
+
+  test("curation overrides the id set of an existing term") {
+    val curation = Curation(ParserName, TargetSynonym, MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.ADD_FOR_LINKING_ONLY, caseSensitive = false, Some(idSet("second")), None)
+    val g = build(withTarget(ParserName), Seq(curation))
+    val t = g.term(ParserName,
+      graft.text.StringNormalizer.normalize(TargetSynonym, EntityClass)).get
+    assert(t.idSets.size == 1)
+    assert(t.idSets.head.ids.contains("second"))
+    assert(!t.idSets.head.ids.contains("first"))
+  }
+
+  test("matching id set on existing term is a no-op") {
+    // target synonym already maps to id TARGET_SYNONYM; curating the same
+    // id set changes nothing
+    val curation = Curation(ParserName, TargetSynonym, MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.ADD_FOR_LINKING_ONLY, caseSensitive = false, Some(idSet(TargetSynonym)), None)
+    val g = build(withTarget(ParserName) ++ withTarget(NoopParser), Seq(curation))
+    assert(termCount(g, ParserName) == termCount(g, NoopParser))
+  }
+
+  test("conflicting override id sets raise") {
+    val c1 = Curation(ParserName, TargetSynonym, MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.ADD_FOR_LINKING_ONLY, caseSensitive = false, Some(idSet("first")), None)
+    val c2 = c1.copy(idSets = Some(idSet("second")))
+    assertThrows[IllegalStateException] {
+      build(withTarget(ParserName), Seq(c1, c2))
+    }
+  }
+
+  test("DROP_SYNONYM_TERM_FOR_LINKING removes the term") {
+    val curation = Curation(ParserName, "one", MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.DROP_SYNONYM_TERM_FOR_LINKING, caseSensitive = false, None, None)
+    val g = build(defaultRows(ParserName) ++ defaultRows(NoopParser), Seq(curation))
+    assert(termCount(g, ParserName) + 1 == termCount(g, NoopParser))
+    assert(g.term(ParserName, graft.text.StringNormalizer.normalize("one", EntityClass)).isEmpty)
+  }
+
+  test("case/confidence conflict adopts the conservative confidence") {
+    // same lowercased synonym, case-insensitive POSSIBLE + case-sensitive
+    // HIGHLY_LIKELY: a CI curation with lower confidence forces all to the
+    // CI minimum (ref resolve_case_conflicts, base.py:473-524)
+    val ci = Curation(ParserName, "three", MentionConfidence.POSSIBLE,
+      Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, Some(idSet("third")), None)
+    val cs = Curation(ParserName, "Three", MentionConfidence.HIGHLY_LIKELY,
+      Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = true, Some(idSet("third")), None)
+    val g = build(defaultRows(ParserName), Seq(ci, cs))
+    assert(g.nerCurations.nonEmpty)
+    assert(g.nerCurations.forall(_.mentionConfidence == MentionConfidence.POSSIBLE))
+  }
+}
