@@ -111,7 +111,7 @@ object ScalingBench {
   /** Gazetteer-scale stress: build the shared automaton from `nTerms`
     * synthetic synonyms (realistic large-ontology scale, ~19 KBs in the
     * reference), then measure scan throughput. */
-  def gazetteerStress(nTerms: Int, nDocs: Int, cores: Int): Unit = {
+  def gazetteerStress(nTerms: Int, nDocs: Int, cores: Int, wordsPerDoc: Int = 60): Unit = {
     import graft.gazetteer._
     import graft.core.MentionConfidence
     // deterministic multi-token terms over a letter vocabulary
@@ -149,7 +149,7 @@ object ScalingBench {
     val docs = spark.range(nDocs).repartition(cores * 4).as[Long].mapPartitions(_.map { i =>
       val r = new CorpusGen.Rng(31L + i)
       val sb = new StringBuilder
-      (0 until 60).foreach { _ =>
+      (0 until wordsPerDoc).foreach { _ =>
         if (sb.nonEmpty) sb.append(' ')
         if (r.nextInt(10) == 0) sb.append(termSyns(r.nextInt(termSyns.length)))
         else sb.append(word(r))
@@ -167,7 +167,8 @@ object ScalingBench {
     val tScan = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"gazetteer_stress","n_terms":$nTerms,"n_docs":$nDocs,"cores":$cores,""" +
       s""""gazetteer_build_sec":$tGaz,"automaton_build_sec":$tAuto,""" +
-      s""""scan_sec":$tScan,"docs_per_sec":${nDocs / tScan},"mentions":$nMentions}""")
+      s""""scan_sec":$tScan,"docs_per_sec":${nDocs / tScan},"mentions":$nMentions,""" +
+      s""""words_per_doc":$wordsPerDoc,"approx_mb_per_sec":${nDocs.toDouble * wordsPerDoc * 7 / 1e6 / tScan}}""")
     spark.stop()
   }
 
@@ -211,7 +212,8 @@ object ScalingBench {
       gazetteerStress(
         args.lift(1).map(_.toInt).getOrElse(100000),
         args.lift(2).map(_.toInt).getOrElse(200000),
-        args.lift(3).map(_.toInt).getOrElse(32))
+        args.lift(3).map(_.toInt).getOrElse(32),
+        args.lift(4).map(_.toInt).getOrElse(60))
       return
     }
     if (args.headOption.contains("phases")) {

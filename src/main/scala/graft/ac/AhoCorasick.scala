@@ -135,8 +135,23 @@ final case class AcEntry(
     parsers: Seq[String]
 )
 
+/** Precomputed per-key, per-entity-class payload: the static parts of
+  * mention construction (candidates, max confidence) resolved at build
+  * time; only case-sensitive entries need per-hit evaluation.
+  */
+final case class ClassPayload(
+    entityClass: String,
+    /** entries with case_sensitive = true (checked per hit). */
+    caseSensitiveEntries: Array[AcEntry],
+    /** static candidates from case-insensitive entries. */
+    baseCandidates: Array[Candidate],
+    /** per-parser max confidence from case-insensitive entries (merged with
+      * case-sensitive survivors per hit). */
+    baseConfidences: Map[String, Int]
+) extends Serializable
+
 /** The broadcastable dictionary-NER artifact. */
-final case class NerDictionary(automaton: AhoCorasick, payloads: Array[Array[AcEntry]])
+final case class NerDictionary(automaton: AhoCorasick, payloads: Array[Array[ClassPayload]])
     extends Serializable
 
 object DictionaryNer {
@@ -146,7 +161,9 @@ object DictionaryNer {
   /** Build the shared automaton across all parsers from NER curations.
     * Mirror of _create_automaton (memory_efficient_string_matching.py:
     * 44-95): key = curated_synonym.lower(); payload groups (entity_class,
-    * confidence, case_sensitive, term_norm, original_case) -> parser set.
+    * confidence, case_sensitive, term_norm, original_case) -> parser set,
+    * then pre-grouped by entity class with the case-insensitive parts
+    * resolved to static candidates.
     */
   def buildDictionary(gaz: Gazetteer): NerDictionary = {
     val keyToInfo = scala.collection.mutable.LinkedHashMap
@@ -164,64 +181,82 @@ object DictionaryNer {
     }
     val keys = keyToInfo.keys.toArray.sorted
     val payloads = keys.map { key =>
-      keyToInfo(key).map { case ((cls, conf, cs, norm, orig), parsers) =>
+      val entries = keyToInfo(key).map { case ((cls, conf, cs, norm, orig), parsers) =>
         AcEntry(cls, conf, cs, norm, orig, parsers.toSeq)
       }.toArray
+      entries.groupBy(_.entityClass).toArray.sortBy(_._1).map { case (cls, classEntries) =>
+        val (cs, ci) = classEntries.partition(_.caseSensitive)
+        val baseCandidates = scala.collection.mutable.LinkedHashSet.empty[Candidate]
+        val baseConf = scala.collection.mutable.Map.empty[String, Int]
+        for (e <- ci; parser <- e.parsers) {
+          baseConf(parser) = math.max(baseConf.getOrElse(parser, Int.MinValue), e.confidence)
+          baseCandidates += Candidate(parser, e.termNorm, None, None, exactMatch = true)
+        }
+        ClassPayload(cls, cs, baseCandidates.toArray, baseConf.toMap)
+      }
     }
     NerDictionary(AhoCorasick.build(keys), payloads)
   }
 
   /** Scan one document's text; emit mentions. Mirror of _process_automaton
-    * (memory_efficient_string_matching.py:108-191): lowercase scan with
-    * token-boundary validity, per-entry case filter, per-entity-class
-    * grouping with max-confidence conflict resolution, exact-match
-    * candidates attached from the synonym table.
+    * (memory_efficient_string_matching.py:108-191). `normMemo` (optional)
+    * caches match_norm per (text, class) — one per partition replaces the
+    * reference's normalizer lru_cache.
     */
-  def scanText(dict: NerDictionary, docId: String, text: String): Seq[Mention] = {
+  def scanText(
+      dict: NerDictionary,
+      docId: String,
+      text: String,
+      normMemo: scala.collection.mutable.Map[(String, String), String] = null
+  ): Seq[Mention] = {
     val (starts, ends) = Tokenizer.boundarySets(text)
     val matchable = text.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+
+    def norm(matchText: String, cls: String): String =
+      if (normMemo == null) graft.text.StringNormalizer.normalize(matchText, cls)
+      else normMemo.getOrElseUpdate((matchText, cls),
+        graft.text.StringNormalizer.normalize(matchText, cls))
 
     dict.automaton.scan(matchable) { (endIndex, keyIdx) =>
       val key = dict.automaton.keys(keyIdx)
       val startIndex = endIndex - key.length + 1
       if (starts.get(startIndex) && ends.get(endIndex)) {
         val matchedText = text.substring(startIndex, endIndex + 1)
-        val entries = dict.payloads(keyIdx)
-        // group by entity class, sorted (sort_then_group ref :124-126)
-        val byClass = entries.groupBy(_.entityClass).toSeq.sortBy(_._1)
-        for ((entityClass, classEntries) <- byClass) {
-          val candidates = scala.collection.mutable.LinkedHashSet.empty[Candidate]
-          val confidences = scala.collection.mutable.Map.empty[String, Int]
-          for (e <- classEntries) {
-            val caseOk = !e.caseSensitive || matchedText == e.originalCase
-            if (caseOk) {
-              for (parser <- e.parsers) {
-                confidences(parser) = math.max(confidences.getOrElse(parser, Int.MinValue), e.confidence)
-                candidates += Candidate(parser, e.termNorm, None, None, exactMatch = true)
-              }
+        val classPayloads = dict.payloads(keyIdx)
+        var ci = 0
+        while (ci < classPayloads.length) {
+          val p = classPayloads(ci)
+          // fast path: no case-sensitive entries -> static candidates
+          if (p.caseSensitiveEntries.isEmpty) {
+            if (p.baseCandidates.nonEmpty) {
+              out += Mention(docId, startIndex, endIndex + 1,
+                Seq(Span(startIndex, endIndex + 1)), matchedText,
+                norm(matchedText, p.entityClass), p.entityClass, Namespace,
+                p.baseConfidences.values.max,
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(p.baseCandidates), Seq.empty)
+            }
+          } else {
+            // merge case-sensitive survivors with the static base
+            val candidates = scala.collection.mutable.LinkedHashSet.empty[Candidate]
+            candidates ++= p.baseCandidates
+            val confidences = scala.collection.mutable.Map.empty[String, Int]
+            confidences ++= p.baseConfidences
+            for (e <- p.caseSensitiveEntries if matchedText == e.originalCase; parser <- e.parsers) {
+              confidences(parser) = math.max(confidences.getOrElse(parser, Int.MinValue), e.confidence)
+              candidates += Candidate(parser, e.termNorm, None, None, exactMatch = true)
+            }
+            if (candidates.nonEmpty) {
+              out += Mention(docId, startIndex, endIndex + 1,
+                Seq(Span(startIndex, endIndex + 1)), matchedText,
+                norm(matchedText, p.entityClass), p.entityClass, Namespace,
+                confidences.values.max, candidates.toSeq, Seq.empty)
             }
           }
-          if (candidates.nonEmpty) {
-            val chosenConf = confidences.values.max
-            out += Mention(
-              docId = docId,
-              start = startIndex,
-              end = endIndex + 1,
-              spans = Seq(Span(startIndex, endIndex + 1)),
-              matchText = matchedText,
-              matchNorm = "", // filled by caller with entity-class-aware normalize
-              entityClass = entityClass,
-              namespace = Namespace,
-              confidence = chosenConf,
-              candidates = candidates.toSeq,
-              mappings = Seq.empty
-            )
-          }
+          ci += 1
         }
       }
     }
-    // derive matchNorm (Entity.__post_init__ analog, data.py:369-371)
-    out.map(m => m.copy(matchNorm = graft.text.StringNormalizer.normalize(m.matchText, m.entityClass))).toSeq
+    out.toSeq
   }
 }

@@ -385,8 +385,63 @@ final case class Gazetteer(
 
 object GazetteerBuilder {
 
-  /** Local (driver-side) build from ontology rows + curations. The Spark
-    * variant with groupBy/agg lives in graft.run.ArtifactJobs. */
+  /** Distributed synonym resolution (G2/G3): the ontology ETL as a Spark
+    * job — normalize, one groupBy shuffle on (parser, syn_norm), per-group
+    * id clustering inside mapGroups. This is the scale path for multi-
+    * million-row KB exports; the result collects to the driver for
+    * curation processing and broadcast (gazetteers are dimension-sized
+    * after grouping).
+    */
+  def resolveSynonymsSpark(
+      rows: org.apache.spark.sql.Dataset[OntologyRow],
+      scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
+      mergeThreshold: Double = 0.70
+  ): org.apache.spark.sql.Dataset[SynTerm] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(r => (r.parserName, r.entityClass, StringNormalizer.normalize(r.syn, r.entityClass)))
+      .mapGroups { (key: (String, String, String), it: Iterator[OntologyRow]) =>
+        val group = it.map(r => (r.syn, r.idx, r.mappingType, r.defaultLabel)).toSeq
+        SynonymResolver.resolveGroup(key._1, key._2, key._3, group, scorer, mergeThreshold)
+      }
+  }
+
+  /** Full distributed build: Spark synonym resolution + driver-side
+    * curation processing, producing the broadcastable Gazetteer. */
+  def buildSpark(
+      rows: org.apache.spark.sql.Dataset[OntologyRow],
+      curations: Seq[Curation],
+      globalActions: Seq[GlobalAction] = Seq.empty,
+      scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
+      mergeThreshold: Double = 0.70
+  ): Gazetteer = {
+    import rows.sparkSession.implicits._
+    val resolved = resolveSynonymsSpark(rows, scorer, mergeThreshold).collect()
+    val meta = rows
+      .groupByKey(r => (r.parserName, r.idx))
+      .mapGroups { (key: (String, String), it: Iterator[OntologyRow]) =>
+        val r = it.next()
+        (key._1, key._2, r.defaultLabel, r.dataOrigin, r.entityClass)
+      }.collect()
+    val entityClassByParser = meta.map(m => m._1 -> m._5).toMap
+    val metadata = meta.map(m => (m._1, m._2) -> IdMeta(m._3, m._4, None)).toMap
+
+    val termsByParser = scala.collection.mutable.Map.empty[String, Map[String, SynTerm]]
+    val nerCurations = scala.collection.mutable.ArrayBuffer.empty[Curation]
+    for ((parser, terms) <- resolved.groupBy(_.parserName).toSeq.sortBy(_._1)) {
+      val entityClass = entityClassByParser(parser)
+      val proc = new CurationProcessor(parser, entityClass,
+        globalActions.find(_.parserName == parser),
+        curations.filter(_.parserName == parser), terms.toSeq)
+      val (processedCurations, finalTerms) = proc.run()
+      val termMap = finalTerms.map(t => t.termNorm -> t).toMap
+      termsByParser(parser) = termMap
+      nerCurations ++= CurationTools.filterCurationsForNer(processedCurations, entityClass, termMap)
+    }
+    Gazetteer(entityClassByParser, termsByParser.toMap, metadata, nerCurations.toSeq)
+  }
+
+  /** Local (driver-side) build from ontology rows + curations. */
   def buildLocal(
       rows: Seq[OntologyRow],
       curations: Seq[Curation],

@@ -71,10 +71,11 @@ object KgPipeline {
         val byClass: Map[String, Seq[DictionaryIndex]] =
           art.indexes.values.toSeq.sortBy(_.parserName).groupBy(_.entityClass)
         val linkMemo = scala.collection.mutable.HashMap.empty[(String, String), Seq[Candidate]]
+        val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
 
         rows.map { d =>
           // 1. dictionary NER (N1)
-          var mentions = DictionaryNer.scanText(art.dict, d.docId, d.content)
+          var mentions = DictionaryNer.scanText(art.dict, d.docId, d.content, normMemo)
           // 2. dictionary linking for non-dictionary namespaces (L1-L3)
           mentions = mentions.map { m =>
             if (LinkingStep.DefaultSkipNamespaces.contains(m.namespace)) m

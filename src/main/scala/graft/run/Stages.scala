@@ -76,8 +76,10 @@ object Stages {
       .filter((d: Doc) => d.error.isEmpty)
       .mapPartitions { rows =>
         val dict = bcDict.value
+        val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
         rows.map { d =>
-          DocMentions(d.docId, d.contentSha, DictionaryNer.scanText(dict, d.docId, d.content))
+          DocMentions(d.docId, d.contentSha,
+            DictionaryNer.scanText(dict, d.docId, d.content, normMemo))
         }
       }
   }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.ac.DictionaryNer
+import graft.core._
+import graft.datagen.CorpusGen
+import graft.gazetteer._
+import graft.post.MergeOverlaps
+import graft.text.StringNormalizer
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5.2 item 4): normalizer idempotence,
+  * AC-scan offsets always slice to the match text, interval merge yields
+  * non-overlapping spans, dedup estimators bounded.
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  val word: Gen[String] = Gen.chooseNum(1, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  val phrase: Gen[String] = Gen.chooseNum(1, 4).flatMap(n =>
+    Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  val entityClass: Gen[String] =
+    Gen.oneOf("", "gene", "disease", "anatomy", "company")
+
+  test("normalize is idempotent for symbolic outputs and stable") {
+    check(Prop.forAll(phrase, entityClass) { (s, cls) =>
+      val once = StringNormalizer.normalize(s, cls)
+      val twice = StringNormalizer.normalize(once, cls)
+      // stability: normalizing a normalized string converges by the 2nd app
+      StringNormalizer.normalize(twice, cls) == twice
+    })
+  }
+
+  test("classifySymbolic is deterministic") {
+    check(Prop.forAll(phrase, entityClass) { (s, cls) =>
+      StringNormalizer.classifySymbolic(s, cls) == StringNormalizer.classifySymbolic(s, cls)
+    })
+  }
+
+  test("AC scan offsets always slice back to the matched text") {
+    // random gazetteer of random lowercase terms + random text over the
+    // same vocabulary (so hits occur)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "kappa", "zz", "qq")
+    val textGen = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val termGen = Gen.someOf(vocab).suchThat(_.nonEmpty)
+    check(Prop.forAll(textGen, termGen) { (text, terms) =>
+      val rows = terms.toSeq.map(t =>
+        OntologyRow("p", "cls", s"ID_$t", t, t, "name", "f"))
+      val curations = terms.toSeq.map(t => Curation("p", t,
+        MentionConfidence.HIGHLY_LIKELY, Behaviour.ADD_FOR_NER_AND_LINKING,
+        caseSensitive = false, None, None))
+      val gaz = GazetteerBuilder.buildLocal(rows, curations)
+      val dict = DictionaryNer.buildDictionary(gaz)
+      val ms = DictionaryNer.scanText(dict, "d", text)
+      ms.forall(m => text.substring(m.start, m.end) == m.matchText)
+    })
+  }
+
+  test("interval merge produces non-overlapping contiguous mentions") {
+    val mentionGen: Gen[Mention] = for {
+      start <- Gen.chooseNum(0, 200)
+      len <- Gen.chooseNum(1, 30)
+      cls <- Gen.oneOf("a", "b", "c")
+      mapped <- Gen.oneOf(true, false)
+    } yield Mention("d", start, start + len, Seq(Span(start, start + len)),
+      "x" * len, "X", cls, "ns", 100, Seq.empty,
+      if (mapped) Seq(Mapping("p", "S", "I", "l", "s", "HIGHLY_LIKELY", None, None, None))
+      else Seq.empty)
+    check(Prop.forAll(Gen.listOfN(15, mentionGen)) { ms =>
+      val merged = MergeOverlaps.process(ms).filter(_.spans.size == 1).sortBy(_.start)
+      merged.sliding(2).forall {
+        case Seq(a, b) => a.end <= b.start
+        case _ => true
+      }
+    })
+  }
+
+  test("minhash similarity estimate is within [0,1] and exact for identical") {
+    check(Prop.forAll(phrase) { s =>
+      val sh = graft.ops.Hashing.wordShingles(s, 2)
+      val sig = graft.ops.Dedup.minhashSignature(sh, 32)
+      val sig2 = graft.ops.Dedup.minhashSignature(sh, 32)
+      sig.sameElements(sig2) && graft.ops.Hashing.jaccard(sh, sh) == 1.0
+    })
+  }
+
+  test("corpus generator is deterministic across calls") {
+    val a = CorpusGen.generate(30)
+    val b = CorpusGen.generate(30)
+    assert(a.map(_.row) == b.map(_.row))
+    assert(a.flatMap(_.goldTriples) == b.flatMap(_.goldTriples))
+  }
+
+  test("spark gazetteer build matches local build") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val rows = CorpusGen.ontologyRows
+    val local = GazetteerBuilder.buildLocal(rows, CorpusGen.curations)
+    val dist = GazetteerBuilder.buildSpark(spark.createDataset(rows), CorpusGen.curations)
+    assert(dist.termsByParser.keySet == local.termsByParser.keySet)
+    for ((parser, terms) <- local.termsByParser) {
+      val dterms = dist.termsByParser(parser)
+      assert(dterms.keySet == terms.keySet, s"term norms differ for $parser")
+      for ((norm, t) <- terms) {
+        val dt = dterms(norm)
+        assert(dt.idSets.map(_.canonical).toSet == t.idSets.map(_.canonical).toSet, s"$parser/$norm")
+        assert(dt.isSymbolic == t.isSymbolic)
+      }
+    }
+    assert(dist.nerCurations.toSet == local.nerCurations.toSet)
+  }
+}
