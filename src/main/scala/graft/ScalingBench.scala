@@ -224,8 +224,11 @@ object ScalingBench {
     val low = args.lift(1).map(_.toInt).getOrElse(8)
     val high = args.lift(2).map(_.toInt).getOrElse(32)
 
-    val tLow = runOnce(low, nDocs)
+    // measure HIGH first: JIT/profile state accumulated in this JVM then
+    // benefits the LOW run, which biases the efficiency estimate DOWN
+    // (conservative). Per-level timing is already best-of-3 in-session.
     val tHigh = runOnce(high, nDocs)
+    val tLow = runOnce(low, nDocs)
     val dpsLow = nDocs / tLow
     val dpsHigh = nDocs / tHigh
     val speedup = tLow / tHigh

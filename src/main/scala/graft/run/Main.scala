@@ -1,0 +1,84 @@
+package graft.run
+
+import graft.gazetteer.{Curation, GazetteerBuilder}
+import graft.graph.{TripleSink, XrefManager}
+import graft.sources.OntologySources
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** spark-submit entry point: the production driver for the KG-construction
+  * pipeline (north rule: "runs via spark-submit on a multi-executor
+  * cluster").
+  *
+  * Usage:
+  *   spark-submit --class graft.run.Main <jar> \
+  *     --corpus <parquet path with (repo,path,commit,lang,content)> \
+  *     --ontology-tsv <4-column tsv path> --entity-class <class> \
+  *     --out <output dir> [--checkpoint <dir>] [--quarantine <dir>]
+  *
+  * Every stage is checkpointed when --checkpoint is given, so re-running
+  * the same command resumes from the last committed stage.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val corpusPath = opts.getOrElse("--corpus", sys.error("--corpus required"))
+    val outPath = opts.getOrElse("--out", sys.error("--out required"))
+    val ontologyTsv = opts.get("--ontology-tsv")
+    val entityClass = opts.getOrElse("--entity-class", "concept")
+    val checkpointDir = opts.get("--checkpoint")
+    val quarantinePath = opts.get("--quarantine")
+
+    val spark = SparkSession.builder()
+      .appName("graft-kg-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // artifacts: ontology -> gazetteer (Spark ETL) -> broadcast
+    val gaz = ontologyTsv match {
+      case Some(path) =>
+        val rows = OntologySources.readTabular(spark, path, "main_onto", entityClass)
+        GazetteerBuilder.buildSpark(rows, autoCurations(rows.collect().toSeq))
+      case None => graft.datagen.CorpusGen.gazetteer // demo fixture
+    }
+    val xref = if (ontologyTsv.isEmpty)
+      Some(XrefManager.fromEdges(graft.datagen.CorpusGen.xrefEdges,
+        graft.datagen.CorpusGen.xrefSourceToParser))
+    else None
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(gaz, xref))
+
+    val corpus = spark.read.parquet(corpusPath)
+
+    def pipeline() = {
+      val docs = Stages.saltedRebalance(
+        Stages.ingest(corpus)(spark),
+        math.max(spark.sparkContext.defaultParallelism * 2, 2))
+      quarantinePath.foreach(q =>
+        Stages.quarantine(docs).write.mode(SaveMode.Overwrite).parquet(q))
+      KgPipeline.triples(docs, bc)
+    }
+
+    checkpointDir match {
+      case Some(dir) =>
+        val ckpt = new Checkpointer(spark, dir)
+        val triples = ckpt.stage("triples")(pipeline())
+        TripleSink.write(triples, outPath)
+        println(s"[graft] wrote ${triples.count()} triples to $outPath (checkpoints: $dir)")
+      case None =>
+        val triples = pipeline()
+        TripleSink.write(triples, outPath)
+        println(s"[graft] wrote ${spark.read.parquet(outPath).count()} triples to $outPath")
+    }
+    spark.stop()
+  }
+
+  private def autoCurations(rows: Seq[graft.gazetteer.OntologyRow]): Seq[Curation] =
+    rows.map(r => (r.syn, r.parserName)).distinct.map { case (syn, parser) =>
+      Curation(parser, syn, graft.core.MentionConfidence.HIGHLY_LIKELY,
+        graft.gazetteer.Behaviour.ADD_FOR_NER_AND_LINKING,
+        caseSensitive = false, None, None)
+    }
+}
