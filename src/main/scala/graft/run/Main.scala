@@ -29,11 +29,14 @@ object Main {
     val checkpointDir = opts.get("--checkpoint")
     val quarantinePath = opts.get("--quarantine")
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-kg-pipeline")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .getOrCreate()
+    // spark-submit injects the master; default to local[*] when launched
+    // directly (e.g. sbt runMain)
+    val spark = (if (new org.apache.spark.SparkConf().contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
