@@ -1,0 +1,40 @@
+package graft.disambig
+
+import graft.core._
+import graft.link.{SparseVec, TfIdfVectorizer}
+import graft.text.Tokenizer
+
+/** Standalone entity-class disambiguation (M16): score each mention's
+  * sentence context against class-specific relevant-text profiles with
+  * TF-IDF cosine; drop mentions of configured classes whose context scores
+  * below the threshold. Analog of EntityClassDisambiguationStep
+  * (/root/reference/kazu/steps/linking/entity_class_disambiguation.py:
+  * 34-193) — doc-local, broadcastable profile artifact.
+  */
+final class EntityClassDisambiguation(
+    relevantText: Map[String, Seq[String]],
+    threshold: Double = 0.1
+) extends Serializable {
+
+  private val vectorizer: TfIdfVectorizer =
+    new TfIdfVectorizer("word1").fit(relevantText.values.flatten.toSeq.sorted)
+
+  private val classVectors: Map[String, SparseVec] =
+    relevantText.map { case (cls, texts) => cls -> vectorizer.transform(texts.mkString(" ")) }
+
+  def process(text: String, mentions: Seq[Mention]): Seq[Mention] = {
+    if (classVectors.isEmpty) return mentions
+    lazy val sentences = Tokenizer.sentenceSpans(text)
+    mentions.filter { m =>
+      classVectors.get(m.entityClass) match {
+        case None => true // class not configured: keep
+        case Some(classVec) =>
+          val sent = sentences.find(s => s.start <= m.start && m.start < s.end)
+            .getOrElse(Span(0, text.length))
+          val ctx = vectorizer.transform(text.substring(sent.start, sent.end)
+            .toLowerCase(java.util.Locale.ROOT))
+          ctx.dot(classVec) >= threshold
+      }
+    }
+  }
+}

@@ -263,7 +263,7 @@ final class StrategyRunner(
 
   // ---- mapping strategies (mapping_strategies/strategies.py) ----
 
-  private def runStrategy(
+  private[graft] def runStrategy(
       spec: StrategySpec,
       ref: Mention,
       parser: String,

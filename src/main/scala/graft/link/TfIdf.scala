@@ -32,6 +32,7 @@ final class TfIdfVectorizer(val analyzerKind: String) extends Serializable {
 
   def analyze(s: String): Array[String] = analyzerKind match {
     case "char2" => Ngrams.charNgrams(s, 2)
+    case "word1" => s.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
     case "word12char23" =>
       Ngrams.wordNgrams(s, 1) ++ Ngrams.wordNgrams(s, 2) ++
         Ngrams.charNgrams(s, 2) ++ Ngrams.charNgrams(s, 3)

@@ -1,0 +1,152 @@
+package graft
+
+import graft.core._
+import graft.disambig.{CandTerm, ContextScorer, StrategyRunner, StrategySpec}
+import graft.gazetteer._
+import graft.text.StringNormalizer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mapping-strategy cases ported from
+  * /root/reference/kazu/tests/test_mapping_strategies.py using the p27
+  * fixture from the reference conftest (ids 1=CDKN1B, 2=PAK2, 3=ZNRD2 with
+  * overlapping synonym 'p27'). check_correct_terms_selected semantics: the
+  * produced mappings' (parser, idx) set equals the target terms' id set.
+  */
+class MappingStrategiesSpec extends AnyFunSuite {
+
+  val Parser = "test_tfidf_parser"
+  val Cls = "test"
+  val src: (String, String) => String = (_, _) => Parser
+
+  val rows: Seq[OntologyRow] = {
+    val idx = Seq("1", "1", "1", "2", "2", "2", "3", "3", "3")
+    val label = Seq("CDKN1B", "CDKN1B", "CDKN1B", "PAK2", "PAK2", "PAK2", "ZNRD2", "ZNRD2", "ZNRD2")
+    val syn = Seq(
+      "cyclin-dependent kinase inhibitor 1B (p27, Kip1)", "CDKN1B", "p27",
+      "PAK-2p27", "p27", "PAK2",
+      "Autoantigen p27", "ZNRD2", "p27")
+    idx.indices.map(i => OntologyRow(Parser, Cls, idx(i), label(i), syn(i), "", "f"))
+  }
+
+  val gaz: Gazetteer = GazetteerBuilder.buildLocal(rows, Seq.empty, sourceFn = src)
+  val runner = new StrategyRunner(gaz, ContextScorer.build(gaz))
+
+  def term(norm: String): SynTerm = gaz.term(Parser, norm).getOrElse(
+    fail(s"missing term $norm; have ${gaz.termsByParser(Parser).keys}"))
+
+  def candsOf(terms: Seq[SynTerm], exact: Set[String] = Set.empty,
+              scores: Map[String, Double] = Map.empty): Seq[CandTerm] =
+    terms.map(t => CandTerm(
+      Candidate(Parser, t.termNorm, scores.get(t.termNorm), None, exact.contains(t.termNorm)), t))
+
+  def mention(text: String): Mention = {
+    val norm = StringNormalizer.normalize(text, Cls)
+    Mention("d", 0, text.length, Seq(Span(0, text.length)), text, norm, Cls, "ns",
+      MentionConfidence.HIGHLY_LIKELY, Seq.empty, Seq.empty)
+  }
+
+  def run(spec: StrategySpec, m: Mention, cands: Seq[CandTerm]): Seq[Mapping] =
+    runner.runStrategy(spec, m, Parser, cands, Array(m),
+      Array.fill(1)(scala.collection.mutable.LinkedHashSet.empty[Mapping]))
+
+  def mappingIds(ms: Seq[Mapping]): Set[String] = ms.map(_.idx).toSet
+
+  val noDisambig: Seq[graft.disambig.DisambigSpec] = Seq.empty
+
+  test("ExactMatch selects the exact-match term (all its id sets)") {
+    val allTerms = gaz.termsByParser(Parser).values.toSeq
+    val m = mention("p27")
+    val target = term(StringNormalizer.normalize("p27", Cls))
+    val cands = candsOf(allTerms, exact = Set(target.termNorm))
+    val ms = run(StrategySpec("ExactMatch", "HIGHLY_LIKELY", noDisambig), m, cands)
+    // 'p27' is shared by all three ids -> all three mapped (no disambig)
+    assert(mappingIds(ms) == target.idSets.flatMap(_.ids).toSet)
+    assert(mappingIds(ms) == Set("1", "2", "3"))
+  }
+
+  test("SymbolMatch: PAK-2p27 matches only the PAK-2p27 term") {
+    val allTerms = gaz.termsByParser(Parser).values.toSeq
+    val m = mention("PAK-2p27")
+    val target = term(StringNormalizer.normalize("PAK-2p27", Cls))
+    val ms = run(StrategySpec("SymbolMatch", "HIGHLY_LIKELY", noDisambig), m, candsOf(allTerms))
+    assert(mappingIds(ms) == target.idSets.flatMap(_.ids).toSet)
+    assert(mappingIds(ms) == Set("2"))
+  }
+
+  test("TermNormIsSubString: CDKN1B gene -> CDKN1B") {
+    val allTerms = gaz.termsByParser(Parser).values.toSeq
+    val m = mention("CDKN1B gene")
+    val ms = run(StrategySpec("TermNormIsSubString", "HIGHLY_LIKELY", noDisambig), m, candsOf(allTerms))
+    assert(mappingIds(ms) == Set("1"))
+  }
+
+  test("StrongMatch threshold/differential parametrized") {
+    val allTerms = gaz.termsByParser(Parser).values.toSeq
+    // deterministic score per id group: terms containing id 1 -> 100,
+    // id 2 -> 88, id 3 -> 70 (first id of the term decides)
+    val scores: Map[String, Double] = allTerms.map { t =>
+      t.termNorm -> (t.idSets.flatMap(_.ids).min match {
+        case "1" => 100.0
+        case "2" => 88.0
+        case _ => 70.0
+      })
+    }.toMap
+    val m = mention("p27")
+    // (search_threshold=100, differential=0) -> only the 100-scored terms
+    val strict = run(StrategySpec("StrongMatch", "HIGHLY_LIKELY", noDisambig,
+      searchThreshold = 100.0, differential = 0.0), m, candsOf(allTerms, scores = scores))
+    val expectedStrict = allTerms.filter(t => scores(t.termNorm) == 100.0)
+      .flatMap(_.idSets.flatMap(_.ids)).toSet
+    assert(mappingIds(strict) == expectedStrict)
+
+    // (85, 15) -> the 100 and 88 groups
+    val loose = run(StrategySpec("StrongMatch", "HIGHLY_LIKELY", noDisambig,
+      searchThreshold = 85.0, differential = 15.0), m, candsOf(allTerms, scores = scores))
+    val expectedLoose = allTerms.filter(t => scores(t.termNorm) >= 88.0)
+      .flatMap(_.idSets.flatMap(_.ids)).toSet
+    assert(mappingIds(loose) == expectedLoose)
+    assert(mappingIds(strict).subsetOf(mappingIds(loose)))
+  }
+
+  test("StrongMatchLexicalConfirm: Heck vs Neck disease disambiguation") {
+    // the disease fixture (test_mapping_strategies.py:33-49) with the
+    // lexical scorer substituted for SapBERT
+    val dRows = Seq(
+      OntologyRow(Parser, "disease", "1", "Heck's disease", "Heck's disease", "", "f"),
+      OntologyRow(Parser, "disease", "1", "Heck's disease", "Heck disease", "", "f"),
+      OntologyRow(Parser, "disease", "2", "Neck Disease", "Neck Disease", "", "f"))
+    val dGaz = GazetteerBuilder.buildLocal(dRows, Seq.empty, sourceFn = src)
+    val dRunner = new StrategyRunner(dGaz, ContextScorer.build(dGaz))
+    val allTerms = dGaz.termsByParser(Parser).values.toSeq
+
+    def runFor(entMatch: String): Set[String] = {
+      val norm = StringNormalizer.normalize(entMatch, "disease")
+      val m = Mention("d", 0, entMatch.length, Seq(Span(0, entMatch.length)), entMatch,
+        norm, "disease", "ns", MentionConfidence.HIGHLY_LIKELY, Seq.empty, Seq.empty)
+      val cands = allTerms.map(t =>
+        CandTerm(Candidate(Parser, t.termNorm, Some(95.0), None, exactMatch = false), t))
+      val ms = dRunner.runStrategy(
+        StrategySpec("StrongMatchLexicalConfirm", "HIGHLY_LIKELY", Seq.empty,
+          searchThreshold = 90.0, differential = 100.0, lexicalThreshold = 0.60),
+        m, Parser, cands, Array(m),
+        Array.fill(1)(scala.collection.mutable.LinkedHashSet.empty[Mapping]))
+      ms.map(_.idx).toSet
+    }
+    assert(runFor("Neck disease").contains("2"))
+    assert(runFor("Heck disease").contains("1"))
+  }
+
+  test("entity-class disambiguation drops out-of-context mentions (M16)") {
+    val step = new graft.disambig.EntityClassDisambiguation(Map(
+      "disease" -> Seq("patients diagnosed with the disease syndrome symptoms clinical")),
+      threshold = 0.6)
+    val text = "patients diagnosed with heck disease. the compiler heck disease of builds."
+    def m(start: Int) = Mention("d", start, start + 12, Seq(Span(start, start + 12)),
+      "heck disease", "HECK DISEASE", "disease", "ns", 100, Seq.empty, Seq.empty)
+    val clinical = m(text.indexOf("heck disease"))
+    val nonsense = m(text.lastIndexOf("heck disease"))
+    val out = step.process(text, Seq(clinical, nonsense))
+    assert(out.contains(clinical))
+    assert(!out.contains(nonsense))
+  }
+}
