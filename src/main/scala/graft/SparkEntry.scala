@@ -236,6 +236,30 @@ object SparkEntry {
       .limit(20)
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** Running aggregates + lag over an ordered per-user window. */
+  def q6WindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("run_sum"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        row_number().over(w).cast("long").as("rn"))
+  }
+
+  /** Composed curation pipeline: quality filter -> exact dedup -> cluster
+    * counts per language (filter/dedup/aggregate in one plan). */
+  def q7QualityDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val quality = TextAnalysis.qualityColumns(col("text"))
+      .find(_._1 == "quality_score").get._2
+    val kept = docs.filter(quality >= 0.5)
+    kept
+      .groupBy(col("lang"), md5(col("text")).as("content_md5"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("distinct_docs"), sum(col("copies")).as("kept_docs"))
+  }
+
   /** Batch analog of a tumbling-window streaming aggregation (the events
     * table is the stream source; Structured Streaming uses the same
     * window() expression — see graft.streaming). */
@@ -271,6 +295,8 @@ object SparkEntry {
     "q3_setops" -> q3SetOps,
     "q4_string_agg" -> q4StringAgg,
     "q5_sort_limit" -> q5SortLimit,
+    "q6_window_running" -> q6WindowRunning,
+    "q7_quality_dedup" -> q7QualityDedup,
     "events_windowed_agg" -> eventsWindowedAgg
   )
 
@@ -401,6 +427,28 @@ object SparkEntry {
     "q5_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q6_window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events""".stripMargin,
+    "q7_quality_dedup" -> {
+      val en = markerSqlEn.map(w =>
+        s"(len(string_split_regex(' '||lower(text)||' ', '\\s$w\\s'))-1)").mkString(" + ")
+      s"""WITH scored AS (
+         |  SELECT lang, text,
+         |    (CASE WHEN length(text) BETWEEN 50 AND 50000 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN ($en) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS q
+         |  FROM documents),
+         |clusters AS (
+         |  SELECT lang, md5(text) AS m, count(*) AS copies FROM scored WHERE q >= 0.5 GROUP BY 1, 2)
+         |SELECT lang, count(*) AS distinct_docs, CAST(sum(copies) AS BIGINT) AS kept_docs
+         |FROM clusters GROUP BY lang""".stripMargin
+    },
     "events_windowed_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
