@@ -19,7 +19,7 @@ class AcceptanceSpec extends AnyFunSuite {
   val spark = SparkTestBase.spark
   import spark.implicits._
 
-  val nDocs = 300
+  val nDocs = sys.env.getOrElse("GRAFT_ACCEPT_DOCS", "300").toInt
   lazy val gen = CorpusGen.generate(nDocs)
   lazy val result: (Seq[DocMentions], Seq[Doc]) = {
     val corpus = spark.createDataset(gen.map(_.row)).toDF()
