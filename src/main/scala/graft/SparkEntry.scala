@@ -100,16 +100,22 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
       shingleSize = 3, threshold = 0.05)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
 
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLsh(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
       threshold = 0.05)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
       maxHamming = 12)
+      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"), col("hamming"))
 
   // -------------------------------------------------------- similarity ----
 

@@ -158,6 +158,28 @@ object DictionaryNer {
 
   val Namespace = "DictionaryNerStep"
 
+  /** Length-preserving lowercase: per-char Character.toLowerCase. Unlike
+    * String.toLowerCase, special casings that change string length (e.g.
+    * 'İ' U+0130 -> "i̇") cannot shift scan offsets — a shifted offset
+    * would make match spans slice the wrong original text or overrun it.
+    * Used for BOTH automaton keys and scan input so they stay consistent.
+    */
+  def lowerPreserve(s: String): String = {
+    var i = 0
+    var same = true
+    while (same && i < s.length) {
+      if (Character.toLowerCase(s.charAt(i)) != s.charAt(i)) same = false
+      i += 1
+    }
+    if (same) s
+    else {
+      val out = new Array[Char](s.length)
+      var j = 0
+      while (j < s.length) { out(j) = Character.toLowerCase(s.charAt(j)); j += 1 }
+      new String(out)
+    }
+  }
+
   /** Build the shared automaton across all parsers from NER curations.
     * Mirror of _create_automaton (memory_efficient_string_matching.py:
     * 44-95): key = curated_synonym.lower(); payload groups (entity_class,
@@ -173,7 +195,7 @@ object DictionaryNer {
       val termNorm = c.termNormForLinking(entityClass)
       // only curations whose term_norm exists in this parser's final table
       if (gaz.term(c.parserName, termNorm).isDefined) {
-        val key = c.curatedSynonym.toLowerCase(java.util.Locale.ROOT)
+        val key = lowerPreserve(c.curatedSynonym)
         val entityKey = (entityClass, c.mentionConfidence, c.caseSensitive, termNorm, c.curatedSynonym)
         keyToInfo.getOrElseUpdate(key, scala.collection.mutable.LinkedHashMap.empty)
           .getOrElseUpdate(entityKey, scala.collection.mutable.TreeSet.empty) += c.parserName
@@ -210,7 +232,7 @@ object DictionaryNer {
       normMemo: scala.collection.mutable.Map[(String, String), String] = null
   ): Seq[Mention] = {
     val (starts, ends) = Tokenizer.boundarySets(text)
-    val matchable = text.toLowerCase(java.util.Locale.ROOT)
+    val matchable = lowerPreserve(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
 
     def norm(matchText: String, cls: String): String =

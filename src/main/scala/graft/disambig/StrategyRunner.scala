@@ -186,6 +186,10 @@ final class StrategyRunner(
     val mentions = dm.mentions.toArray
     val accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]] =
       Array.fill(mentions.length)(scala.collection.mutable.LinkedHashSet.empty[Mapping])
+    // per-doc TF-IDF document representations, one per parser (the
+    // reference lru_caches these per (document, parser);
+    // disambiguation/strategies.py:189-225)
+    val docVecCache = scala.collection.mutable.Map.empty[String, graft.link.SparseVec]
 
     // sort indices: -confidence then entity key (strategy_runner.py:250-263)
     val sortedIdx = mentions.indices.sortBy { i =>
@@ -209,7 +213,7 @@ final class StrategyRunner(
       }
       for ((idxs, levels) <- Seq((nonSymbolic, cfg.nonSymbolic), (symbolic, cfg.symbolic)) if idxs.nonEmpty) {
         levels.get(confidence).foreach { level =>
-          executeLevel(mentions, idxs.toSeq, level, accMappings)
+          executeLevel(mentions, idxs.toSeq, level, accMappings, docVecCache)
         }
       }
     }
@@ -223,7 +227,8 @@ final class StrategyRunner(
       mentions: Array[Mention],
       idxs: Seq[Int],
       level: LevelExecution,
-      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]]
+      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]],
+      docVecCache: scala.collection.mutable.Map[String, graft.link.SparseVec]
   ): Unit = {
     // group by entity key, preserving sorted order (ref :318-326)
     val groups = scala.collection.mutable.LinkedHashMap.empty[EntityKey, scala.collection.mutable.ArrayBuffer[Int]]
@@ -248,7 +253,7 @@ final class StrategyRunner(
               .flatMap(c => gaz.term(c.parserName, c.termNorm).map(t => CandTerm(c, t)))
               .groupBy(_.cand.parserName)
             for ((parser, cands) <- candsByParser.toSeq.sortBy(_._1)) {
-              val mappings = runStrategy(spec, ref, parser, cands, mentions, accMappings)
+              val mappings = runStrategy(spec, ref, parser, cands, mentions, accMappings, docVecCache)
               if (mappings.nonEmpty) {
                 unresolved -= parser
                 entityMapped(key) = true
@@ -269,7 +274,9 @@ final class StrategyRunner(
       parser: String,
       cands: Seq[CandTerm],
       mentions: Array[Mention],
-      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]]
+      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]],
+      docVecCache: scala.collection.mutable.Map[String, graft.link.SparseVec] =
+        scala.collection.mutable.Map.empty
   ): Seq[Mapping] = {
     val filtered: Seq[CandTerm] = spec.name match {
       case "ExactMatch" => cands.filter(_.cand.exactMatch)
@@ -282,7 +289,7 @@ final class StrategyRunner(
     if (filtered.isEmpty) Seq.empty
     else {
       val (idSets, disambStrategy, disambConfidence) =
-        disambiguateIfRequired(spec, filtered, parser, ref, mentions, accMappings)
+        disambiguateIfRequired(spec, filtered, parser, ref, mentions, accMappings, docVecCache)
       createMappings(idSets, parser, spec, disambStrategy, disambConfidence)
     }
   }
@@ -352,7 +359,8 @@ final class StrategyRunner(
       parser: String,
       ref: Mention,
       mentions: Array[Mention],
-      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]]
+      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]],
+      docVecCache: scala.collection.mutable.Map[String, graft.link.SparseVec]
   ): (Seq[EquivIdSet], Option[String], Option[String]) = {
     val allIdSets: Seq[EquivIdSet] =
       filtered.flatMap(_.term.idSets.map(_.canonical)).distinct
@@ -362,7 +370,7 @@ final class StrategyRunner(
       (allIdSets, None, Some(DisambiguationConfidence.AMBIGUOUS))
     else {
       for (d <- spec.disambig) {
-        val result = runDisambig(d, allIdSets, parser, ref, mentions, accMappings)
+        val result = runDisambig(d, allIdSets, parser, ref, mentions, accMappings, docVecCache)
         if (result.size == 1)
           return (result, Some(d.name), Some(d.confidence))
       }
@@ -377,7 +385,8 @@ final class StrategyRunner(
       parser: String,
       ref: Mention,
       mentions: Array[Mention],
-      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]]
+      accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]],
+      docVecCache: scala.collection.mutable.Map[String, graft.link.SparseVec]
   ): Seq[EquivIdSet] = d.name match {
 
     case "DefinedElsewhere" =>
@@ -393,8 +402,8 @@ final class StrategyRunner(
       // (strategies.py:152-269)
       if (!ctx.hasParser(parser)) Seq.empty
       else {
-        val docText = mentions.map(_.matchNorm).mkString(" ")
-        val docVec = ctx.docRepresentation(parser, docText)
+        val docVec = docVecCache.getOrElseUpdate(parser,
+          ctx.docRepresentation(parser, mentions.map(_.matchNorm).mkString(" ")))
         val synToIdSets = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.LinkedHashSet[EquivIdSet]]
         for (idSet <- idSets; id <- idSet.ids.sorted) {
           for ((syn, agg) <- gaz.synsForId.getOrElse((parser, id), Seq.empty).sorted

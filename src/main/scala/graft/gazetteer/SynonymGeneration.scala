@@ -17,19 +17,27 @@ object SynonymGeneration {
     def apply(s: String): Set[String]
   }
 
-  /** Greek letter <-> spelled-name substitution, both directions
-    * (synonym_generation.py GreekSymbolSubstitution). */
+  /** Greek letter <-> spelled-name substitution, both directions. The
+    * name->char direction requires a word boundary like the reference
+    * (synonym_generation.py _generate_greek_subs only substitutes names
+    * bounded by space/dash) — otherwise "eta" inside "beta" would corrupt
+    * the synonym. */
   final case class GreekSymbolSubstitution() extends Generator {
     val name = "GreekSymbolSubstitution"
     private val charToName = LanguagePhenomena.GREEK_SUBS.toMap
-    private val nameToChar: Map[String, Char] =
-      LanguagePhenomena.GREEK_SUBS.filter(_._1.isLower).map(_.swap).toMap
+    private val nameToChar: Seq[(String, Char)] =
+      LanguagePhenomena.GREEK_SUBS.filter(_._1.isLower).map(_.swap)
+        .toMap.toSeq.sortBy(_._1)
     def apply(s: String): Set[String] = {
       val out = scala.collection.mutable.Set.empty[String]
       for ((ch, nm) <- charToName if s.indexOf(ch.toInt) >= 0)
         out += s.replace(ch.toString, nm)
-      for ((nm, ch) <- nameToChar if s.contains(nm))
-        out += s.replace(nm, ch.toString)
+      for ((nm, ch) <- nameToChar) {
+        val p = java.util.regex.Pattern.compile(
+          "(?<![A-Za-z])" + java.util.regex.Pattern.quote(nm) + "(?![A-Za-z])")
+        val m = p.matcher(s)
+        if (m.find()) out += m.replaceAll(java.util.regex.Matcher.quoteReplacement(ch.toString))
+      }
       out.toSet - s
     }
   }
@@ -89,7 +97,9 @@ object SynonymGeneration {
     } yield Curation(
       parserName = c.parserName,
       curatedSynonym = variant,
-      mentionConfidence = math.min(c.mentionConfidence, MentionConfidence.PROBABLE),
+      // generated variants inherit the source confidence unchanged
+      // (reference CombinatorialSynonymGenerator behaviour)
+      mentionConfidence = c.mentionConfidence,
       behaviour = Behaviour.INHERIT_FROM_SOURCE_TERM,
       caseSensitive = c.caseSensitive,
       idSets = None,

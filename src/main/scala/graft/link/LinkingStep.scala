@@ -19,6 +19,27 @@ object LinkingStep {
 
   val DefaultSkipNamespaces: Set[String] = Set(DictionaryNer.Namespace)
 
+  def indexesByClass(indexes: Map[String, DictionaryIndex]): Map[String, Seq[DictionaryIndex]] =
+    indexes.values.toSeq.sortBy(_.parserName).groupBy(_.entityClass)
+
+  /** Link a single mention (shared by the standalone step and the fused
+    * KgPipeline path): attach top-n candidates from the entity class's
+    * indexes, memoized per distinct (match, class). */
+  def linkMention(
+      m: Mention,
+      byClass: Map[String, Seq[DictionaryIndex]],
+      memo: scala.collection.mutable.Map[(String, String), Seq[Candidate]],
+      topN: Int,
+      skipNamespaces: Set[String]
+  ): Mention =
+    if (skipNamespaces.contains(m.namespace)) m
+    else {
+      val cands = memo.getOrElseUpdate((m.matchText, m.entityClass),
+        byClass.getOrElse(m.entityClass, Seq.empty).flatMap(_.search(m.matchText, topN)))
+      if (cands.isEmpty) m
+      else m.copy(candidates = (m.candidates ++ cands).distinct)
+    }
+
   def apply(
       docs: Dataset[DocMentions],
       bcIndexes: Broadcast[Map[String, DictionaryIndex]],
@@ -27,20 +48,10 @@ object LinkingStep {
   ): Dataset[DocMentions] = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { it =>
-      val byClass: Map[String, Seq[DictionaryIndex]] =
-        bcIndexes.value.values.toSeq.sortBy(_.parserName).groupBy(_.entityClass)
+      val byClass = indexesByClass(bcIndexes.value)
       val memo = scala.collection.mutable.HashMap.empty[(String, String), Seq[Candidate]]
       it.map { dm =>
-        dm.copy(mentions = dm.mentions.map { m =>
-          if (skipNamespaces.contains(m.namespace)) m
-          else {
-            val cands = memo.getOrElseUpdate((m.matchText, m.entityClass),
-              byClass.getOrElse(m.entityClass, Seq.empty)
-                .flatMap(_.search(m.matchText, topN)))
-            if (cands.isEmpty) m
-            else m.copy(candidates = (m.candidates ++ cands).distinct)
-          }
-        })
+        dm.copy(mentions = dm.mentions.map(linkMention(_, byClass, memo, topN, skipNamespaces)))
       }
     }
   }

@@ -71,8 +71,9 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    // ids flow as strings so both numeric and sha/hex doc ids work
+    val sigs = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val sh = Hashing.wordShingles(text, shingleSize)
@@ -81,7 +82,7 @@ object Dedup {
       }
       .toDF("id", "sig")
 
-    val banded = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+    val banded = sigs.as[(String, Array[Long])].flatMap { case (id, sig) =>
       (0 until bands).iterator.map { b =>
         var h = 0xcbf29ce484222325L
         var i = b * rows
@@ -120,12 +121,12 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val texts = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
     val joined = pairs
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
       .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
-      .as[(Long, Long, String, String)]
+      .as[(String, String, String, String)]
     joined.map { case (a, b, ta, tb) =>
       (a, b, Hashing.jaccard(Hashing.wordShingles(ta, shingleSize), Hashing.wordShingles(tb, shingleSize)))
     }.toDF("id_a", "id_b", "jaccard")
@@ -161,18 +162,18 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hashes = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    val hashes = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
       .map { case (id, t) => (id, simhash(t)) }
       .toDF("id", "simhash")
 
-    val banded = hashes.as[(Long, Long)].flatMap { case (id, h) =>
+    val banded = hashes.as[(String, Long)].flatMap { case (id, h) =>
       (0 until 4).iterator.map(b => (b, (h >>> (b * 16)) & 0xffffL, id, h))
     }.toDF("band", "bucket", "id", "simhash")
 
-    banded.as[(Int, Long, Long, Long)]
+    banded.as[(Int, Long, String, Long)]
       .groupByKey { case (band, bucket, _, _) => (band, bucket) }
-      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, String, Long)]) =>
         val members = it.map { case (_, _, id, h) => (id, h) }.toArray.sortBy(_._1)
         for {
           i <- members.indices.iterator
@@ -198,8 +199,8 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val shingled = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    val shingled = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
       .flatMap { case (id, t) => Hashing.wordShingles(t, shingleSize).distinct.map(s => (id, s)) }
       .toDF("id", "shingle")
       .cache()

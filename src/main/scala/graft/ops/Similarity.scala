@@ -43,10 +43,11 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bcQ.value
-        // per-query bounded min-heaps of (score, id)
+        // per-query bounded heaps; head = the WORST kept element under the
+        // final (-score, id) preference, i.e. lowest score then LARGEST id
         val heaps = qs.map(q => q._1 ->
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))).toMap
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2)))).toMap
         for ((id, emb) <- it) {
           val n = norm(emb)
           for ((qid, qv, qn) <- qs if id != qid) {
@@ -153,14 +154,16 @@ object Similarity {
         val cells = bcCells.value
         val heaps = qs.map(q => q._1 ->
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))).toMap
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2)))).toMap
         for ((id, emb, cell) <- it) {
           val n = norm(emb)
           for ((qid, qv, qn) <- qs if id != qid && cells(qid).contains(cell)) {
             val score = if (n == 0 || qn == 0) 0.0 else dot(qv, emb) / (qn * n)
             val heap = heaps(qid)
             if (heap.size < k) heap.enqueue((score, id))
-            else if (score > heap.head._1) { heap.dequeue(); heap.enqueue((score, id)) }
+            else if (score > heap.head._1 || (score == heap.head._1 && id < heap.head._2)) {
+              heap.dequeue(); heap.enqueue((score, id))
+            }
           }
         }
         heaps.iterator.flatMap { case (qid, heap) => heap.iterator.map(e => Scored(qid, e._2, e._1)) }

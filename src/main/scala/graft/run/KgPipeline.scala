@@ -68,23 +68,17 @@ object KgPipeline {
       .mapPartitions { rows =>
         val art = bcArtifacts.value
         val runner = new StrategyRunner(art.gaz, art.ctx, cfg.runnerConfig)
-        val byClass: Map[String, Seq[DictionaryIndex]] =
-          art.indexes.values.toSeq.sortBy(_.parserName).groupBy(_.entityClass)
+        val byClass = LinkingStep.indexesByClass(art.indexes)
         val linkMemo = scala.collection.mutable.HashMap.empty[(String, String), Seq[Candidate]]
         val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
 
         rows.map { d =>
           // 1. dictionary NER (N1)
           var mentions = DictionaryNer.scanText(art.dict, d.docId, d.content, normMemo)
-          // 2. dictionary linking for non-dictionary namespaces (L1-L3)
-          mentions = mentions.map { m =>
-            if (LinkingStep.DefaultSkipNamespaces.contains(m.namespace)) m
-            else {
-              val cands = linkMemo.getOrElseUpdate((m.matchText, m.entityClass),
-                byClass.getOrElse(m.entityClass, Seq.empty).flatMap(_.search(m.matchText, cfg.linkTopN)))
-              if (cands.isEmpty) m else m.copy(candidates = (m.candidates ++ cands).distinct)
-            }
-          }
+          // 2. dictionary linking for non-dictionary-NER namespaces (L1-L3);
+          // no-op for mentions that already carry exact candidates
+          mentions = mentions.map(LinkingStep.linkMention(_, byClass, linkMemo,
+            cfg.linkTopN, LinkingStep.DefaultSkipNamespaces))
           var dm = DocMentions(d.docId, d.contentSha, mentions)
           // 3. mapping cascade (M1-M13)
           dm = runner.mapDoc(dm)

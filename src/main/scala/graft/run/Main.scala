@@ -21,7 +21,21 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object Main {
 
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    // strict --key value parsing: every key must start with --, every value
+    // must not (catches forgotten values instead of silently mispairing)
+    val opts: Map[String, String] = {
+      val m = scala.collection.mutable.Map.empty[String, String]
+      var i = 0
+      while (i < args.length) {
+        val k = args(i)
+        require(k.startsWith("--"), s"expected an option, got '$k'")
+        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+          s"option $k is missing its value")
+        m(k) = args(i + 1)
+        i += 2
+      }
+      m.toMap
+    }
     val corpusPath = opts.getOrElse("--corpus", sys.error("--corpus required"))
     val outPath = opts.getOrElse("--out", sys.error("--out required"))
     val ontologyTsv = opts.get("--ontology-tsv")

@@ -48,7 +48,7 @@ class OpsSpec extends AnyFunSuite {
   test("minhash LSH finds near-duplicate pairs matching brute force") {
     val threshold = 0.5
     val out = Dedup.minhashLsh(docsDf(docs), "id", "text", threshold = threshold)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
     // brute force
     val brute = (for {
       i <- docs.indices; j <- (i + 1) until docs.length
@@ -67,7 +67,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("simhash pairs: identical and near-identical texts collide") {
     val out = Dedup.simhashPairs(docsDf(docs), "id", "text").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getString(0).toLong, r.getString(1).toLong, r.getInt(2))).toSet
     assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     // 4 vs 5 differ by one word
     assert(out.exists(p => p._1 == 4L && p._2 == 5L))
@@ -76,7 +76,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("ngram jaccard pairs match brute force exactly") {
     val out = Dedup.ngramJaccardPairs(docsDf(docs), "id", "text", threshold = 0.3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong, r.getDouble(2))).toSet
     val brute = (for {
       i <- docs.indices; j <- (i + 1) until docs.length
       ja = Hashing.jaccard(
@@ -184,5 +184,24 @@ class OpsSpec extends AnyFunSuite {
     // deterministic across runs
     val again = Multimodal.extractFeatures(media).collect()
     assert(rows.map(_.sha).sorted.sameElements(again.map(_.sha).sorted))
+  }
+
+  test("brute force topk handles score ties with smallest-id preference") {
+    // regression: heap eviction must drop the LARGEST id on ties
+    val dup = embDf.as[(Long, Array[Float])].collect().head._2
+    val tied = spark.createDataset(
+      Seq(5L -> dup, 10L -> dup, 20L -> dup, 30L -> dup).map { case (i, v) => (i, v) })
+      .toDF("id", "embedding")
+    val out = Similarity.bruteForceTopK(tied, Seq((100L, dup)), k = 2)
+      .collect().map(_.getLong(1)).sorted
+    assert(out.sameElements(Array(5L, 10L)), out.mkString(","))
+  }
+
+  test("minhash LSH works with non-numeric (sha-style) ids") {
+    val strDocs = Seq("shaA" -> base, "shaB" -> base, "shaC" -> "unrelated words here")
+      .toDF("id", "text")
+    val out = Dedup.minhashLsh(strDocs, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == Set(("shaA", "shaB")))
   }
 }

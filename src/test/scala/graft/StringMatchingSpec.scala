@@ -136,4 +136,17 @@ class StringMatchingSpec extends AnyFunSuite {
     assert(term.idSets.size == 1)
     assert(term.idSets.head.ids.toSet == Set("ID1", "ID2"))
   }
+
+  test("unicode lowercase cannot shift scan offsets (length-preserving)") {
+    // 'İ' (U+0130) lowercases to 2 chars via String.toLowerCase; a hit
+    // after it must still slice the original text correctly
+    val gaz = GazetteerBuilder.buildLocal(parser1Rows, Seq(
+      complex7Curation(FirstParser).copy(curatedSynonym = "amongst", idSets = Some(Seq(
+        EquivIdSet(Seq(IdAndSource("http://my.fake.ontology_amongst_id_123", FirstParser))))))))
+    val dict = DictionaryNer.buildDictionary(gaz)
+    val text = "\u0130stanbul \u0130\u0130 text amongst others"
+    val ms = DictionaryNer.scanText(dict, "d", text)
+    assert(ms.length == 1)
+    assert(text.substring(ms.head.start, ms.head.end) == "amongst")
+  }
 }
