@@ -266,6 +266,24 @@ object SparkEntry {
       .agg(count(lit(1)).as("distinct_docs"), sum(col("copies")).as("kept_docs"))
   }
 
+  /** Batch sessionization (gap > 30 min closes a session) — the batch twin
+    * of streaming/StreamingJobs.sessionize, expressed with lag + cumulative
+    * sum windows. */
+  def q8Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("timestamp").cast("long") - col("prev_ts").cast("timestamp").cast("long")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"),
+        min(col("ts")).cast("timestamp").cast("long").as("session_start"))
+  }
+
   /** Batch analog of a tumbling-window streaming aggregation (the events
     * table is the stream source; Structured Streaming uses the same
     * window() expression — see graft.streaming). */
@@ -303,6 +321,7 @@ object SparkEntry {
     "q5_sort_limit" -> q5SortLimit,
     "q6_window_running" -> q6WindowRunning,
     "q7_quality_dedup" -> q7QualityDedup,
+    "q8_sessionize" -> q8Sessionize,
     "events_windowed_agg" -> eventsWindowedAgg
   )
 
@@ -455,6 +474,17 @@ object SparkEntry {
          |SELECT lang, count(*) AS distinct_docs, CAST(sum(copies) AS BIGINT) AS kept_docs
          |FROM clusters GROUP BY lang""".stripMargin
     },
+    "q8_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM s)
+        |SELECT user_id, session_idx, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "events_windowed_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
