@@ -99,7 +99,7 @@ object SparkEntry {
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
-      shingleSize = 3, threshold = 0.05)
+      shingleSize = 3, threshold = 0.05, maxShingleDf = 100)
       .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
@@ -141,31 +141,13 @@ object SparkEntry {
   }
 
   /** Exact cosine-threshold pairs (oracle-checkable; the LSH variant below
-    * is the approximate scale path). Broadcast-side comparison instead of a
-    * crossJoin: each partition scans its rows against the broadcast vector
-    * block (bounded memory, zero shuffle) — the classic block-nested
-    * all-pairs shape for modest dimension tables. */
-  def embedSimPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val emb = embeddingsDf(spark, sfDir).as[(Long, Array[Float])]
-    val all = emb.collect().sortBy(_._1)
-    val norms = all.map { case (_, v) => Similarity.norm(v) }
-    val bc = spark.sparkContext.broadcast((all, norms))
-    emb.mapPartitions { it =>
-      val (vecs, ns) = bc.value
-      it.flatMap { case (idA, va) =>
-        val na = Similarity.norm(va)
-        vecs.iterator.zipWithIndex
-          .filter { case ((idB, _), _) => idA < idB }
-          .map { case ((idB, vb), j) =>
-            val d = na * ns(j)
-            (idA, idB, if (d == 0) 0.0 else Similarity.dot(va, vb) / d)
-          }
-          .filter(_._3 >= 0.35)
-      }
-    }.toDF("id_a", "id_b", "cos")
+    * is the approximate scale path). Distributed 2-D triangle blocking:
+    * rows hash into blocks, each unordered block pair is one shuffle group
+    * scanned with a float kernel — O(1) driver memory, per-task memory of
+    * two blocks, every unordered pair visited exactly once. */
+  def embedSimPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.exactCosinePairsBlocked(embeddingsDf(spark, sfDir), threshold = 0.35, numBlocks = 8)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-  }
 
   def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.embeddingNearDup(embeddingsDf(spark, sfDir), dim = 64, threshold = 0.35)
@@ -280,7 +262,11 @@ object SparkEntry {
           .otherwise(0))
       .withColumn("session_idx", sum(col("new_session")).over(cum))
       .groupBy(col("user_id"), col("session_idx"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"),
+      // sum as decimal: grouped double-sums are order-dependent in the last
+      // ulps (hash-agg combine order), which broke the value-hash vs DuckDB;
+      // decimal addition is associative so any combine order gives one answer
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"),
         min(col("ts")).cast("timestamp").cast("long").as("session_start"))
   }
 
@@ -372,8 +358,10 @@ object SparkEntry {
         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) i FROM w WHERE len(ws) >= 3),
         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |lowdf AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN lowdf USING (s)),
         |co AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
-        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |       FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT ia AS id_a, ib AS id_b,
         |       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
         |FROM co JOIN sz na ON na.doc_id = ia JOIN sz nb ON nb.doc_id = ib
@@ -482,7 +470,8 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |t AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM s)
-        |SELECT user_id, session_idx, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value,
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start
         |FROM t GROUP BY 1, 2""".stripMargin,
     "events_windowed_agg" ->

@@ -64,7 +64,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 64
   ): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
@@ -91,22 +92,42 @@ object Dedup {
       }
     }.toDF("band", "bucket", "id")
 
-    val pairs = banded.groupBy("band", "bucket")
-      .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(sortedPairsExpr(col("ids"))).as("pair"))
-      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
-      .distinct()
+    val pairs = bucketPairs(banded, maxBucketSize)
 
     verifyJaccard(df, idCol, textCol, pairs, shingleSize, threshold)
   }
 
-  /** All (a,b) a<b pairs from an array column, as an array of structs. */
-  private def sortedPairsExpr(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i.plus(lit(2)), size(sorted)), b =>
-        struct(a.as("_1"), b.as("_2")))))
+  /** Candidate pairs from (band, bucket, id) rows with a degenerate-bucket
+    * guard: buckets up to `maxBucketSize` emit all pairs; larger buckets
+    * emit a star around the min id — O(N) rows that still connect the
+    * near-dup cluster transitively (cluster extraction downstream is a
+    * connected-components pass, so star edges lose no cluster membership).
+    * Oversized buckets are counted in the `graft.dedup.oversizedBuckets`
+    * accumulator and logged per-task — capped loudly, never silently.
+    */
+  private[ops] def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val oversized = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets")
+    banded.select(col("band").cast("int"), col("bucket").cast("long"), col("id").cast("string"))
+      .as[(Int, Long, String)]
+      .groupByKey { case (band, bucket, _) => (band, bucket) }
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, String)]) =>
+        val ids = it.map(_._3).toArray.sorted
+        if (ids.length <= 1) Iterator.empty
+        else if (ids.length <= maxBucketSize)
+          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+            yield (ids(i), ids(j))
+        else {
+          oversized.add(1L)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"degenerate LSH bucket ${key}: ${ids.length} ids > cap $maxBucketSize; emitting star pairs")
+          val m = ids.head
+          ids.iterator.drop(1).map(x => (m, x))
+        }
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
   }
 
   /** Join candidate pairs back to texts and keep those with exact shingle
@@ -153,12 +174,14 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share at least one of 4 16-bit
     * bands (guarantees recall for hamming distance <= 3), verified by
     * exact hamming distance <= maxHamming. Same banded one-shuffle shape
-    * as MinHash LSH. */
+    * as MinHash LSH; buckets beyond `maxBucketSize` verify each member
+    * against the min-id member only (star, O(N)) instead of all pairs. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 64
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -173,14 +196,23 @@ object Dedup {
 
     banded.as[(Int, Long, String, Long)]
       .groupByKey { case (band, bucket, _, _) => (band, bucket) }
-      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, String, Long)]) =>
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, String, Long)]) =>
         val members = it.map { case (_, _, id, h) => (id, h) }.toArray.sortBy(_._1)
-        for {
-          i <- members.indices.iterator
-          j <- (i + 1) until members.length
-          d = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
-          if d <= maxHamming
-        } yield (members(i)._1, members(j)._1, d)
+        if (members.length <= maxBucketSize)
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1) until members.length
+            d = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
+            if d <= maxHamming
+          } yield (members(i)._1, members(j)._1, d)
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"degenerate simhash bucket $key: ${members.length} ids > cap $maxBucketSize; star verify")
+          val (mId, mH) = members.head
+          members.iterator.drop(1)
+            .map { case (id, h) => (mId, id, java.lang.Long.bitCount(mH ^ h)) }
+            .filter(_._3 <= maxHamming)
+        }
       }
       .toDF("id_a", "id_b", "hamming")
       .distinct()
@@ -189,13 +221,22 @@ object Dedup {
   /** N-gram Jaccard all-pairs (exact, for modest candidate domains): one
     * shuffle on shingle hash, pair counts from co-occurrence, Jaccard from
     * |A∩B| / (|A|+|B|-|A∩B|). Exact counterpart of the LSH approximation.
+    *
+    * `maxShingleDf` caps the self-join hot keys: shingles occurring in more
+    * than that many documents ("in the of"-style stop shingles, which would
+    * otherwise join quadratically on one key) are excluded from the
+    * co-occurrence join. Set sizes stay unfiltered, so the resulting
+    * Jaccard is a deterministic lower bound — identical on any engine that
+    * applies the same cap (the DuckDB oracle mirrors it). `maxShingleDf <=
+    * 0` disables the cap (exact Jaccard).
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxShingleDf: Int = 0
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -207,7 +248,18 @@ object Dedup {
 
     val sizes = shingled.groupBy("id").agg(count(lit(1)).as("n"))
 
-    val co = shingled.as("a").join(shingled.as("b"), Seq("shingle"))
+    val joinable =
+      if (maxShingleDf <= 0) shingled
+      else {
+        val df_ = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+          .select("shingle")
+        // broadcast-unsafe at scale: the df filter is itself a shuffle on
+        // shingle, co-partitioned with the join that follows
+        shingled.join(df_, Seq("shingle"))
+      }
+
+    val co = joinable.as("a").join(joinable.as("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

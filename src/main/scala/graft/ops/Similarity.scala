@@ -173,6 +173,132 @@ object Similarity {
       .toDF("qid", "id", "score")
   }
 
+  /** Exact brute-force top-k where the queries are a RELATION, not a
+    * driver-side Seq — the shape for batch scoring of a large query table.
+    *
+    * Asymmetric 2-D blocking: queries hash into QB blocks, corpus into CB
+    * blocks; every (qb, cb) pair is one cogroup in which the query block is
+    * buffered (Q/QB rows) and the corpus block is STREAMED through
+    * per-query bounded heaps. Partial top-k rows (k per query per cb) then
+    * merge in a final groupBy(qid). Shuffle volume = N*QB + Q*CB rows;
+    * per-task memory = Q/QB queries + QB heaps of k — both tunable, no
+    * driver collect, no full broadcast.
+    */
+  def bruteForceTopKDf(
+      corpus: DataFrame, // (id, embedding)
+      queries: DataFrame, // (qid, embedding)
+      k: Int,
+      corpusBlocks: Int = 8,
+      queryBlocks: Int = 4
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = corpusBlocks
+    val qb = queryBlocks
+
+    val corpusTagged = corpus.select(col("id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val myCb = math.floorMod(Hashing.mix(id), cb.toLong).toInt
+        (0 until qb).iterator.map(q => (q * cb + myCb, id, v))
+      }
+      .groupByKey(_._1)
+
+    val queriesTagged = queries.select(col("qid").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, v) =>
+        val myQb = math.floorMod(Hashing.mix(qid), qb.toLong).toInt
+        (0 until cb).iterator.map(c => (myQb * cb + c, qid, v))
+      }
+      .groupByKey(_._1)
+
+    corpusTagged.cogroup(queriesTagged) { (_, corpusIt, queryIt) =>
+      val qs = queryIt.map { case (_, qid, v) => (qid, v, norm(v)) }.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val heaps = qs.map(q => q._1 ->
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2)))).toMap
+        for ((_, id, emb) <- corpusIt) {
+          val n = norm(emb)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv, qn) = qs(qi)
+            if (id != qid) {
+              val score = if (n == 0 || qn == 0) 0.0 else dot(qv, emb) / (qn * n)
+              val heap = heaps(qid)
+              if (heap.size < k) heap.enqueue((score, id))
+              else if (score > heap.head._1 || (score == heap.head._1 && id < heap.head._2)) {
+                heap.dequeue(); heap.enqueue((score, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (qid, heap) => heap.iterator.map(e => Scored(qid, e._2, e._1)) }
+      }
+    }
+      .groupByKey(_.qid)
+      .flatMapGroups { (qid, it) => it.toArray.sortBy(s => (-s.score, s.id)).take(k).iterator }
+      .toDF("qid", "id", "score")
+  }
+
+  /** Exact cosine-threshold all-pairs via 2-D triangle blocking — the
+    * scale-safe exact path (no driver collect, no full-table broadcast).
+    *
+    * Rows are hashed into B blocks; every unordered block pair (i, j), i<=j,
+    * is one shuffle group holding exactly blocks i and j, inside which the
+    * cross product is scanned with a tight float kernel. Replication factor
+    * is B rows/row and per-task memory is two blocks (~2N/B vectors), so
+    * driver memory is O(1) and executor memory is tuned by B ~ sqrt(tasks).
+    * Each unordered id pair occurs in exactly one group => no dedup needed.
+    */
+  def exactCosinePairsBlocked(
+      corpus: DataFrame, // (id, embedding)
+      threshold: Double,
+      numBlocks: Int = 8
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = numBlocks
+    corpus.select(col("id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val blk = (math.floorMod(Hashing.mix(id), b.toLong)).toInt
+        // participate in every pair (i, j) that includes this row's block
+        (0 until b).iterator.map { other =>
+          val (i, j) = if (other < blk) (other, blk) else (blk, other)
+          (i * b + j, blk, id, v)
+        } // all b (i,j) results are distinct, incl. (blk,blk) exactly once
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (pairKey: Int, it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        val i = pairKey / b
+        val j = pairKey % b
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        for ((_, blk, id, v) <- it) {
+          val e = (id, v, norm(v))
+          if (blk == i) left += e
+          if (blk == j && i != j) right += e
+        }
+        val rs = if (i == j) left else right
+        left.iterator.flatMap { case (ida, va, na) =>
+          rs.iterator
+            // same-block: each unordered pair appears twice in left x left —
+            // keep one. Cross-block: ids are disjoint (one block per id) and
+            // each pair appears once — keep all, normalize order in output.
+            .filter { case (idb, _, _) => if (i == j) ida < idb else true }
+            .map { case (idb, vb, nb) =>
+              val d = na * nb
+              (math.min(ida, idb), math.max(ida, idb), if (d == 0) 0.0 else dot(va, vb) / d)
+            }
+            .filter(_._3 >= threshold)
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via random
     * hyperplane LSH banding (signature bits from sign(dot(v, plane))),
     * verified exactly. Deterministic planes from splitmix. */
@@ -181,7 +307,8 @@ object Similarity {
       dim: Int,
       threshold: Double = 0.9,
       bits: Int = 16,
-      bands: Int = 4
+      bands: Int = 4,
+      maxBucketSize: Int = 64
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -207,12 +334,13 @@ object Similarity {
       }
     }.toDF("band", "bucket", "id")
 
-    val pairs = banded.groupBy("band", "bucket")
-      .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // degenerate-bucket guard: same star-pair fallback as the text LSH
+    // (numeric ids sort identically under the zero-padding-free string sort
+    // only within equal lengths, but pair membership — not order — is what
+    // matters here; the exact-verify step below recomputes cosine anyway)
+    val pairs = Dedup.bucketPairs(banded, maxBucketSize)
+      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"))
       .distinct()
 
     val embs = ds.toDF("id", "embedding")

@@ -197,6 +197,72 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sameElements(Array(5L, 10L)), out.mkString(","))
   }
 
+  test("blocked exact cosine pairs match naive all-pairs") {
+    val all = embDf.as[(Long, Array[Float])].collect()
+    val out = Similarity.exactCosinePairsBlocked(embDf, threshold = 0.35, numBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = (for {
+      i <- all.indices; j <- all.indices
+      if all(i)._1 < all(j)._1
+      c = Similarity.cosine(all(i)._2, all(j)._2) if c >= 0.35
+    } yield ((all(i)._1, all(j)._1), c)).toMap
+    assert(out.map(p => (p._1, p._2)).toSet == brute.keySet)
+    for ((a, b, c) <- out) assert(math.abs(c - brute((a, b))) < 1e-9)
+  }
+
+  test("DataFrame-relation topk matches the Seq-query path at 10^4 queries") {
+    val all = embDf.as[(Long, Array[Float])].collect()
+    // 10k queries: corpus vectors replicated with disjoint qids
+    val reps = (10000 / all.length).max(1) + 1
+    val qSeq = (0 until reps).flatMap(r =>
+      all.map { case (id, v) => (10000L + r * all.length + id, v) }).take(10000)
+    val qDf = spark.createDataset(qSeq).toDF("qid", "embedding")
+    val viaDf = Similarity.bruteForceTopKDf(embDf, qDf, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(x => (-x._3, x._2)).map(_._2).toSeq }
+    val viaSeq = Similarity.bruteForceTopK(embDf, qSeq.take(50), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(x => (-x._3, x._2)).map(_._2).toSeq }
+    assert(viaDf.size == 10000)
+    for ((q, ids) <- viaSeq) assert(viaDf(q) == ids, s"query $q")
+  }
+
+  test("degenerate 10k-duplicate cluster: LSH families stay linear (star pairs)") {
+    val n = 10000
+    val skew = spark.range(n).select(col("id"), lit(base).as("text"))
+    // all 10k docs hash to ONE bucket in every band; the guard emits a star
+    // around the min id instead of ~50M pairs
+    val mh = Dedup.minhashLsh(skew, "id", "text", threshold = 0.9).count()
+    assert(mh == n - 1, s"minhash star should connect all $n docs, got $mh")
+    val sh = Dedup.simhashPairs(skew, "id", "text").count()
+    assert(sh == n - 1)
+    // with the df cap every shingle (df = 10k > cap) leaves the join: the
+    // stop-shingle cross product never forms (identical docs are exact-dedup
+    // territory, not ngram territory)
+    val nj = Dedup.ngramJaccardPairs(skew, "id", "text", threshold = 0.3, maxShingleDf = 100).count()
+    assert(nj == 0)
+  }
+
+  test("ngram jaccard df cap drops only capped-shingle contributions") {
+    // cap excludes the shared stop shingle but pairs sharing rare shingles survive
+    val d = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon eta",
+      3L -> "alpha beta gamma other words here",
+      4L -> "totally different text with no overlap at all")
+      .toDF("id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(d, "id", "text", threshold = 0.01).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val capped = Dedup.ngramJaccardPairs(d, "id", "text", threshold = 0.01, maxShingleDf = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    // "alpha beta gamma" (df=3) is dropped under cap=2 => (1,3)/(2,3) lose
+    // their only shared shingle; (1,2) still share df<=2 shingles
+    assert(uncapped.contains(("1", "3")))
+    assert(!capped.contains(("1", "3")))
+    assert(capped.contains(("1", "2")))
+    assert(capped(("1", "2")) <= uncapped(("1", "2")) + 1e-12)
+  }
+
   test("minhash LSH works with non-numeric (sha-style) ids") {
     val strDocs = Seq("shaA" -> base, "shaB" -> base, "shaC" -> "unrelated words here")
       .toDF("id", "text")
