@@ -189,14 +189,26 @@ object ScalingBench {
         (f"n${r.nextInt(nNodes)}%09d", f"n${r.nextInt(nNodes)}%09d")
     }.toDF("src", "dst").cache()
     edges.count()
-    val t0 = System.nanoTime()
-    val comps = graft.graph.ConnectedComponents.run(edges)
-    val nComponents = comps.select("component").distinct().count()
-    val nAssigned = comps.count()
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(s"""{"metric":"cc_stress","n_nodes":$nNodes,"n_edges":$nEdges,"cores":$cores,""" +
-      s""""sec":$dt,"components":$nComponents,"assigned_nodes":$nAssigned,""" +
-      s""""edges_per_sec":${nEdges / dt}}""")
+    // both CC variants, same input: filtering union-find (default; fastest
+    // when components/hubs fit a task) and large-star/small-star (fully
+    // skew-oblivious; the 10^9-edge fallback). Hash-min `run` measured ~30k
+    // edges/s at 1M edges in r1 as the baseline.
+    def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val comps = f
+      val nComponents = comps.select("component").distinct().count()
+      val nAssigned = comps.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"""{"metric":"cc_stress","algo":"$name","n_nodes":$nNodes,"n_edges":$nEdges,"cores":$cores,""" +
+        s""""sec":$dt,"components":$nComponents,"assigned_nodes":$nAssigned,""" +
+        s""""edges_per_sec":${nEdges / dt}}""")
+    }
+    time("unionfind_filtering") {
+      graft.graph.ConnectedComponents.runUnionFind(edges, verbose = true)
+    }
+    time("large_small_star") {
+      graft.graph.ConnectedComponents.runStars(edges, verbose = true)
+    }
     spark.stop()
   }
 

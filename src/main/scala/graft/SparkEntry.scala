@@ -81,10 +81,19 @@ object SparkEntry {
     "t1" -> "t2", "t2" -> "t3", "t3" -> "t1",
     "p1" -> "p2")
 
-  /** Connected components by iterative DataFrame hash-min propagation. */
+  /** Connected components (large-star/small-star) over a real graph derived
+    * from the sf tables: order->customer stars (co-purchase components) +
+    * event-id chains of length 100 (forces multi-hop contraction). ~26k
+    * nodes / ~25k edges at sf0.01, 10x that at sf0.1. */
   def graphCc(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    ConnectedComponents.run(ccEdges.toDF("src", "dst"))
+    val stars = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(concat(lit("o"), col("o_orderkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"))
+    val chains = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_id") % 100 =!= 99)
+      .select(concat(lit("e"), col("event_id")).as("src"),
+        concat(lit("e"), col("event_id") + 1).as("dst"))
+    ConnectedComponents.runUnionFind(stars.union(chains))
   }
 
   // ------------------------------------------------------------- dedup ----
@@ -334,17 +343,19 @@ object SparkEntry {
          |       'denotes:' || g.entity_class AS pred, g.obj AS obj
          |FROM documents d JOIN gaz g
          |  ON regexp_matches(lower(d.text), '\\b' || g.syn || '\\b')""".stripMargin,
-    "graph_cc" -> {
-      val edgeValues = ccEdges.map { case (a, b) => s"('$a','$b')" }.mkString(", ")
-      s"""WITH RECURSIVE e(src, dst) AS (VALUES $edgeValues),
-         |bi(src, dst) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |nodes(id) AS (SELECT src FROM bi),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT bi.dst, reach.r FROM reach JOIN bi ON bi.src = reach.id)
-         |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin
-    },
+    "graph_cc" ->
+      """WITH RECURSIVE e(src, dst) AS (
+        |  SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'c' || CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'e' || CAST(event_id AS VARCHAR), 'e' || CAST(event_id + 1 AS VARCHAR)
+        |  FROM events WHERE event_id % 100 <> 99),
+        |bi(src, dst) AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |nodes(id) AS (SELECT src FROM bi),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT bi.dst, reach.r FROM reach JOIN bi ON bi.src = reach.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,

@@ -122,6 +122,190 @@ object ConnectedComponents {
     comps
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale path for billion-edge graphs. Each round is two
+    * groupBy+join passes; the edge set contracts towards a star forest in
+    * O(log^2 n) rounds regardless of diameter or degree skew (no
+    * collect_list hubs: the per-node min is a groupBy-min, the rewiring is
+    * a join).
+    *
+    * edges: string columns (src, dst). Returns (id, component) where
+    * component = lexicographic min id of the component. Nodes are those
+    * incident to at least one edge (same contract as [[run]]).
+    */
+  def runStars(edges: DataFrame, maxIter: Int = 50, verbose: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // per-node min over neighborhood incl. self: m(u) = min(Γ(u) ∪ {u})
+    def minWithSelf(nbr: DataFrame): DataFrame =
+      nbr.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+
+    def neighbors(e: DataFrame): DataFrame =
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+
+    // convergence detection: (count, order-independent 64-bit fingerprint)
+    // in ONE aggregate job over the checkpointed edge set; a fixpoint of
+    // large∘small is exactly the converged star forest (Kiveris et al. §3)
+    def sig(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free; the edge set is distinct
+      // so no xor-cancellation of repeated rows is possible
+      val r = df.agg(count(lit(1)).as("c"), expr("bit_xor(xxhash64(src, dst))").as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = sig(e)
+    var iter = 0
+    var converged = prev._1 == 0
+    while (iter < maxIter && !converged) {
+      // large-star: strictly-larger neighbors rewire to the min
+      val nbrL = neighbors(e)
+      val mL = minWithSelf(nbrL)
+      val afterLarge = nbrL.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: smaller neighbors (and u itself) attach to the min
+      val nbrS = neighbors(afterLarge)
+      val mS = minWithSelf(nbrS)
+      val afterSmall = nbrS.join(mS, "u")
+        .filter(col("v") < col("u") && col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mS.filter(col("u") =!= col("m"))
+          .select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+
+      val cur = sig(afterSmall)
+      converged = cur == prev
+      if (verbose)
+        println(s"[cc] round=$iter edges=${cur._1} (prev ${prev._1}) converged=$converged")
+      prev = cur
+      e.unpersist()
+      e = afterSmall
+      iter += 1
+    }
+
+    // converged edge set is {(v, root) | v != root}: emit members + roots
+    e.select(col("src").as("id"), col("dst").as("component"))
+      .union(e.select(col("dst").as("id"), col("dst").as("component")))
+      .distinct()
+  }
+
+  /** Connected components via iterated partition-local union-find
+    * ("filtering" contraction, Lattanzi et al. MRC model): each round ships
+    * every edge to BOTH endpoints' hash partitions, runs an in-memory
+    * union-find per partition (union-by-min, so star roots are local
+    * minima), and replaces the partition's edges with its star forest
+    * (member -> root). Any 2-path through a co-partitioned node collapses
+    * within a round, so a fingerprint-stable edge set is exactly a disjoint
+    * star forest = the components; chains shrink like hash-to-min
+    * (O(log d) rounds).
+    *
+    * Cost: 2 shuffles/round (tag+group, distinct) on ~2E rows, per-task
+    * memory O(edges/partition) bounded by `targetEdgesPerTask` (partition
+    * count adapts to the shrinking edge set, so late rounds don't pay
+    * full-width shuffle overhead). Degree skew: a hub of degree D puts D
+    * edges in one task — O(D) memory; for graphs where that is the
+    * bottleneck use [[runStars]], which is fully skew-oblivious.
+    */
+  def runUnionFind(
+      edges: DataFrame,
+      maxIter: Int = 30,
+      targetEdgesPerTask: Int = 1000000,
+      verbose: Boolean = false
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.select(col("src"), col("dst"))
+      .as[(String, String)]
+      .filter((t: (String, String)) => t._1 != t._2)
+      .map((t: (String, String)) => if (t._1 < t._2) t else t.swap)
+      .toDF("src", "dst")
+      .distinct()
+      .localCheckpoint(true)
+
+    // set fingerprint: bit_xor is order-independent and overflow-free, and
+    // the per-round edge set is distinct so no xor-cancellation is possible
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("c"), expr("bit_xor(xxhash64(src, dst))").as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = sig(e)
+    var iter = 0
+    var converged = prev._1 == 0
+    while (iter < maxIter && !converged) {
+      // adapt partition count to the shrinking edge set; once everything
+      // fits one task (the filtering algorithm's exit), a single global
+      // union-find is final — no confirming round needed
+      val p =
+        if (prev._1 <= 2L * targetEdgesPerTask) 1
+        else math.min(
+          spark.sparkContext.defaultParallelism * 2,
+          (2 * prev._1 / targetEdgesPerTask).toInt + 1)
+      val contracted = e.as[(String, String)]
+        .flatMap { case (a, b) =>
+          val pa = math.floorMod(a.hashCode, p)
+          val pb = math.floorMod(b.hashCode, p)
+          if (pa == pb) Iterator((pa, a, b)) else Iterator((pa, a, b), (pb, a, b))
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (_: Int, it: Iterator[(Int, String, String)]) =>
+          val parent = scala.collection.mutable.HashMap.empty[String, String]
+          def find(x: String): String = {
+            var r = parent.getOrElse(x, x)
+            if (r == x) return x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            // path compression
+            var c = x
+            while (c != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          for ((_, a, b) <- it) {
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              parent.getOrElseUpdate(ra, ra); parent.getOrElseUpdate(rb, rb)
+            }
+          }
+          // snapshot keys: find() path-compresses (value updates) during walk
+          val ks = parent.keys.toArray
+          val out = new scala.collection.mutable.ArrayBuffer[(String, String)](ks.length)
+          for (n <- ks) {
+            val r = find(n)
+            if (r != n) out += ((r, n))
+          }
+          out.iterator
+        }
+        .toDF("src", "dst") // normalized: src = root = local min < dst
+        // per-round distinct: cross-partition duplicate stars otherwise
+        // persist forever (two partitions keep re-emitting the same edges)
+        // and keep the edge set ~2x larger every round
+        .distinct()
+        .localCheckpoint(true)
+
+      val cur = sig(contracted)
+      converged = p == 1 || cur == prev
+      if (verbose)
+        println(s"[cc-uf] round=$iter p=$p edges=${cur._1} (prev ${prev._1}) converged=$converged")
+      prev = cur
+      e.unpersist()
+      e = contracted
+      iter += 1
+    }
+
+    e.select(col("dst").as("id"), col("src").as("component"))
+      .union(e.select(col("src").as("id"), col("src").as("component")))
+      .distinct()
+  }
+
   /** Canonicalize triple objects: map each obj to its component
     * representative, given xref edges between (source-qualified) ids. */
   def canonicalizeTriples(triples: Dataset[Triple], edges: DataFrame): DataFrame = {

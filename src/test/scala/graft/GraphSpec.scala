@@ -1,0 +1,79 @@
+package graft
+
+import graft.graph.ConnectedComponents
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components correctness: large-star/small-star (`runStars`)
+  * against the hash-min implementation (`run`) and against a brute-force
+  * union-find, on fixtures chosen to stress iteration behaviour (long
+  * chains), degree skew (hubs), and disconnected pieces.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.Ordering.String.max(ra, rb)) = math.Ordering.String.min(ra, rb)
+    }
+    // canonicalize to min member per component
+    val members = parent.keys.groupBy(find)
+    members.flatMap { case (_, ms) =>
+      val m = ms.min
+      ms.map(_ -> m)
+    }.toMap
+  }
+
+  private def assertComponents(edges: Seq[(String, String)]): Unit = {
+    val df = edges.toDF("src", "dst")
+    val expected = unionFind(edges)
+    val stars = ConnectedComponents.runStars(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stars == expected, "runStars vs union-find")
+    val hashMin = ConnectedComponents.run(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hashMin == expected, "run vs union-find")
+    // small targetEdgesPerTask forces multiple partitions + rounds
+    val uf = ConnectedComponents.runUnionFind(df, targetEdgesPerTask = 64).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(uf == expected, "runUnionFind vs union-find")
+  }
+
+  test("chain + triangle + isolated pair fixture") {
+    assertComponents(Seq(
+      "n01" -> "n02", "n02" -> "n03", "n03" -> "n04", "n04" -> "n05", "n05" -> "n06",
+      "t1" -> "t2", "t2" -> "t3", "t3" -> "t1",
+      "p1" -> "p2"))
+  }
+
+  test("long chain (100 nodes) converges in O(log) star rounds") {
+    assertComponents((0 until 99).map(i => (f"c$i%03d", f"c${i + 1}%03d")))
+  }
+
+  test("hub star with 200 leaves plus cross links") {
+    val star = (1 to 200).map(i => (f"leaf$i%04d", "hub"))
+    val cross = Seq("leaf0001" -> "leaf0100", "zzz" -> "leaf0200")
+    assertComponents(star ++ cross)
+  }
+
+  test("random graph with many components matches union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400).map { _ =>
+      (f"r${rnd.nextInt(300)}%03d", f"r${rnd.nextInt(300)}%03d")
+    }.filter(e => e._1 != e._2)
+    assertComponents(edges)
+  }
+
+  test("self loops and duplicate edges are tolerated") {
+    // contract: a node must be incident to >=1 non-self edge to be emitted
+    assertComponents(Seq("a" -> "a", "a" -> "b", "b" -> "a", "a" -> "b", "c" -> "d", "d" -> "c"))
+  }
+}
