@@ -109,6 +109,60 @@ object OntologySources {
       }
   }
 
+  /** Meddra release source: '$'-separated headerless mdhier.asc + llt.asc
+    * — ref MeddraOntologyParser (parsers.py:1204-1355). Emits PT rows
+    * (pt_name as label+syn), LLT synonym rows joined on pt_code, and
+    * distinct HLT/HLGT rows, all with mapping_type "meddra_link"; SOCs in
+    * `excludeSocs` are dropped from the hierarchy first.
+    */
+  def readMeddra(
+      spark: SparkSession,
+      dirPath: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "meddra",
+      excludeSocs: Seq[String] = Seq(
+        "Surgical and medical procedures", "Social circumstances", "Investigations")
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val hierCols = Seq("pt_code", "hlt_code", "hlgt_code", "soc_code", "pt_name",
+      "hlt_name", "hlgt_name", "soc_name", "soc_abbrev", "null_field", "pt_soc_code",
+      "primary_soc_fg", "null2")
+    val lltCols = Seq("llt_code", "llt_name", "pt_code", "llt_whoart_code", "llt_harts_code",
+      "llt_costart_sym", "llt_icd9_code", "llt_icd9cm_code", "llt_icd10_code", "llt_currency",
+      "llt_jart_code", "null2")
+    def readAsc(file: String, cols: Seq[String]) = {
+      val raw = spark.read.option("header", "false").option("sep", "$").csv(file)
+      raw.toDF(cols.take(raw.columns.length): _*)
+    }
+    val hier = readAsc(s"$dirPath/mdhier.asc", hierCols)
+      .filter(!col("soc_name").isin(excludeSocs: _*))
+      .cache()
+    val llt = readAsc(s"$dirPath/llt.asc", lltCols)
+      .select(col("llt_name"), col("pt_code"))
+
+    val pt = hier.select(col("pt_code").as("idx"), col("pt_name").as("defaultLabel"),
+      col("pt_name").as("syn"))
+    // broadcast: the PT side of a Meddra release is dimension-sized
+    val lltRows = llt.join(broadcast(hier.select("pt_code", "pt_name").distinct()), "pt_code")
+      .select(col("pt_code").as("idx"), col("pt_name").as("defaultLabel"),
+        col("llt_name").as("syn"))
+    val hlt = hier.select(col("hlt_code"), col("hlt_name")).distinct()
+      .select(col("hlt_code").as("idx"), col("hlt_name").as("defaultLabel"),
+        col("hlt_name").as("syn"))
+    val hlgt = hier.select(col("hlgt_code"), col("hlgt_name")).distinct()
+      .select(col("hlgt_code").as("idx"), col("hlgt_name").as("defaultLabel"),
+        col("hlgt_name").as("syn"))
+
+    pt.union(lltRows).union(hlt).union(hlgt)
+      .where(col("syn").isNotNull && length(col("syn")) > 0)
+      .select(
+        lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
+        col("idx"), col("defaultLabel"), col("syn"),
+        lit("meddra_link").as("mappingType"), lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
+  }
+
   /** N-Triples RDF source (line-oriented, trivially splittable) — the
     * parallel analog of the reference's rdflib path (parsers.py:453-600).
     * Label predicate rows give default labels; synonym-predicate rows give
@@ -124,14 +178,7 @@ object OntologySources {
         Set("http://www.geneontology.org/formats/oboInOwl#hasExactSynonym")
   ): Dataset[OntologyRow] = {
     import spark.implicits._
-    val lineRe = """^<([^>]+)>\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"\s*(?:@\w+)?\s*\.\s*$""".r
-    val parsed = spark.read.text(path).as[String]
-      .flatMap {
-        case lineRe(s, p, o) => Some((s, p, o.replace("\\\"", "\"")))
-        case _ => None
-      }
-      .toDF("subj", "pred", "obj")
-      .cache()
+    val parsed = parseNTriples(spark, path).cache()
     val labels = parsed.filter(col("pred").isin(labelPredicates.toSeq: _*))
       .select(col("subj").as("idx"), col("obj").as("defaultLabel"))
     val syns = parsed.filter(col("pred").isin(synonymPredicates.toSeq: _*))
@@ -146,6 +193,126 @@ object OntologySources {
         col("idx"), col("defaultLabel"), col("syn"), col("mappingType"),
         lit(dataOrigin).as("dataOrigin"))
       .as[OntologyRow]
+  }
+
+  /** Line-level N-Triples parse: (subj, pred, obj, objIsIri). Literal
+    * objects are unescaped; IRI and blank-node objects keep their
+    * identifier text (needed for SKOS-XL label-node hops). */
+  private[sources] def parseNTriples(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val litRe = """^<([^>]+)>\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"[^.]*\.\s*$""".r
+    val iriRe = """^<([^>]+)>\s+<([^>]+)>\s+<([^>]+)>\s*\.\s*$""".r
+    val bnodeRe = """^(_:\S+|<[^>]+>)\s+<([^>]+)>\s+(_:\S+)\s*\.\s*$""".r
+    val bnodeSubjLitRe = """^(_:\S+)\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"[^.]*\.\s*$""".r
+    def stripAngles(s: String): String =
+      if (s.startsWith("<") && s.endsWith(">")) s.substring(1, s.length - 1) else s
+    spark.read.text(path).as[String]
+      .flatMap {
+        case litRe(s, p, o) =>
+          Some((s, p, o.replace("\\\"", "\"").replace("\\\\", "\\"), false))
+        case iriRe(s, p, o) => Some((s, p, o, true))
+        case bnodeRe(s, p, o) => Some((stripAngles(s), p, o, true))
+        case bnodeSubjLitRe(s, p, o) =>
+          Some((s, p, o.replace("\\\"", "\"").replace("\\\\", "\\"), false))
+        case _ => None
+      }
+      .toDF("subj", "pred", "obj", "obj_is_iri")
+  }
+
+  /** SKOS-XL source over N-Triples — the reference routes SKOS-XL through
+    * RDFGraphParser with the two-hop property paths skosxl:prefLabel /
+    * skosxl:literalForm and skosxl:altLabel / skosxl:literalForm
+    * (parsers.py:603-652). Here the hop is a join: concept -[pref/alt]->
+    * labelNode joined to labelNode -[literalForm]-> literal.
+    */
+  def readSkosXl(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "skos-xl",
+      uriFilter: String => Boolean = _ => true
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val skosxl = "http://www.w3.org/2008/05/skos-xl#"
+    val parsed = parseNTriples(spark, path).cache()
+    val literalForm = parsed
+      .filter(col("pred") === s"${skosxl}literalForm" && !col("obj_is_iri"))
+      .select(col("subj").as("labelNode"), col("obj").as("text"))
+    def hop(pred: String): DataFrame = parsed
+      .filter(col("pred") === s"$skosxl$pred" && col("obj_is_iri"))
+      .select(col("subj").as("idx"), col("obj").as("labelNode"))
+      .join(literalForm, "labelNode")
+      .select(col("idx"), col("text"))
+    val prefOk = hop("prefLabel").filter(udf(uriFilter).apply(col("idx")))
+    val altOk = hop("altLabel").filter(udf(uriFilter).apply(col("idx")))
+    val labelRows = prefOk.select(col("idx"), col("text").as("defaultLabel"),
+      col("text").as("syn"), lit(s"${skosxl}prefLabel").as("mappingType"))
+    val synRows = prefOk.withColumnRenamed("text", "defaultLabel")
+      .join(altOk.withColumnRenamed("text", "syn"), "idx")
+      .select(col("idx"), col("defaultLabel"), col("syn"),
+        lit(s"${skosxl}altLabel").as("mappingType"))
+    labelRows.union(synRows)
+      .where(col("syn").isNotNull && length(col("syn")) > 0)
+      .select(
+        lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
+        col("idx"), col("defaultLabel"), col("syn"), col("mappingType"),
+        lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
+  }
+
+  /** RDF/XML (OWL dump) source — the general rdflib path of the reference
+    * (RDFGraphParser, parsers.py:453-600) re-expressed without rdflib:
+    * wholetext per file, scala-xml parse INSIDE the executor task, subject
+    * nodes = elements carrying rdf:about; label/synonym predicates matched
+    * by full IRI (namespace + local name) against child elements. Emits the
+    * reference's row shape: one label row per subject (mapping_type = label
+    * predicate IRI) + one row per synonym (mapping_type = synonym
+    * predicate IRI); subjects failing `uriFilter` are dropped
+    * (is_valid_iri, parsers.py:595-600).
+    */
+  def readRdfXml(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "owl-xml",
+      labelPredicate: String = "http://www.w3.org/2000/01/rdf-schema#label",
+      synonymPredicates: Set[String] =
+        Set("http://www.geneontology.org/formats/oboInOwl#hasExactSynonym"),
+      uriFilter: String => Boolean = _ => true
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    spark.read.option("wholetext", "true").text(path)
+      .as[String]
+      .flatMap { content =>
+        val root = scala.xml.XML.loadString(content)
+        val subjects = root.child.collect {
+          case e: scala.xml.Elem if e.attribute(rdfNs, "about").isDefined => e
+        }
+        subjects.iterator.flatMap { e =>
+          val about = e.attribute(rdfNs, "about").get.text
+          if (!uriFilter(about)) Iterator.empty
+          else {
+            def values(predIri: String): Seq[String] = e.child.collect {
+              case c: scala.xml.Elem if s"${c.namespace}${c.label}" == predIri =>
+                c.attribute(rdfNs, "resource").map(_.text).getOrElse(c.text)
+            }
+            values(labelPredicate).headOption match {
+              case None => Iterator.empty
+              case Some(label) =>
+                val syns = synonymPredicates.toSeq.sorted.flatMap(p =>
+                  values(p).map(s => (s, p)))
+                (Iterator.single((label, labelPredicate)) ++ syns.iterator)
+                  .filter(_._1.nonEmpty)
+                  .map { case (syn, mt) =>
+                    OntologyRow(parserName, entityClass, about, label, syn, mt, dataOrigin)
+                  }
+            }
+          }
+        }
+      }
   }
 }
 

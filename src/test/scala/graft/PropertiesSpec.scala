@@ -30,12 +30,28 @@ class PropertiesSpec extends AnyFunSuite {
   val entityClass: Gen[String] =
     Gen.oneOf("", "gene", "disease", "anatomy", "company")
 
-  test("normalize is idempotent for symbolic outputs and stable") {
+  test("normalize is deterministic and converges to a fixpoint") {
+    // NOT 2-step idempotent, faithfully to the reference: the greek/roman
+    // substitution regexes (" B " etc., string_normalizer.py:69-78) consume
+    // their delimiting whitespace, so adjacent repeated tokens ("B B")
+    // substitute one per pass — in Python's re.sub exactly as here. The
+    // join key (term_norm) is normalize applied ONCE to raw strings on
+    // both gazetteer and mention sides, so parity is unaffected. The true
+    // invariants: purity (same input -> same output) and convergence to a
+    // fixpoint within a few passes (each pass strictly reduces
+    // substitutable single-letter tokens).
     check(Prop.forAll(phrase, entityClass) { (s, cls) =>
-      val once = StringNormalizer.normalize(s, cls)
-      val twice = StringNormalizer.normalize(once, cls)
-      // stability: normalizing a normalized string converges by the 2nd app
-      StringNormalizer.normalize(twice, cls) == twice
+      val det = StringNormalizer.normalize(s, cls) == StringNormalizer.normalize(s, cls)
+      var cur = StringNormalizer.normalize(s, cls)
+      var converged = false
+      var i = 0
+      while (i < 8 && !converged) {
+        val next = StringNormalizer.normalize(cur, cls)
+        converged = next == cur
+        cur = next
+        i += 1
+      }
+      det && converged
     })
   }
 

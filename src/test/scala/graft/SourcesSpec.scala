@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import graft.core.MentionConfidence
+import graft.gazetteer.{Behaviour, Curation, GazetteerBuilder}
+import graft.sources.{OntologySources, SqliteSource}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-2 KB format readers: Meddra '$'-separated, SKOS-XL (two-hop
+  * label nodes over N-Triples), RDF/XML OWL dumps, and the pure-JVM SQLite
+  * b-tree reader (CHEMBL path). Each reader round-trips into the gazetteer
+  * builder + dictionary NER, mirroring the reference formats in
+  * /root/reference/kazu/ontology_preprocessing/parsers.py.
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+
+  // ------------------------------------------------------------- meddra --
+
+  test("meddra reader: PT/LLT/HLT/HLGT rows, SOC exclusion") {
+    val dir = Files.createTempDirectory("meddra")
+    Files.writeString(dir.resolve("mdhier.asc"),
+      "10001$20001$30001$40001$Myocardial infarction$Ischaemic heart disorders$Coronary disorders$Cardiac disorders$Card$$10001001$Y$\n" +
+        "10002$20001$30001$40001$Angina pectoris$Ischaemic heart disorders$Coronary disorders$Cardiac disorders$Card$$10002001$Y$\n" +
+        "10003$20099$30099$40099$Blood test$Lab measures$Lab disorders$Investigations$Inv$$10003001$Y$\n")
+    Files.writeString(dir.resolve("llt.asc"),
+      "50001$Heart attack$10001$$$$$$$Y$$\n" +
+        "50002$MI$10001$$$$$$$Y$$\n" +
+        "50003$Bloodwork$10003$$$$$$$Y$$\n")
+    val rows = OntologySources.readMeddra(spark, dir.toString, "meddra_p", "disease").collect()
+    // excluded SOC (Investigations) drops 10003 entirely, incl. its LLT
+    assert(!rows.exists(_.idx == "10003"))
+    assert(!rows.exists(_.syn == "Bloodwork"))
+    // PT rows with pt_name as label+syn
+    assert(rows.exists(r => r.idx == "10001" && r.syn == "Myocardial infarction"))
+    // LLT synonyms point at the PT id with the PT label
+    val heartAttack = rows.find(_.syn == "Heart attack").get
+    assert(heartAttack.idx == "10001" && heartAttack.defaultLabel == "Myocardial infarction")
+    assert(rows.exists(r => r.syn == "MI" && r.idx == "10001"))
+    // distinct HLT/HLGT
+    assert(rows.count(_.idx == "20001") == 1)
+    assert(rows.find(_.idx == "20001").get.syn == "Ischaemic heart disorders")
+    assert(rows.count(_.idx == "30001") == 1)
+    assert(rows.forall(_.mappingType == "meddra_link"))
+  }
+
+  // ------------------------------------------------------------ skos-xl --
+
+  test("skos-xl reader: prefLabel/altLabel via literalForm hop") {
+    val dir = Files.createTempDirectory("skosxl")
+    Files.writeString(dir.resolve("kb.nt"),
+      """<http://x/C1> <http://www.w3.org/2008/05/skos-xl#prefLabel> _:l1 .
+        |_:l1 <http://www.w3.org/2008/05/skos-xl#literalForm> "myocardial infarction" .
+        |<http://x/C1> <http://www.w3.org/2008/05/skos-xl#altLabel> _:l2 .
+        |_:l2 <http://www.w3.org/2008/05/skos-xl#literalForm> "heart attack" .
+        |<http://x/C2> <http://www.w3.org/2008/05/skos-xl#prefLabel> <http://x/label/C2pref> .
+        |<http://x/label/C2pref> <http://www.w3.org/2008/05/skos-xl#literalForm> "stroke" .
+        |<http://ignored/C3> <http://other/pred> "noise" .
+        |""".stripMargin)
+    val rows = OntologySources.readSkosXl(spark, dir.toString + "/kb.nt", "skos_p", "disease").collect()
+    assert(rows.count(_.idx == "http://x/C1") == 2)
+    val pref = rows.find(r => r.idx == "http://x/C1" && r.mappingType.endsWith("prefLabel")).get
+    assert(pref.syn == "myocardial infarction" && pref.defaultLabel == "myocardial infarction")
+    val alt = rows.find(r => r.idx == "http://x/C1" && r.mappingType.endsWith("altLabel")).get
+    assert(alt.syn == "heart attack" && alt.defaultLabel == "myocardial infarction")
+    // IRI-valued label node works like a blank node
+    assert(rows.exists(r => r.idx == "http://x/C2" && r.syn == "stroke"))
+    assert(!rows.exists(_.idx.contains("ignored")))
+  }
+
+  // ------------------------------------------------------------ rdf/xml --
+
+  test("rdf/xml OWL reader: label + synonym predicates, uri filter") {
+    val dir = Files.createTempDirectory("owlxml")
+    Files.writeString(dir.resolve("kb.owl"),
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+        |         xmlns:owl="http://www.w3.org/2002/07/owl#"
+        |         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#">
+        |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MONDO_0001">
+        |    <rdfs:label>lung cancer</rdfs:label>
+        |    <oboInOwl:hasExactSynonym>pulmonary cancer</oboInOwl:hasExactSynonym>
+        |    <oboInOwl:hasExactSynonym>cancer of lung</oboInOwl:hasExactSynonym>
+        |    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MONDO_0000"/>
+        |  </owl:Class>
+        |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MONDO_0002">
+        |    <rdfs:label>influenza</rdfs:label>
+        |  </owl:Class>
+        |  <owl:Class rdf:about="http://elsewhere.org/not_mondo">
+        |    <rdfs:label>should be filtered</rdfs:label>
+        |  </owl:Class>
+        |  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MONDO_0003"/>
+        |</rdf:RDF>
+        |""".stripMargin)
+    val rows = OntologySources.readRdfXml(spark, dir.toString + "/kb.owl", "owl_p", "disease",
+      uriFilter = _.startsWith("http://purl.obolibrary.org/obo/MONDO_")).collect()
+    assert(rows.count(_.idx.endsWith("MONDO_0001")) == 3) // label + 2 synonyms
+    assert(rows.count(_.idx.endsWith("MONDO_0002")) == 1)
+    assert(!rows.exists(_.idx.contains("elsewhere"))) // uri filter
+    assert(!rows.exists(_.idx.endsWith("MONDO_0003"))) // no label -> dropped
+    assert(rows.find(_.syn == "pulmonary cancer").get.mappingType
+      == "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym")
+    assert(!rows.exists(_.syn.contains("MONDO_0000"))) // subClassOf not a synonym pred
+  }
+
+  // ------------------------------------------------------------- sqlite --
+
+  val sqlitePath = "src/test/resources/chembl_min.sqlite"
+
+  test("sqlite reader: schema discovery, typed values, rowid aliasing, overflow") {
+    assert(SqliteSource.tableNames(sqlitePath).toSet
+      == Set("molecule_dictionary", "molecule_synonyms"))
+    val md = SqliteSource.readTable(spark, sqlitePath, "molecule_dictionary")
+    assert(md.columns.toSeq == Seq("molregno", "chembl_id", "pref_name", "mw"))
+    assert(md.count() == 500)
+    val r42 = md.filter(org.apache.spark.sql.functions.col("chembl_id") === "CHEMBL42").head()
+    assert(r42.getString(0) == "42") // INTEGER PRIMARY KEY backfilled from rowid
+    assert(r42.getString(2) == "Drug 42")
+    assert(r42.getString(3) == "42.5")
+    // NULLs survive
+    assert(md.filter(org.apache.spark.sql.functions.col("pref_name").isNull).count() == 10)
+    // overflow-page payloads come back whole
+    val ms = SqliteSource.readTable(spark, sqlitePath, "molecule_synonyms")
+    assert(ms.count() == 505)
+    val long = ms.filter(org.apache.spark.sql.functions.col("syn_type") === "RESEARCH_CODE")
+      .collect().map(_.getString(1))
+    assert(long.length == 5 && long.forall(s => s.length == 908 && s.startsWith("LONGSYN-")))
+  }
+
+  test("chembl export joins synonyms and drops null pref_name") {
+    val rows = SqliteSource.readChembl(spark, sqlitePath, "chembl_p", "drug").collect()
+    // 500 dictionary rows - 10 null pref: 490 pref rows; synonyms of non-null
+    // molecules: 505 - 10 (i%50==49 never hits i%100==0 so only the plain
+    // syns of null-pref rows drop) = 495
+    assert(rows.count(_.mappingType == "pref_name") == 490)
+    assert(rows.exists(r => r.idx == "CHEMBL42" && r.syn == "syn-42-a" && r.mappingType == "TRADE_NAME"))
+    assert(!rows.exists(_.idx == "CHEMBL49")) // null pref_name dropped
+  }
+
+  // ------------------------------------- gazetteer round-trip (e2e link) --
+
+  test("new sources feed the gazetteer + dictionary NER end to end") {
+    val dir = Files.createTempDirectory("src_e2e")
+    Files.writeString(dir.resolve("kb.nt"),
+      """<http://x/C1> <http://www.w3.org/2008/05/skos-xl#prefLabel> _:l1 .
+        |_:l1 <http://www.w3.org/2008/05/skos-xl#literalForm> "graftomycin" .
+        |""".stripMargin)
+    val rows = OntologySources.readSkosXl(spark, dir.toString + "/kb.nt", "skos_p", "drug").collect() ++
+      SqliteSource.readChembl(spark, sqlitePath, "chembl_p", "drug").collect().filter(_.idx == "CHEMBL42")
+    val curations = Seq(
+      Curation("skos_p", "graftomycin", MentionConfidence.HIGHLY_LIKELY,
+        Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, None, None),
+      Curation("chembl_p", "syn-42-a", MentionConfidence.HIGHLY_LIKELY,
+        Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, None, None))
+    val gaz = GazetteerBuilder.buildLocal(rows.toSeq, curations)
+    val dict = graft.ac.DictionaryNer.buildDictionary(gaz)
+    val hits = graft.ac.DictionaryNer.scanText(dict, "d", "patient took graftomycin and syn-42-a today")
+    assert(hits.map(_.matchText).toSet == Set("graftomycin", "syn-42-a"))
+  }
+}
