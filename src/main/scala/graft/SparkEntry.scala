@@ -59,20 +59,31 @@ object SparkEntry {
   }
 
   /** The FULL KAZU-semantics pipeline over the deterministic synthetic
-    * code corpus (north-rule input shape). Rows-only check here; the
-    * P/R >= 0.95 acceptance gate lives in AcceptanceSpec. */
+    * code corpus (north-rule input shape), aggregated to per-doc-distinct
+    * (pred, obj, source) doc counts — the exact projection the generator's
+    * a-priori gold determines (linking scores per-doc (source, idx) sets),
+    * so the output is oracle-checkable against gold VALUES. Corpus rows
+    * generate ON THE EXECUTORS. The P/R >= 0.95 acceptance gate itself
+    * lives in AcceptanceSpec. */
   def kgFullTriples(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val n = if (sfDir.contains("0.1")) 3000 else if (sfDir.contains("0.01")) 1000 else 300
-    val corpus = spark.createDataset(CorpusGen.generate(n).map(_.row)).toDF()
+    val n = fullTriplesDocs(sfDir)
+    val corpus = spark.range(n).repartition(32).as[Long]
+      .mapPartitions(_.map(i => CorpusGen.generateOne(i.toInt).row)).toDF()
     val docs = Stages.ingest(corpus)(spark)
     val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(
       CorpusGen.gazetteer,
       Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser))))
     KgPipeline.triples(docs, bc).toDF()
-      .groupBy("pred", "obj", "source", "stringMatchConfidence")
-      .agg(count(lit(1)).as("n"))
+      .select(substring_index(col("subj"), "#", 1).as("doc_id"),
+        col("pred"), col("obj"), col("source"))
+      .distinct()
+      .groupBy("pred", "obj", "source")
+      .agg(count(lit(1)).as("n_docs"))
   }
+
+  private def fullTriplesDocs(sfDir: String): Int =
+    if (sfDir.contains("0.1")) 3000 else if (sfDir.contains("0.01")) 1000 else 300
 
   /** Deterministic component fixture: a 6-node chain (forces multiple
     * hash-min iterations), a triangle, an isolated pair. */
@@ -328,7 +339,28 @@ object SparkEntry {
       .map(w => s"(len(string_split_regex(' '||lower(text)||' ', '\\s$w\\s'))-1)")
       .mkString(" + ")
 
+  /** Gold-derived oracle for the full pipeline at the driver's correctness
+    * scale (sf0.01 -> 1000 docs): the generator plants every mention a
+    * priori, so the per-doc-distinct (pred, obj, source) doc counts are
+    * known without running the pipeline — an independent expectation, like
+    * the reference's golden full_pipeline assets. */
+  private def fullTriplesOracle: String = {
+    val gold = CorpusGen.generate(1000)
+      .filterNot(_.quarantined)
+      .flatMap(g => g.goldTriples.map(t =>
+        (s"denotes:${t.entityClass}", t.idx, t.source, t.docId)))
+      .distinct
+    val rows = gold.groupBy(t => (t._1, t._2, t._3)).toSeq
+      .map { case ((pred, obj, source), v) => (pred, obj, source, v.map(_._4).distinct.size) }
+      .sortBy(r => (r._1, r._2, r._3))
+      .map { case (pred, obj, source, n) =>
+        s"('$pred','$obj','$source',CAST($n AS BIGINT))"
+      }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pred, obj, source, n_docs)"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_full_triples" -> fullTriplesOracle,
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
          |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)

@@ -70,6 +70,7 @@ object AggStrategy {
   val UNAMBIGUOUS = "UNAMBIGUOUS"
   val MERGED_AS_NON_SYMBOLIC = "MERGED_AS_NON_SYMBOLIC"
   val RESOLVED_BY_SIMILARITY = "RESOLVED_BY_SIMILARITY"
+  val RESOLVED_BY_XREF = "RESOLVED_BY_XREF"
   val CUSTOM = "CUSTOM"
 }
 
@@ -101,7 +102,11 @@ final case class Candidate(
     exactMatch: Boolean
 )
 
-/** A grounded KB identifier decision. Ref: Mapping, data.py:171-207. */
+/** A grounded KB identifier decision. Ref: Mapping, data.py:171-207.
+  * `metadata` carries the KB metadata copied in by the MappingFactory
+  * (mapping_strategies/strategies.py:59-105): data_origin, annotation
+  * score, and any parser-specific extras, as strings (Catalyst-friendly).
+  */
 final case class Mapping(
     parserName: String,
     source: String,
@@ -111,7 +116,8 @@ final case class Mapping(
     stringMatchConfidence: String,
     disambiguationStrategy: Option[String],
     disambiguationConfidence: Option[String],
-    xrefSourceParserName: Option[String]
+    xrefSourceParserName: Option[String],
+    metadata: Map[String, String] = Map.empty
 )
 
 /** A detected mention (contiguous unless spans.size > 1). Value-typed analog
@@ -170,5 +176,17 @@ final case class Triple(
 )
 
 /** Metadata record for one KB id. Ref: MetadataDatabase values,
-  * in_memory_db.py:23-74. */
-final case class IdMeta(defaultLabel: String, dataOrigin: String, annotationScore: Option[Double])
+  * in_memory_db.py:23-74. `extra` holds parser-specific metadata columns
+  * (e.g. OpenTargets xrefs, Meddra SOC codes) for Mapping enrichment. */
+final case class IdMeta(
+    defaultLabel: String,
+    dataOrigin: String,
+    annotationScore: Option[Double],
+    extra: Map[String, String] = Map.empty
+) {
+  /** The map the MappingFactory copies into each Mapping (the reference
+    * pops default_label and passes the rest, strategies.py:70-77). */
+  def asMappingMetadata: Map[String, String] =
+    extra ++ Map("data_origin" -> dataOrigin) ++
+      annotationScore.map(s => "annotation_score" -> s.toString)
+}

@@ -472,15 +472,17 @@ final class StrategyRunner(
     for {
       idSet <- idSets
       ias <- idSet.idsAndSource
+      meta = gaz.meta(parser, ias.idx)
     } yield Mapping(
       parserName = parser,
       source = ias.source,
       idx = ias.idx,
-      defaultLabel = gaz.meta(parser, ias.idx).map(_.defaultLabel).getOrElse(""),
+      defaultLabel = meta.map(_.defaultLabel).getOrElse(""),
       stringMatchStrategy = spec.name,
       stringMatchConfidence = spec.confidence,
       disambiguationStrategy = disambStrategy.filter(_ != "disambiguation_not_required"),
       disambiguationConfidence = disambConfidence,
-      xrefSourceParserName = None
+      xrefSourceParserName = None,
+      metadata = meta.map(_.asMappingMetadata).getOrElse(Map.empty)
     )
 }

@@ -71,6 +71,98 @@ object SourceResolver {
   }
 }
 
+/** Pluggable id-grouping strategy (G3): how the ids sharing one normalized
+  * synonym cluster into EquivalentIdSets. The reference expresses these as
+  * per-parser `score_and_group_ids` overrides; here they are values wired
+  * per parser into the gazetteer build. All implementations must be
+  * deterministic and serializable (they run inside Spark mapGroups).
+  */
+trait IdGrouper extends Serializable {
+  def group(
+      idsAndSource: Set[IdAndSource],
+      isSymbolic: Boolean,
+      defaultLabels: Map[String, String]
+  ): (Seq[EquivIdSet], String)
+}
+
+object IdGrouper {
+
+  /** Every id its own concept — the Cellosaurus override
+    * (/root/reference/kazu/ontology_preprocessing/parsers.py:1124-1144). */
+  object AllIdsSeparate extends IdGrouper {
+    def group(ids: Set[IdAndSource], isSymbolic: Boolean,
+        labels: Map[String, String]): (Seq[EquivIdSet], String) =
+      (ids.toSeq.sortBy(i => (i.idx, i.source)).map(i => EquivIdSet(Seq(i))),
+        AggStrategy.CUSTOM)
+  }
+
+  /** Group ids sharing the same default label — the Ensembl-gene override
+    * (parsers.py:318-354): gene ids are genome locations, so ids labelled
+    * identically are the same gene. */
+  object GroupByDefaultLabel extends IdGrouper {
+    def group(ids: Set[IdAndSource], isSymbolic: Boolean,
+        labels: Map[String, String]): (Seq[EquivIdSet], String) = {
+      val grouped = ids.groupBy(i => labels.getOrElse(i.idx, i.idx))
+      (grouped.toSeq.sortBy(_._1)
+        .map { case (_, g) => EquivIdSet(g.toSeq).canonical },
+        AggStrategy.CUSTOM)
+    }
+  }
+
+  /** Group disease ids via pairwise cross-reference intersection — the
+    * OpenTargets-disease override (parsers.py:145-211). Each id carries a
+    * set of xref CURIEs (+ itself, '_' converted to ':'); ids whose xref
+    * sets intersect share a group keyed by the intersection. If two
+    * distinct intersection-groups overlap (xrefs confused between
+    * subsets), or only one id exists, fall back to `fallback`.
+    */
+  final case class XrefIntersection(
+      xrefsById: Map[String, Set[String]],
+      fallback: IdGrouper
+  ) extends IdGrouper {
+    def group(ids: Set[IdAndSource], isSymbolic: Boolean,
+        labels: Map[String, String]): (Seq[EquivIdSet], String) = {
+      if (ids.size == 1) return fallback.group(ids, isSymbolic, labels)
+      val lookup: Seq[(IdAndSource, Set[String])] = ids.toSeq
+        .sortBy(i => (i.idx, i.source))
+        .map(i => i -> (xrefsById.getOrElse(i.idx, Set.empty) + i.idx.replace('_', ':')))
+      var unmapped = ids
+      val groups = scala.collection.mutable.LinkedHashMap
+        .empty[Set[String], scala.collection.mutable.LinkedHashSet[IdAndSource]]
+      for {
+        (Seq((ia, xa), (ib, xb))) <- lookup.combinations(2)
+      } {
+        val inter = xa.intersect(xb)
+        if (inter.nonEmpty) {
+          val g = groups.getOrElseUpdate(inter, scala.collection.mutable.LinkedHashSet.empty)
+          g += ia; g += ib
+          unmapped = unmapped - ia - ib
+        }
+      }
+      val gs = groups.values.toSeq
+      val confused = gs.combinations(2).exists { case Seq(g1, g2) => g1.exists(g2.contains) }
+      if (confused) fallback.group(ids, isSymbolic, labels)
+      else {
+        val all = gs.map(g => EquivIdSet(g.toSeq).canonical) ++
+          unmapped.toSeq.sortBy(i => (i.idx, i.source)).map(i => EquivIdSet(Seq(i)))
+        (all.sortBy(s => s.idsAndSource.map(_.idx).mkString(",")),
+          AggStrategy.RESOLVED_BY_XREF)
+      }
+    }
+  }
+
+  /** The default strategy as an IdGrouper value (greedy agglomerative merge
+    * on default-label similarity; base.py:895-997). */
+  final case class Default(
+      scorer: Option[(String, String) => Double],
+      mergeThreshold: Double = 0.70
+  ) extends IdGrouper {
+    def group(ids: Set[IdAndSource], isSymbolic: Boolean,
+        labels: Map[String, String]): (Seq[EquivIdSet], String) =
+      SynonymResolver.scoreAndGroupIds(ids, isSymbolic, labels, scorer, mergeThreshold)
+  }
+}
+
 /** Pure-Scala id-grouping and synonym resolution — the per-group compute of
   * the gazetteer groupBy/agg (G2/G3 in SURVEY §2.2). Groups are small, so
   * this runs inside Spark aggregation (mapGroups) or locally.
@@ -136,14 +228,18 @@ object SynonymResolver {
       rows: Seq[(String, String, String, String)], // (syn, idx, mappingType, defaultLabel)
       scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
       mergeThreshold: Double = 0.70,
-      sourceFn: (String, String) => String = SourceResolver.resolve
+      sourceFn: (String, String) => String = SourceResolver.resolve,
+      idGrouper: Option[IdGrouper] = None
   ): SynTerm = {
     val syns = rows.map(_._1).distinct.sorted
     val mappingTypes = rows.map(_._3).distinct.sorted
     val isSymbolic = syns.forall(StringNormalizer.classifySymbolic(_, entityClass))
     val idsAndSource = rows.map(r => IdAndSource(r._2, sourceFn(parserName, r._2))).toSet
     val labels = rows.map(r => r._2 -> r._4).toMap
-    val (idSets, agg) = scoreAndGroupIds(idsAndSource, isSymbolic, labels, scorer, mergeThreshold)
+    val (idSets, agg) = idGrouper match {
+      case Some(g) => g.group(idsAndSource, isSymbolic, labels)
+      case None => scoreAndGroupIds(idsAndSource, isSymbolic, labels, scorer, mergeThreshold)
+    }
     SynTerm(parserName, termNorm, syns, isSymbolic, mappingTypes, idSets, agg)
   }
 }
@@ -395,14 +491,16 @@ object GazetteerBuilder {
   def resolveSynonymsSpark(
       rows: org.apache.spark.sql.Dataset[OntologyRow],
       scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
-      mergeThreshold: Double = 0.70
+      mergeThreshold: Double = 0.70,
+      grouperByParser: Map[String, IdGrouper] = Map.empty
   ): org.apache.spark.sql.Dataset[SynTerm] = {
     import rows.sparkSession.implicits._
     rows
       .groupByKey(r => (r.parserName, r.entityClass, StringNormalizer.normalize(r.syn, r.entityClass)))
       .mapGroups { (key: (String, String, String), it: Iterator[OntologyRow]) =>
         val group = it.map(r => (r.syn, r.idx, r.mappingType, r.defaultLabel)).toSeq
-        SynonymResolver.resolveGroup(key._1, key._2, key._3, group, scorer, mergeThreshold)
+        SynonymResolver.resolveGroup(key._1, key._2, key._3, group, scorer, mergeThreshold,
+          idGrouper = grouperByParser.get(key._1))
       }
   }
 
@@ -413,10 +511,11 @@ object GazetteerBuilder {
       curations: Seq[Curation],
       globalActions: Seq[GlobalAction] = Seq.empty,
       scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
-      mergeThreshold: Double = 0.70
+      mergeThreshold: Double = 0.70,
+      grouperByParser: Map[String, IdGrouper] = Map.empty
   ): Gazetteer = {
     import rows.sparkSession.implicits._
-    val resolved = resolveSynonymsSpark(rows, scorer, mergeThreshold).collect()
+    val resolved = resolveSynonymsSpark(rows, scorer, mergeThreshold, grouperByParser).collect()
     val meta = rows
       .groupByKey(r => (r.parserName, r.idx))
       .mapGroups { (key: (String, String), it: Iterator[OntologyRow]) =>
@@ -448,7 +547,8 @@ object GazetteerBuilder {
       globalActions: Seq[GlobalAction] = Seq.empty,
       scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
       mergeThreshold: Double = 0.70,
-      sourceFn: (String, String) => String = SourceResolver.resolve
+      sourceFn: (String, String) => String = SourceResolver.resolve,
+      grouperByParser: Map[String, IdGrouper] = Map.empty
   ): Gazetteer = {
     val byParser = rows.groupBy(_.parserName)
     val entityClassByParser = byParser.map { case (p, rs) => p -> rs.head.entityClass }
@@ -469,7 +569,7 @@ object GazetteerBuilder {
         SynonymResolver.resolveGroup(
           parser, entityClass, norm,
           groupRows.map(r => (r.syn, r.idx, r.mappingType, r.defaultLabel)),
-          scorer, mergeThreshold, sourceFn)
+          scorer, mergeThreshold, sourceFn, grouperByParser.get(parser))
       }.toSeq
       val proc = new CurationProcessor(
         parser, entityClass,

@@ -35,8 +35,59 @@ final class XrefManager(
       idx = targetIdx,
       defaultLabel = meta.defaultLabel,
       stringMatchStrategy = "CrossReferenceManager",
-      xrefSourceParserName = Some(mapping.parserName)
+      xrefSourceParserName = Some(mapping.parserName),
+      metadata = meta.asMappingMetadata
     )
+}
+
+/** EBI-OXO cross-reference dump ingestion — the reference's
+  * OxoCrossReferenceManager.parse_oxo_dump + _split_and_convert_curie
+  * (/root/reference/kazu/steps/linking/post_processing/xref_manager.py:
+  * 108-216, minus the HTTP download: the dump is an input file here). The
+  * dump is a JSON array of OXO result pages; each page's searchResults
+  * carry a CURIE and its mappingResponseList of target CURIEs.
+  */
+object OxoDump {
+
+  /** "MONDO:0004979" -> (convertedSource, prefix + idx). */
+  def splitAndConvertCurie(
+      curie: String,
+      nameMapping: Map[String, String],
+      uriPrefixes: Map[String, String]
+  ): (String, String) = {
+    val colon = curie.indexOf(':')
+    require(colon > 0, s"not a CURIE: $curie")
+    val source = curie.substring(0, colon)
+    val idx = curie.substring(colon + 1)
+    val converted = nameMapping.getOrElse(source, source)
+    (converted, uriPrefixes.getOrElse(converted, "") + idx)
+  }
+
+  /** Read a dump file into xref edges (deduped, deterministically sorted).
+    * Spark's JSON reader handles the nested page structure; the result is
+    * dimension-sized and collects for broadcast via XrefManager. */
+  def readEdges(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nameMapping: Map[String, String] = Map.empty,
+      uriPrefixes: Map[String, String] = Map.empty
+  ): Seq[XrefEdge] = {
+    import spark.implicits._
+    val pages = spark.read.option("multiLine", "true").json(path)
+    pages
+      .select(explode(col("_embedded.searchResults")).as("sr"))
+      .select(col("sr.curie").as("curie"), explode(col("sr.mappingResponseList.curie")).as("target"))
+      .as[(String, String)]
+      .collect()
+      .toSeq
+      .map { case (c, t) =>
+        val (s, i) = splitAndConvertCurie(c, nameMapping, uriPrefixes)
+        val (ts, ti) = splitAndConvertCurie(t, nameMapping, uriPrefixes)
+        XrefEdge(s, i, ts, ti)
+      }
+      .distinct
+      .sortBy(e => (e.source, e.idx, e.targetSource, e.targetIdx))
+  }
 }
 
 object XrefManager {

@@ -1,0 +1,32 @@
+package graft.run
+
+/** Per-entity-class acceptance thresholds loaded from a JSON config — the
+  * reference reads these from the model pack's acceptance_criteria.json
+  * (/root/reference/kazu/annotation/acceptance_test.py:26-29) instead of
+  * hardcoding the gate. Shape:
+  * {"algorithm": {"precision": 0.95, "recall": 0.95}, "*": {...}}
+  * The "*" entry is the fallback for classes without their own gate.
+  */
+object AcceptanceCriteria {
+
+  final case class Gate(precision: Double, recall: Double)
+
+  final case class Criteria(byClass: Map[String, Gate]) {
+    def forClass(entityClass: String): Gate =
+      byClass.getOrElse(entityClass, byClass.getOrElse("*", Gate(0.95, 0.95)))
+  }
+
+  def load(path: String): Criteria = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val it = root.fields()
+    val b = Map.newBuilder[String, Gate]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> Gate(
+        e.getValue.get("precision").asDouble(),
+        e.getValue.get("recall").asDouble())
+    }
+    Criteria(b.result())
+  }
+}

@@ -339,12 +339,18 @@ object JsonExport {
   }
 
   def mentionJson(m: graft.core.Mention, dropTerms: Boolean): String = {
-    val mappings = m.mappings.map(mp =>
+    val mappings = m.mappings.map { mp =>
+      val metaJson =
+        if (mp.metadata.isEmpty) ""
+        else mp.metadata.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+          .mkString(""","metadata":{""", ",", "}")
       s"""{"parser_name":"${esc(mp.parserName)}","source":"${esc(mp.source)}","idx":"${esc(mp.idx)}",""" +
         s""""default_label":"${esc(mp.defaultLabel)}","string_match_strategy":"${esc(mp.stringMatchStrategy)}",""" +
         s""""string_match_confidence":"${mp.stringMatchConfidence}"""" +
-        mp.disambiguationConfidence.map(c => s""","disambiguation_confidence":"$c"""").getOrElse("") + "}")
-      .mkString("[", ",", "]")
+        mp.disambiguationConfidence.map(c => s""","disambiguation_confidence":"$c"""").getOrElse("") +
+        metaJson + "}"
+    }.mkString("[", ",", "]")
     val terms =
       if (dropTerms) ""
       else s""","candidates":${m.candidates.map(c =>

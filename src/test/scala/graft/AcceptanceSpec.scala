@@ -20,6 +20,10 @@ class AcceptanceSpec extends AnyFunSuite {
   import spark.implicits._
 
   val nDocs = sys.env.getOrElse("GRAFT_ACCEPT_DOCS", "300").toInt
+  // per-class gates from config, like the reference model pack's
+  // acceptance_criteria.json (acceptance_test.py:26-29)
+  val criteria = graft.run.AcceptanceCriteria.load(
+    sys.env.getOrElse("GRAFT_ACCEPT_CRITERIA", "src/test/resources/acceptance_criteria.json"))
   lazy val gen = CorpusGen.generate(nDocs)
   lazy val result: (Seq[DocMentions], Seq[Doc]) = {
     val corpus = spark.createDataset(gen.map(_.row)).toDF()
@@ -57,9 +61,10 @@ class AcceptanceSpec extends AnyFunSuite {
     for ((cls, (tp, fp, fn)) <- perClass) {
       val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
       val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
-      info(f"NER $cls%-12s P=$p%.4f R=$r%.4f (tp=$tp fp=$fp fn=$fn)")
-      assert(p >= 0.95, s"NER precision for $cls below gate: $p")
-      assert(r >= 0.95, s"NER recall for $cls below gate: $r")
+      val gate = criteria.forClass(cls)
+      info(f"NER $cls%-12s P=$p%.4f R=$r%.4f (tp=$tp fp=$fp fn=$fn) gate=(${gate.precision},${gate.recall})")
+      assert(p >= gate.precision, s"NER precision for $cls below gate: $p")
+      assert(r >= gate.recall, s"NER recall for $cls below gate: $r")
     }
     assert(perClass.nonEmpty)
   }
@@ -88,9 +93,10 @@ class AcceptanceSpec extends AnyFunSuite {
     for ((cls, (tp, fp, fn)) <- perClass) {
       val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
       val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
-      info(f"LINK $cls%-12s P=$p%.4f R=$r%.4f (tp=$tp fp=$fp fn=$fn)")
-      assert(p >= 0.95, s"linking precision for $cls below gate: $p")
-      assert(r >= 0.95, s"linking recall for $cls below gate: $r")
+      val gate = criteria.forClass(cls)
+      info(f"LINK $cls%-12s P=$p%.4f R=$r%.4f (tp=$tp fp=$fp fn=$fn) gate=(${gate.precision},${gate.recall})")
+      assert(p >= gate.precision, s"linking precision for $cls below gate: $p")
+      assert(r >= gate.recall, s"linking recall for $cls below gate: $r")
     }
     assert(perClass.nonEmpty)
   }

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import graft.core._
+import graft.gazetteer._
+import graft.graph.{OxoDump, XrefEdge, XrefManager}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G3 override id-grouping strategies + the OXO xref dump parser, modelled
+  * on the reference overrides in
+  * /root/reference/kazu/ontology_preprocessing/parsers.py (:145-211
+  * xref-intersection, :318-354 default-label-group, :1124-1144
+  * all-ids-separate) and xref_manager.py:108-216.
+  */
+class IdGrouperSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+
+  private def ids(xs: String*): Set[IdAndSource] = xs.map(x => IdAndSource(x, "SRC")).toSet
+  private def setsOf(r: (Seq[EquivIdSet], String)): Set[Set[String]] =
+    r._1.map(_.ids.toSet).toSet
+
+  test("AllIdsSeparate: every id its own concept") {
+    val r = IdGrouper.AllIdsSeparate.group(ids("A", "B", "C"), isSymbolic = true, Map.empty)
+    assert(setsOf(r) == Set(Set("A"), Set("B"), Set("C")))
+    assert(r._2 == AggStrategy.CUSTOM)
+  }
+
+  test("GroupByDefaultLabel: ids sharing a label merge (Ensembl gene semantics)") {
+    val labels = Map("ENSG1" -> "BRCA1", "ENSG2" -> "BRCA1", "ENSG3" -> "TP53")
+    val r = IdGrouper.GroupByDefaultLabel.group(ids("ENSG1", "ENSG2", "ENSG3"),
+      isSymbolic = true, labels)
+    assert(setsOf(r) == Set(Set("ENSG1", "ENSG2"), Set("ENSG3")))
+    assert(r._2 == AggStrategy.CUSTOM)
+  }
+
+  val fallback = IdGrouper.AllIdsSeparate
+
+  test("XrefIntersection: intersecting xref sets group; unmapped ids stay separate") {
+    val xrefs = Map(
+      "MONDO_1" -> Set("UMLS:C1", "MESH:D1"),
+      "EFO_1" -> Set("UMLS:C1"),
+      "HP_9" -> Set("UMLS:C999"))
+    val g = IdGrouper.XrefIntersection(xrefs, fallback)
+    val r = g.group(ids("MONDO_1", "EFO_1", "HP_9"), isSymbolic = true, Map.empty)
+    assert(setsOf(r) == Set(Set("MONDO_1", "EFO_1"), Set("HP_9")))
+    assert(r._2 == AggStrategy.RESOLVED_BY_XREF)
+  }
+
+  test("XrefIntersection: the id itself (underscore->colon) acts as an xref") {
+    // EFO_1 lists MONDO:1 as xref; MONDO_1's own curie form MONDO:1 matches
+    val xrefs = Map("EFO_1" -> Set("MONDO:1"), "MONDO_1" -> Set.empty[String])
+    val g = IdGrouper.XrefIntersection(xrefs, fallback)
+    val r = g.group(ids("MONDO_1", "EFO_1"), isSymbolic = true, Map.empty)
+    assert(setsOf(r) == Set(Set("MONDO_1", "EFO_1")))
+  }
+
+  test("XrefIntersection: confused overlapping groups fall back") {
+    // A~B via X1, B~C via X2 -> two groups sharing B -> fallback
+    val xrefs = Map(
+      "A_1" -> Set("X:1"),
+      "B_1" -> Set("X:1", "X:2"),
+      "C_1" -> Set("X:2"))
+    val g = IdGrouper.XrefIntersection(xrefs, fallback)
+    val r = g.group(ids("A_1", "B_1", "C_1"), isSymbolic = true, Map.empty)
+    assert(r._2 == AggStrategy.CUSTOM) // fallback ran
+    assert(setsOf(r) == Set(Set("A_1"), Set("B_1"), Set("C_1")))
+  }
+
+  test("XrefIntersection: single id falls back to the default strategy") {
+    val g = IdGrouper.XrefIntersection(Map.empty, IdGrouper.Default(Some(graft.text.Fuzz.similarity)))
+    val r = g.group(ids("A_1"), isSymbolic = true, Map("A_1" -> "alpha"))
+    assert(r._2 == AggStrategy.UNAMBIGUOUS)
+  }
+
+  test("groupers wire into the gazetteer build per parser") {
+    val rows = Seq(
+      OntologyRow("ens_p", "gene", "ENSG1", "BRCA1", "breast cancer 1", "name", "t"),
+      OntologyRow("ens_p", "gene", "ENSG2", "BRCA1", "breast cancer 1", "name", "t"),
+      OntologyRow("plain_p", "gene", "G1", "BRCA1", "breast cancer 1", "name", "t"),
+      OntologyRow("plain_p", "gene", "G2", "OTHER", "breast cancer 1", "name", "t"))
+    val gaz = GazetteerBuilder.buildLocal(rows, Seq.empty,
+      grouperByParser = Map("ens_p" -> IdGrouper.GroupByDefaultLabel))
+    val norm = graft.text.StringNormalizer.normalize("breast cancer 1", "gene")
+    val ens = gaz.term("ens_p", norm).get
+    assert(ens.idSets.map(_.ids.toSet) == Seq(Set("ENSG1", "ENSG2")))
+    assert(ens.aggregatedBy == AggStrategy.CUSTOM)
+    // plain parser still uses the default similarity path
+    val plain = gaz.term("plain_p", norm).get
+    assert(plain.aggregatedBy != AggStrategy.CUSTOM)
+  }
+
+  // ------------------------------------------------------------ OXO dump --
+
+  test("OXO dump parses to the same xref mappings as hand-built edges") {
+    val dir = Files.createTempDirectory("oxo")
+    Files.writeString(dir.resolve("oxo_dump.json"),
+      """[
+        |  {"_embedded": {"searchResults": [
+        |    {"curie": "MONDO:0001",
+        |     "mappingResponseList": [{"curie": "MEDDRA:10001"}, {"curie": "EFO:0009"}]},
+        |    {"curie": "MONDO:0002", "mappingResponseList": []}
+        |  ]}},
+        |  {"_embedded": {"searchResults": [
+        |    {"curie": "MONDO:0001", "mappingResponseList": [{"curie": "MEDDRA:10001"}]}
+        |  ]}}
+        |]""".stripMargin)
+    val edges = OxoDump.readEdges(spark, dir.toString + "/oxo_dump.json",
+      nameMapping = Map("MEDDRA" -> "MEDDRA_KAZU"),
+      uriPrefixes = Map("MONDO" -> "http://purl.obolibrary.org/obo/MONDO_"))
+    // deduped across pages; names and prefixes converted
+    assert(edges == Seq(
+      XrefEdge("MONDO", "http://purl.obolibrary.org/obo/MONDO_0001", "EFO", "0009"),
+      XrefEdge("MONDO", "http://purl.obolibrary.org/obo/MONDO_0001", "MEDDRA_KAZU", "10001")))
+
+    val gaz = Gazetteer(
+      Map("meddra_p" -> "disease"),
+      Map("meddra_p" -> Map.empty[String, graft.core.SynTerm]),
+      Map(("meddra_p", "10001") -> IdMeta("Myocardial infarction", "t", None)),
+      Seq.empty)
+    val mgr = XrefManager.fromEdges(edges, Map("MEDDRA_KAZU" -> "meddra_p"))
+    val m = Mapping("mondo_p", "MONDO", "http://purl.obolibrary.org/obo/MONDO_0001",
+      "MI", "ExactMatch", "HIGHLY_LIKELY", None, None, None)
+    val out = mgr.createXrefMappings(m, gaz)
+    // EFO has no parser in the lookup and no metadata -> only MEDDRA emitted
+    assert(out.map(x => (x.parserName, x.idx, x.defaultLabel, x.xrefSourceParserName)) ==
+      Seq(("meddra_p", "10001", "Myocardial infarction", Some("mondo_p"))))
+  }
+}
