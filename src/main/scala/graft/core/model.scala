@@ -161,6 +161,36 @@ final case class Doc(
   */
 final case class DocMentions(docId: String, contentSha: String, mentions: Seq[Mention])
 
+/** One named section of a multi-section document. Ref: Section
+  * (data.py:504-562) / Document.from_named_section_texts (data.py:614-637).
+  */
+final case class SectionText(name: String, text: String)
+
+/** Multi-section input document: the north-rule single-content row is the
+  * 1-section special case. contentSha covers the concatenated section
+  * texts (per-row invariance). */
+final case class DocSections(
+    docId: String,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    sections: Seq[SectionText],
+    contentSha: String,
+    error: Option[String]
+)
+
+/** Per-section annotation result: mention offsets are SECTION-LOCAL char
+  * indices, like the reference's Section.entities. */
+final case class SectionMentions(name: String, mentions: Seq[Mention])
+
+/** Annotated multi-section document. */
+final case class DocSectionMentions(
+    docId: String,
+    contentSha: String,
+    sections: Seq[SectionMentions]
+)
+
 /** Final KG edge. subj = docId#start-end, pred = denotes:<class> | xref,
   * obj = canonical CURIE. Ref shape: FIXTURES.md §5.
   */

@@ -1,0 +1,293 @@
+package graft.ops
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JDK media codecs for the multimodal pipeline: a real PNG
+  * decoder/encoder (zlib via java.util.zip + the five standard scanline
+  * filters), a PCM WAV decoder/encoder (RIFF chunk walk), and a trivial
+  * length-prefixed frame container ("GVID") for video frame sampling. No
+  * external codec libraries — everything here is the documented public
+  * file format, implemented on byte arrays so it runs inside executor
+  * tasks with zero native dependencies.
+  */
+object MediaCodec {
+
+  // ------------------------------------------------------------------ PNG --
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  final case class Png(width: Int, height: Int, bitDepth: Int, colorType: Int,
+      channels: Int, pixels: Array[Byte])
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (0 until 8).forall(i => b(i) == PngMagic(i))
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Decode an 8-bit-depth non-interlaced PNG (gray / gray+alpha / RGB /
+    * RGBA). Returns raw unfiltered pixel bytes, row-major. */
+  def decodePng(b: Array[Byte]): Png = {
+    require(isPng(b), "not a PNG")
+    var off = 8
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val len = be32(b, off)
+      val typ = new String(b, off + 4, 4, "ISO-8859-1")
+      typ match {
+        case "IHDR" =>
+          width = be32(b, off + 8); height = be32(b, off + 12)
+          bitDepth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
+          require((b(off + 20) & 0xff) == 0, "interlaced PNG unsupported")
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk
+      }
+      off += 12 + len
+    }
+    require(bitDepth == 8, s"bit depth $bitDepth unsupported")
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case other => throw new IllegalArgumentException(s"color type $other")
+    }
+    val stride = width * channels
+    val raw = inflate(idat.toByteArray, (stride + 1) * height)
+    // unfilter: each scanline = filter byte + stride data bytes
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xff
+        val left = if (x >= channels) out(rowOut + x - channels) & 0xff else 0
+        val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= channels) out(rowOut - stride + x - channels) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+            cur + pred
+          case other => throw new IllegalArgumentException(s"filter $other")
+        }
+        out(rowOut + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png(width, height, bitDepth, colorType, channels, out)
+  }
+
+  /** Encode gray (channels=1) or RGB (channels=3) 8-bit pixels as PNG
+    * (filter 0 scanlines, one IDAT). */
+  def encodePng(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3, "gray or RGB only")
+    require(pixels.length == width * height * channels)
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (stride + 1)) = 0 // filter None
+      System.arraycopy(pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(PngMagic)
+    val ihdr = new Array[Byte](13)
+    def putBe32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+      a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+    }
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = (if (channels == 1) 0 else 2).toByte
+    writeChunk(bos, "IHDR", ihdr)
+    writeChunk(bos, "IDAT", deflate(raw))
+    writeChunk(bos, "IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  private def writeChunk(bos: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    len(0) = (data.length >>> 24).toByte; len(1) = (data.length >>> 16).toByte
+    len(2) = (data.length >>> 8).toByte; len(3) = data.length.toByte
+    bos.write(len)
+    val t = typ.getBytes("ISO-8859-1")
+    bos.write(t)
+    bos.write(data)
+    val crc = new CRC32()
+    crc.update(t); crc.update(data)
+    val c = crc.getValue.toInt
+    bos.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var total = 0
+    while (total < expected && !inf.finished()) {
+      val n = inf.inflate(out, total, expected - total)
+      if (n == 0 && inf.needsInput()) throw new IllegalStateException("truncated IDAT")
+      total += n
+    }
+    inf.end()
+    require(total == expected, s"inflated $total of $expected bytes")
+    out
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](math.max(64, data.length))
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      bos.write(buf, 0, n)
+    }
+    d.end()
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------ WAV --
+
+  final case class Wav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      samples: Array[Short]) {
+    def durationMs: Long =
+      samples.length.toLong * 1000 / (sampleRate.toLong * channels)
+  }
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def le16(b: Array[Byte], off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Decode 16-bit PCM WAV via a RIFF chunk walk (fmt + data). */
+  def decodeWav(b: Array[Byte]): Wav = {
+    require(isWav(b), "not a WAV")
+    var off = 12
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var samples: Array[Short] = null
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "ISO-8859-1")
+      val len = le32(b, off + 4)
+      id match {
+        case "fmt " =>
+          require(le16(b, off + 8) == 1, "PCM only")
+          channels = le16(b, off + 10)
+          sampleRate = le32(b, off + 12)
+          bits = le16(b, off + 22)
+          require(bits == 16, s"$bits-bit unsupported")
+        case "data" =>
+          val n = len / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = le16(b, off + 8 + 2 * i).toShort; i += 1 }
+        case _ => ()
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(samples != null && channels > 0, "missing fmt/data chunk")
+    Wav(channels, sampleRate, bits, samples)
+  }
+
+  def encodeWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = bos.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def w16(v: Int): Unit = bos.write(Array(v.toByte, (v >>> 8).toByte))
+    bos.write("RIFF".getBytes("ISO-8859-1")); w32(36 + dataLen)
+    bos.write("WAVE".getBytes("ISO-8859-1"))
+    bos.write("fmt ".getBytes("ISO-8859-1")); w32(16)
+    w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * 2); w16(channels * 2); w16(16)
+    bos.write("data".getBytes("ISO-8859-1")); w32(dataLen)
+    samples.foreach(s => w16(s & 0xffff))
+    bos.toByteArray
+  }
+
+  // ----------------------------------------------------------- GVID video --
+
+  /** Trivial video container: "GVID" + u32 frame count + frames as
+    * (u32 length, PNG bytes). Stands in for a real container so frame
+    * sampling exercises the actual PNG decode path. */
+  def isGvid(b: Array[Byte]): Boolean =
+    b.length > 8 && b(0) == 'G' && b(1) == 'V' && b(2) == 'I' && b(3) == 'D'
+
+  def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GVID".getBytes("ISO-8859-1"))
+    bos.write(Array((frames.size >>> 24).toByte, (frames.size >>> 16).toByte,
+      (frames.size >>> 8).toByte, frames.size.toByte))
+    for (f <- frames) {
+      bos.write(Array((f.length >>> 24).toByte, (f.length >>> 16).toByte,
+        (f.length >>> 8).toByte, f.length.toByte))
+      bos.write(f)
+    }
+    bos.toByteArray
+  }
+
+  /** Iterate frames, decoding every `step`-th one (frame sampling). */
+  def gvidSampleFrames(b: Array[Byte], step: Int): Seq[Png] = {
+    require(isGvid(b), "not a GVID")
+    val count = be32(b, 4)
+    var off = 8
+    val out = scala.collection.mutable.ArrayBuffer.empty[Png]
+    var i = 0
+    while (i < count) {
+      val len = be32(b, off)
+      if (i % step == 0)
+        out += decodePng(java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len))
+      off += 4 + len
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def gvidFrameCount(b: Array[Byte]): Int = { require(isGvid(b)); be32(b, 4) }
+
+  // ------------------------------------------------------------- features --
+
+  /** 16-bin luminance histogram of decoded pixels (Rec.601 for RGB). */
+  def luminanceHistogram(png: Png): Array[Long] = {
+    val hist = new Array[Long](16)
+    val px = png.pixels
+    var i = 0
+    png.channels match {
+      case 1 | 2 =>
+        while (i < px.length) { hist((px(i) & 0xff) >>> 4) += 1; i += png.channels }
+      case _ =>
+        while (i + 2 < px.length) {
+          val lum = ((px(i) & 0xff) * 299 + (px(i + 1) & 0xff) * 587 + (px(i + 2) & 0xff) * 114) / 1000
+          hist(lum >>> 4) += 1
+          i += png.channels
+        }
+    }
+    hist
+  }
+
+  /** 16-bin absolute-amplitude histogram of PCM samples. */
+  def amplitudeHistogram(wav: Wav): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < wav.samples.length) {
+      val a = math.min(32767, math.abs(wav.samples(i).toInt))
+      hist(a >>> 11) += 1
+      i += 1
+    }
+    hist
+  }
+}

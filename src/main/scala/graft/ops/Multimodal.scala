@@ -6,12 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): `decodeStub` produces a deterministic fake decode from the
-  * bytes. Everything Spark-side — schema, batch iteration shape,
-  * partitioning, metadata propagation — is real and tested, so swapping the
-  * stub for a JNI/codec call (or moving the stage to `mapInPandas` in a
-  * PySpark deployment) changes only the inner function.
+  * Decode is REAL for recognized containers via [[MediaCodec]] (pure-JDK
+  * PNG inflate+unfilter, PCM WAV, GVID frame container): luminance /
+  * amplitude histograms over decoded samples, frame counts from the
+  * container. Payloads that are none of those (opaque blobs) fall back to
+  * a deterministic byte histogram + metadata-derived frame estimate —
+  * loudly, via the `decoded` flag on the output row.
   */
 object Multimodal {
 
@@ -30,25 +30,41 @@ object Multimodal {
       mediaType: String,
       byteLen: Long,
       sha: String,
-      histogram: Array[Long], // 16-bin byte histogram (stub "features")
-      frames: Int)
+      histogram: Array[Long], // 16-bin histogram (luminance / amplitude / raw bytes)
+      frames: Int,
+      decoded: Boolean) // true = a real container decode ran
 
-  /** STUB decode: deterministic pseudo-decode of the payload. A real
-    * deployment replaces the body with an actual codec call; the signature
-    * (bytes -> fixed-shape features) is the contract. */
-  def decodeStub(meta: MediaMeta, payload: Array[Byte]): (Array[Long], Int) = {
-    val hist = new Array[Long](16)
-    var i = 0
-    while (i < payload.length) {
-      hist((payload(i) & 0xff) >>> 4) += 1
-      i += 1
+  /** Decode with container sniffing: PNG -> luminance histogram of the
+    * unfiltered pixels; WAV -> amplitude histogram of PCM samples + frames
+    * from duration; GVID -> luminance histogram over sampled frames +
+    * container frame count. Opaque payloads -> deterministic byte
+    * histogram + metadata-derived frame estimate (decoded=false). */
+  def decodeMedia(meta: MediaMeta, payload: Array[Byte]): (Array[Long], Int, Boolean) = {
+    if (MediaCodec.isPng(payload)) {
+      val png = MediaCodec.decodePng(payload)
+      (MediaCodec.luminanceHistogram(png), 1, true)
+    } else if (MediaCodec.isWav(payload)) {
+      val wav = MediaCodec.decodeWav(payload)
+      (MediaCodec.amplitudeHistogram(wav), 0, true)
+    } else if (MediaCodec.isGvid(payload)) {
+      val frames = MediaCodec.gvidSampleFrames(payload, step = 2)
+      val hist = new Array[Long](16)
+      for (f <- frames; (v, i) <- MediaCodec.luminanceHistogram(f).zipWithIndex) hist(i) += v
+      (hist, MediaCodec.gvidFrameCount(payload), true)
+    } else {
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) >>> 4) += 1
+        i += 1
+      }
+      val frames = meta.mediaType match {
+        case "video" => math.max(1, (meta.durationMs / 1000L).toInt) // 1 fps frame sample
+        case "image" => 1
+        case _       => 0
+      }
+      (hist, frames, false)
     }
-    val frames = meta.mediaType match {
-      case "video" => math.max(1, (meta.durationMs / 1000L).toInt) // 1 fps frame sample
-      case "image" => 1
-      case _       => 0
-    }
-    (hist, frames)
   }
 
   /** Feature-extraction stage: batched per partition over binary payloads;
@@ -58,10 +74,10 @@ object Multimodal {
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { row =>
-        val (hist, frames) = decodeStub(row.meta, row.payload)
+        val (hist, frames, decoded) = decodeMedia(row.meta, row.payload)
         digest.reset()
         val sha = digest.digest(row.payload).map(b => f"$b%02x").mkString
-        MediaFeatures(row.id, row.meta.mediaType, row.payload.length.toLong, sha, hist, frames)
+        MediaFeatures(row.id, row.meta.mediaType, row.payload.length.toLong, sha, hist, frames, decoded)
       }
     }
   }

@@ -102,6 +102,80 @@ object KgPipeline {
       }
   }
 
+  /** Multi-section annotate: NER runs PER SECTION (a dictionary term never
+    * matches across a section boundary), then mentions shift into a
+    * concatenated coordinate space ("\n"-joined section texts) so every
+    * document-global stage — mapping cascade with doc-wide context (M1/M7/
+    * M8), xref expansion, ABBREVIATION PROPAGATION ACROSS SECTIONS (P1),
+    * cleanup, overlap merge — runs through the exact same tested fold as
+    * the single-section path, and finally mentions split back to
+    * section-local offsets. Ref: Section.entities carried per section,
+    * data.py:504-562; abbreviation propagation is document-scoped,
+    * abbreviation_detector.py:287-422.
+    */
+  def annotateSections(
+      docs: Dataset[DocSections],
+      bcArtifacts: Broadcast[Artifacts],
+      cfg: Config = Config()
+  ): Dataset[DocSectionMentions] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter((d: DocSections) => d.error.isEmpty)
+      .mapPartitions { rows =>
+        val art = bcArtifacts.value
+        val runner = new StrategyRunner(art.gaz, art.ctx, cfg.runnerConfig)
+        val byClass = LinkingStep.indexesByClass(art.indexes)
+        val linkMemo = scala.collection.mutable.HashMap.empty[(String, String), Seq[Candidate]]
+        val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
+
+        rows.map { d =>
+          // section base offsets in the "\n"-joined concat space
+          val bases = d.sections.scanLeft(0)((acc, s) => acc + s.text.length + 1)
+          val concatText = d.sections.map(_.text).mkString("\n")
+          // 1-2. per-section NER + linking, shifted to concat coordinates
+          val shifted = d.sections.zipWithIndex.flatMap { case (s, i) =>
+            val base = bases(i)
+            DictionaryNer.scanText(art.dict, d.docId, s.text, normMemo)
+              .map(LinkingStep.linkMention(_, byClass, linkMemo,
+                cfg.linkTopN, LinkingStep.DefaultSkipNamespaces))
+              .map(m => m.copy(
+                start = m.start + base,
+                end = m.end + base,
+                spans = m.spans.map(sp => Span(sp.start + base, sp.end + base))))
+          }
+          // 3-6. identical document-global fold as `annotate`
+          var dm = DocMentions(d.docId, d.contentSha, shifted)
+          dm = runner.mapDoc(dm)
+          art.xref.foreach { x =>
+            dm = dm.copy(mentions = dm.mentions.map { m =>
+              val extra = m.mappings.flatMap(mp => x.createXrefMappings(mp, art.gaz))
+              if (extra.isEmpty) m else m.copy(mappings = (m.mappings ++ extra).distinct)
+            })
+          }
+          dm = dm.copy(mentions = Abbreviation.process(concatText, dm.mentions, cfg.excludeAbbrvs))
+          dm = dm.copy(mentions = Cleanup.defaultCleanup(dm.mentions, cfg.stripUris))
+          if (cfg.mergeOverlaps)
+            dm = dm.copy(mentions = MergeOverlaps.process(dm.mentions, cfg.classOrder))
+          // split back to section-local offsets (mentions never straddle a
+          // boundary: NER is per-section and propagation copies exact token
+          // runs inside one section)
+          val bySection = d.sections.zipWithIndex.map { case (s, i) =>
+            val base = bases(i)
+            val end = base + s.text.length
+            val ms = dm.mentions
+              .filter(m => m.start >= base && m.end <= end)
+              .sortBy(m => (m.start, m.end))
+              .map(m => m.copy(
+                start = m.start - base,
+                end = m.end - base,
+                spans = m.spans.map(sp => Span(sp.start - base, sp.end - base))))
+            SectionMentions(s.name, ms)
+          }
+          DocSectionMentions(d.docId, d.contentSha, bySection)
+        }
+      }
+  }
+
   /** Full run: annotate (incl. xref expansion) + triples. */
   def triples(
       docs: Dataset[Doc],

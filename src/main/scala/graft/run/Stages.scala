@@ -37,6 +37,29 @@ object Stages {
       .as[Doc]
   }
 
+  /** Ingest a multi-section corpus (repo, path, commit, lang,
+    * sections: array<struct<name,text>>) into DocSections — the analog of
+    * Document.from_named_section_texts (data.py:614-637). contentSha =
+    * sha256 over the concatenated section texts; the length guard applies
+    * to the total. Codegen'd columns, no UDF.
+    */
+  def ingestSections(corpus: DataFrame)(implicit spark: SparkSession): Dataset[DocSections] = {
+    import spark.implicits._
+    val totalLen = aggregate(col("sections"), lit(0),
+      (acc, s) => acc.plus(length(s.getField("text"))))
+    corpus
+      .select(
+        sha2(concat_ws("|", col("repo"), col("path"), col("commit")), 256).as("docId"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("sections"),
+        sha2(array_join(transform(col("sections"), s => s.getField("text")), "\n"), 256)
+          .as("contentSha"),
+        when(totalLen >= MaxDocChars,
+          concat(lit("doc exceeds max length: "), totalLen))
+          .cast("string").as("error")
+      )
+      .as[DocSections]
+  }
+
   /** Map the driver testdata `documents` table onto the corpus shape. */
   def documentsAsCorpus(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1,0 +1,84 @@
+package graft
+
+import graft.core._
+import graft.datagen.CorpusGen
+import graft.graph.XrefManager
+import graft.run.{Artifacts, KgPipeline, Stages}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-section document support (Document.from_named_section_texts,
+  * /root/reference/kazu/data/data.py:614-637): per-section NER with
+  * section-local offsets, document-global mapping/abbreviation semantics
+  * spanning sections.
+  */
+class SectionsSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(
+    CorpusGen.gazetteer,
+    Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser))))
+
+  private def sectionedCorpus(rows: Seq[(String, Seq[(String, String)])]) =
+    rows.map { case (path, secs) =>
+      ("repo1", path, "c0", "scala", secs.map(s => SectionText(s._1, s._2)))
+    }.toDF("repo", "path", "commit", "lang", "sections")
+
+  test("cross-section abbreviation propagation: defined in intro, used in body") {
+    val intro = "service uses spark streaming (SST) for ingest"
+    val body = "the SST module handles windows"
+    val corpus = sectionedCorpus(Seq("f1" -> Seq("intro" -> intro, "body" -> body)))
+    val out = KgPipeline.annotateSections(Stages.ingestSections(corpus)(spark), bc).collect()
+    assert(out.length == 1)
+    val doc = out.head
+    assert(doc.sections.map(_.name) == Seq("intro", "body"))
+
+    // section offsets are section-local and slice to the match text
+    for ((sec, txt) <- doc.sections.zip(Seq(intro, body)); m <- sec.mentions)
+      assert(txt.substring(m.start, m.end) == m.matchText, s"${sec.name}: $m")
+
+    // the bare SST in the BODY section carries the spark-streaming mapping
+    val bodySst = doc.sections(1).mentions.filter(_.matchText == "SST")
+    assert(bodySst.nonEmpty, doc.sections(1).mentions.toString)
+    assert(bodySst.exists(_.mappings.exists(_.idx == "FW_0001")),
+      bodySst.flatMap(_.mappings).toString)
+    // and the intro's parenthesised SST does too
+    val introSst = doc.sections(0).mentions.filter(_.matchText == "SST")
+    assert(introSst.exists(_.mappings.exists(_.idx == "FW_0001")))
+  }
+
+  test("single-section path is equivalent to annotate on the same text") {
+    val text = "map reduce with quicksort and spark streaming (SST) then SST again"
+    val corpus = sectionedCorpus(Seq("f2" -> Seq("all" -> text)))
+    val sectioned = KgPipeline.annotateSections(Stages.ingestSections(corpus)(spark), bc)
+      .collect().head.sections.head.mentions
+    val flatCorpus = Seq(("repo1", "f2", "c0", "scala", text))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val flat = KgPipeline.annotate(Stages.ingest(flatCorpus)(spark), bc).collect().head.mentions
+    def key(m: Mention) = (m.start, m.end, m.matchText, m.entityClass,
+      m.mappings.map(mp => (mp.source, mp.idx)).toSet)
+    assert(sectioned.map(key).toSet == flat.map(key).toSet)
+  }
+
+  test("terms do not match across section boundaries") {
+    // "spark" ends section 0 and "streaming" starts section 1: the 2-token
+    // term must NOT fire; the single words are not gazetteer terms
+    val corpus = sectionedCorpus(Seq("f3" -> Seq("a" -> "this uses spark", "b" -> "streaming daily")))
+    val out = KgPipeline.annotateSections(Stages.ingestSections(corpus)(spark), bc).collect().head
+    assert(out.sections.flatMap(_.mentions).isEmpty, out.sections.toString)
+  }
+
+  test("sectioned ingest: sha invariance and length guard on the total") {
+    val big = "x" * graft.run.Stages.MaxDocChars
+    val corpus = sectionedCorpus(Seq(
+      "ok" -> Seq("s1" -> "hello", "s2" -> "world"),
+      "big" -> Seq("s1" -> big, "s2" -> "tail")))
+    val docs = Stages.ingestSections(corpus)(spark).collect()
+    val ok = docs.find(_.path == "ok").get
+    assert(ok.error.isEmpty)
+    assert(ok.contentSha == CorpusGen.sha256("hello\nworld"))
+    val bigDoc = docs.find(_.path == "big").get
+    assert(bigDoc.error.exists(_.startsWith("doc exceeds max length")))
+  }
+}
