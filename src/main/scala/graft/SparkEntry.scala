@@ -153,6 +153,15 @@ object SparkEntry {
     Similarity.bruteForceTopK(embeddingsDf(spark, sfDir), queryVectors(spark, sfDir, 5), 10)
       .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
 
+  /** Same top-k, but queries come in as a RELATION (no driver-side Seq):
+    * asymmetric 2-D blocked cogroup, corpus streamed through heaps. */
+  def annTopKRel(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embeddingsDf(spark, sfDir)
+    val queries = emb.filter(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    Similarity.bruteForceTopKDf(emb, queries, k = 10)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+  }
+
   def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embeddingsDf(spark, sfDir)
     val (centroids, assignments) = Similarity.ivfAssign(emb, numCells = 16)
@@ -313,6 +322,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "ann_topk" -> annTopK,
+    "ann_topk_rel" -> annTopKRel,
     "ann_ivf_topk" -> annIvfTopK,
     "embed_sim_pairs" -> embedSimPairs,
     "embed_near_dup_lsh" -> embedNearDupLsh,
@@ -409,6 +419,15 @@ object SparkEntry {
         |       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
         |FROM co JOIN sz na ON na.doc_id = ia JOIN sz nb ON nb.doc_id = ib
         |WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.05""".stripMargin,
+    "ann_topk_rel" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+        |SELECT qid, id, round(c, 6) AS score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) rn FROM scored)
+        |WHERE rn <= 10""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
         |scored AS (

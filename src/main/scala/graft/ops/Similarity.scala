@@ -299,6 +299,74 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
   }
 
+  /** IVF probe-limited search with the queries as a RELATION: queries join
+    * their nProbe nearest cells (computed against the broadcast centroids —
+    * tiny), the corpus joins its cell assignment, and the shuffle join on
+    * `cell` co-locates each query block with exactly the cells it probes.
+    * Per-group work = cell corpus x that cell's queries through bounded
+    * heaps; partial top-k rows merge per query. Reads ~nProbe/numCells of
+    * the corpus, no driver-side query Seq.
+    */
+  def ivfTopKDf(
+      corpus: DataFrame, // (id, embedding)
+      centroids: Seq[Array[Float]],
+      assignments: DataFrame, // (id, cell)
+      queries: DataFrame, // (qid, embedding)
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcCentroids = spark.sparkContext.broadcast(centroids.toArray)
+
+    val queryCells = queries.select(col("qid").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val cs = bcCentroids.value
+        cs.indices.sortBy(c => -cosine(qv, cs(c))).take(nProbe)
+          .iterator.map(c => (c, qid, qv))
+      }
+      .toDF("cell", "qid", "q_embedding")
+
+    val corpusCells = corpus.join(assignments, "id")
+      .select(col("cell").cast("int"), col("id").cast("long"), col("embedding"))
+
+    corpusCells.as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .cogroup(queryCells.as[(Int, Long, Array[Float])].groupByKey(_._1)) {
+        (_, corpusIt, queryIt) =>
+          val qs = queryIt.map { case (_, qid, v) => (qid, v, norm(v)) }.toArray
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val heaps = qs.map(q => q._1 ->
+              scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+                Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2)))).toMap
+            for ((_, id, emb) <- corpusIt) {
+              val n = norm(emb)
+              var qi = 0
+              while (qi < qs.length) {
+                val (qid, qv, qn) = qs(qi)
+                if (id != qid) {
+                  val score = if (n == 0 || qn == 0) 0.0 else dot(qv, emb) / (qn * n)
+                  val heap = heaps(qid)
+                  if (heap.size < k) heap.enqueue((score, id))
+                  else if (score > heap.head._1 || (score == heap.head._1 && id < heap.head._2)) {
+                    heap.dequeue(); heap.enqueue((score, id))
+                  }
+                }
+                qi += 1
+              }
+            }
+            heaps.iterator.flatMap { case (qid, heap) =>
+              heap.iterator.map(e => Scored(qid, e._2, e._1))
+            }
+          }
+      }
+      .groupByKey(_.qid)
+      .flatMapGroups { (qid, it) => it.toArray.sortBy(s => (-s.score, s.id)).take(k).iterator }
+      .toDF("qid", "id", "score")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via random
     * hyperplane LSH banding (signature bits from sign(dot(v, plane))),
     * verified exactly. Deterministic planes from splitmix. */

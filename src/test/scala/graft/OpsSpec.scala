@@ -227,6 +227,20 @@ class OpsSpec extends AnyFunSuite {
     for ((q, ids) <- viaSeq) assert(viaDf(q) == ids, s"query $q")
   }
 
+  test("IVF with a query relation matches the Seq-query IVF path") {
+    val all = embDf.as[(Long, Array[Float])].collect()
+    val qSeq = all.filter(_._1 < 5).toSeq
+    val (centroids, assignments) = Similarity.ivfAssign(embDf, numCells = 8)
+    val viaSeq = Similarity.ivfTopK(embDf, centroids, assignments, qSeq, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    val qDf = spark.createDataset(qSeq).toDF("qid", "embedding")
+    val viaDf = Similarity.ivfTopKDf(embDf, centroids, assignments, qDf, k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    assert(viaDf == viaSeq)
+  }
+
   test("degenerate 10k-duplicate cluster: LSH families stay linear (star pairs)") {
     val n = 10000
     val skew = spark.range(n).select(col("id"), lit(base).as("text"))

