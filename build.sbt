@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // efficiency to GC pressure at 8g (measured in BENCH.md); the box has
   // 125 GiB and this is a max, not a reservation.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))
