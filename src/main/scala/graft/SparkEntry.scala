@@ -85,14 +85,7 @@ object SparkEntry {
   private def fullTriplesDocs(sfDir: String): Int =
     if (sfDir.contains("0.1")) 3000 else if (sfDir.contains("0.01")) 1000 else 300
 
-  /** Deterministic component fixture: a 6-node chain (forces multiple
-    * hash-min iterations), a triangle, an isolated pair. */
-  private val ccEdges: Seq[(String, String)] = Seq(
-    "n01" -> "n02", "n02" -> "n03", "n03" -> "n04", "n04" -> "n05", "n05" -> "n06",
-    "t1" -> "t2", "t2" -> "t3", "t3" -> "t1",
-    "p1" -> "p2")
-
-  /** Connected components (large-star/small-star) over a real graph derived
+  /** Connected components (filtering union-find) over a real graph derived
     * from the sf tables: order->customer stars (co-purchase components) +
     * event-id chains of length 100 (forces multi-hop contraction). ~26k
     * nodes / ~25k edges at sf0.01, 10x that at sf0.1. */

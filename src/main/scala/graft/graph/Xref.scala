@@ -170,6 +170,9 @@ object ConnectedComponents {
       iter += 1
     }
     bidirectional.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter hash-min rounds")
     comps
   }
 
@@ -242,6 +245,10 @@ object ConnectedComponents {
       e = afterSmall
       iter += 1
     }
+    // never emit a mid-contraction edge set as components — loud, not wrong
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter large/small-star rounds")
 
     // converged edge set is {(v, root) | v != root}: emit members + roots
     e.select(col("src").as("id"), col("dst").as("component"))
@@ -351,6 +358,10 @@ object ConnectedComponents {
       e = contracted
       iter += 1
     }
+    // never emit a mid-contraction edge set as components — loud, not wrong
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter union-find rounds")
 
     e.select(col("dst").as("id"), col("src").as("component"))
       .union(e.select(col("src").as("id"), col("src").as("component")))

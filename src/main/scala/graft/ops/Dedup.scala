@@ -99,11 +99,14 @@ object Dedup {
 
   /** Candidate pairs from (band, bucket, id) rows with a degenerate-bucket
     * guard: buckets up to `maxBucketSize` emit all pairs; larger buckets
-    * emit a star around the min id — O(N) rows that still connect the
-    * near-dup cluster transitively (cluster extraction downstream is a
-    * connected-components pass, so star edges lose no cluster membership).
-    * Oversized buckets are counted in the `graft.dedup.oversizedBuckets`
-    * accumulator and logged per-task — capped loudly, never silently.
+    * emit a star around the min id — O(N) candidate rows instead of O(N^2).
+    * NOTE the honest trade-off: downstream exact verification filters
+    * PAIRS, so in an oversized bucket two members that pass the threshold
+    * with each other but not with the bucket minimum lose that pair (a
+    * recall relaxation confined to degenerate buckets, where members are
+    * overwhelmingly mutual near-duplicates). Oversized buckets are counted
+    * in the `graft.dedup.oversizedBuckets` accumulator and logged per-task
+    * — capped loudly, never silently.
     */
   private[ops] def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val spark = banded.sparkSession
@@ -172,10 +175,12 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: candidates share at least one of 4 16-bit
-    * bands (guarantees recall for hamming distance <= 3), verified by
-    * exact hamming distance <= maxHamming. Same banded one-shuffle shape
-    * as MinHash LSH; buckets beyond `maxBucketSize` verify each member
-    * against the min-id member only (star, O(N)) instead of all pairs. */
+    * bands (full recall for hamming distance <= 3 in buckets within the
+    * size cap), verified by exact hamming distance <= maxHamming. Same
+    * banded one-shuffle shape as MinHash LSH; buckets beyond
+    * `maxBucketSize` verify each member against the min-id member only
+    * (star, O(N)) — pairs not involving the bucket minimum are not
+    * verified there, a recall relaxation confined to degenerate buckets. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,

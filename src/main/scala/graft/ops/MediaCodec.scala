@@ -51,8 +51,10 @@ object MediaCodec {
     }
     require(bitDepth == 8, s"bit depth $bitDepth unsupported")
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
-      case other => throw new IllegalArgumentException(s"color type $other")
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      // palette (3) would need a PLTE lookup — throw so callers take the
+      // loud opaque-fallback path instead of treating indices as luminance
+      case other => throw new IllegalArgumentException(s"color type $other unsupported")
     }
     val stride = width * channels
     val raw = inflate(idat.toByteArray, (stride + 1) * height)

@@ -173,6 +173,42 @@ object Similarity {
       .toDF("qid", "id", "score")
   }
 
+  /** Shared kernel for the relation-query paths: stream a corpus block
+    * through per-query bounded heaps. Duplicate qids in the block are
+    * collapsed (first wins) — a duplicated query row must not double-offer
+    * every corpus vector into one heap. */
+  private def scanBlock(
+      queryIt: Iterator[(Long, Array[Float])],
+      corpusIt: Iterator[(Long, Array[Float])],
+      k: Int
+  ): Iterator[Scored] = {
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val qs = queryIt.collect { case (qid, v) if seen.add(qid) => (qid, v, norm(v)) }.toArray
+    if (qs.isEmpty) Iterator.empty
+    else {
+      val heaps = qs.map(q => q._1 ->
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2)))).toMap
+      for ((id, emb) <- corpusIt) {
+        val n = norm(emb)
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv, qn) = qs(qi)
+          if (id != qid) {
+            val score = if (n == 0 || qn == 0) 0.0 else dot(qv, emb) / (qn * n)
+            val heap = heaps(qid)
+            if (heap.size < k) heap.enqueue((score, id))
+            else if (score > heap.head._1 || (score == heap.head._1 && id < heap.head._2)) {
+              heap.dequeue(); heap.enqueue((score, id))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, heap) => heap.iterator.map(e => Scored(qid, e._2, e._1)) }
+    }
+  }
+
   /** Exact brute-force top-k where the queries are a RELATION, not a
     * driver-side Seq — the shape for batch scoring of a large query table.
     *
@@ -213,30 +249,7 @@ object Similarity {
       .groupByKey(_._1)
 
     corpusTagged.cogroup(queriesTagged) { (_, corpusIt, queryIt) =>
-      val qs = queryIt.map { case (_, qid, v) => (qid, v, norm(v)) }.toArray
-      if (qs.isEmpty) Iterator.empty
-      else {
-        val heaps = qs.map(q => q._1 ->
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2)))).toMap
-        for ((_, id, emb) <- corpusIt) {
-          val n = norm(emb)
-          var qi = 0
-          while (qi < qs.length) {
-            val (qid, qv, qn) = qs(qi)
-            if (id != qid) {
-              val score = if (n == 0 || qn == 0) 0.0 else dot(qv, emb) / (qn * n)
-              val heap = heaps(qid)
-              if (heap.size < k) heap.enqueue((score, id))
-              else if (score > heap.head._1 || (score == heap.head._1 && id < heap.head._2)) {
-                heap.dequeue(); heap.enqueue((score, id))
-              }
-            }
-            qi += 1
-          }
-        }
-        heaps.iterator.flatMap { case (qid, heap) => heap.iterator.map(e => Scored(qid, e._2, e._1)) }
-      }
+      scanBlock(queryIt.map(q => (q._2, q._3)), corpusIt.map(c => (c._2, c._3)), k)
     }
       .groupByKey(_.qid)
       .flatMapGroups { (qid, it) => it.toArray.sortBy(s => (-s.score, s.id)).take(k).iterator }
@@ -335,32 +348,7 @@ object Similarity {
       .groupByKey(_._1)
       .cogroup(queryCells.as[(Int, Long, Array[Float])].groupByKey(_._1)) {
         (_, corpusIt, queryIt) =>
-          val qs = queryIt.map { case (_, qid, v) => (qid, v, norm(v)) }.toArray
-          if (qs.isEmpty) Iterator.empty
-          else {
-            val heaps = qs.map(q => q._1 ->
-              scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-                Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2)))).toMap
-            for ((_, id, emb) <- corpusIt) {
-              val n = norm(emb)
-              var qi = 0
-              while (qi < qs.length) {
-                val (qid, qv, qn) = qs(qi)
-                if (id != qid) {
-                  val score = if (n == 0 || qn == 0) 0.0 else dot(qv, emb) / (qn * n)
-                  val heap = heaps(qid)
-                  if (heap.size < k) heap.enqueue((score, id))
-                  else if (score > heap.head._1 || (score == heap.head._1 && id < heap.head._2)) {
-                    heap.dequeue(); heap.enqueue((score, id))
-                  }
-                }
-                qi += 1
-              }
-            }
-            heaps.iterator.flatMap { case (qid, heap) =>
-              heap.iterator.map(e => Scored(qid, e._2, e._1))
-            }
-          }
+          scanBlock(queryIt.map(q => (q._2, q._3)), corpusIt.map(c => (c._2, c._3)), k)
       }
       .groupByKey(_.qid)
       .flatMapGroups { (qid, it) => it.toArray.sortBy(s => (-s.score, s.id)).take(k).iterator }

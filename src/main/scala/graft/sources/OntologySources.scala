@@ -200,10 +200,13 @@ object OntologySources {
     * identifier text (needed for SKOS-XL label-node hops). */
   private[sources] def parseNTriples(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val litRe = """^<([^>]+)>\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"[^.]*\.\s*$""".r
+    // literal tail: optional @lang tag or ^^<datatype IRI> (datatype IRIs
+    // contain dots, so a lazy [^.]* would silently drop typed literals)
+    val litTail = """(?:@[\w-]+|\^\^<[^>]+>)?\s*\.\s*$"""
+    val litRe = ("""^<([^>]+)>\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"""" + litTail).r
     val iriRe = """^<([^>]+)>\s+<([^>]+)>\s+<([^>]+)>\s*\.\s*$""".r
     val bnodeRe = """^(_:\S+|<[^>]+>)\s+<([^>]+)>\s+(_:\S+)\s*\.\s*$""".r
-    val bnodeSubjLitRe = """^(_:\S+)\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"[^.]*\.\s*$""".r
+    val bnodeSubjLitRe = ("""^(_:\S+)\s+<([^>]+)>\s+"((?:[^"\\]|\\.)*)"""" + litTail).r
     def stripAngles(s: String): String =
       if (s.startsWith("<") && s.endsWith(">")) s.substring(1, s.length - 1) else s
     spark.read.text(path).as[String]

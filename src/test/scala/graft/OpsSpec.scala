@@ -227,6 +227,17 @@ class OpsSpec extends AnyFunSuite {
     for ((q, ids) <- viaSeq) assert(viaDf(q) == ids, s"query $q")
   }
 
+  test("duplicate qids in the query relation do not corrupt top-k") {
+    val all = embDf.as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 900L).getOrElse(all.head)
+    val qid = 50000L
+    val dup = spark.createDataset(Seq((qid, q._2), (qid, q._2))).toDF("qid", "embedding")
+    val out = Similarity.bruteForceTopKDf(embDf, dup, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 5)
+    assert(out.map(_._2).distinct.length == 5, out.mkString(","))
+  }
+
   test("IVF with a query relation matches the Seq-query IVF path") {
     val all = embDf.as[(Long, Array[Float])].collect()
     val qSeq = all.filter(_._1 < 5).toSeq

@@ -56,7 +56,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastExchange"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // executing it yields rows (the kernel runs on executors)
-    assert(df.limit(1).count() >= 0)
+    assert(df.count() > 0)
   }
 
   test("ngram jaccard df-cap filter joins co-partitioned on shingle") {

@@ -69,6 +69,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(!rows.exists(_.idx.contains("ignored")))
   }
 
+  test("n-triples: typed literals (datatype IRIs with dots) are not dropped") {
+    val dir = Files.createTempDirectory("nt_typed")
+    Files.writeString(dir.resolve("kb.nt"),
+      """<http://x/G1> <http://www.w3.org/2000/01/rdf-schema#label> "BRCA1"^^<http://www.w3.org/2001/XMLSchema#string> .
+        |<http://x/G1> <http://www.geneontology.org/formats/oboInOwl#hasExactSynonym> "breast cancer 1"@en .
+        |""".stripMargin)
+    val rows = OntologySources.readNTriples(spark, dir.toString + "/kb.nt", "p", "gene").collect()
+    assert(rows.map(_.syn).toSet == Set("BRCA1", "breast cancer 1"), rows.mkString(";"))
+  }
+
   // ------------------------------------------------------------ rdf/xml --
 
   test("rdf/xml OWL reader: label + synonym predicates, uri filter") {
