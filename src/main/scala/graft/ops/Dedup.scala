@@ -253,20 +253,25 @@ object Dedup {
 
     val sizes = shingled.groupBy("id").agg(count(lit(1)).as("n"))
 
-    val joinable =
-      if (maxShingleDf <= 0) shingled
-      else {
-        val df_ = shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf)
-          .select("shingle")
-        // broadcast-unsafe at scale: the df filter is itself a shuffle on
-        // shingle, co-partitioned with the join that follows
-        shingled.join(df_, Seq("shingle"))
+    // one shuffle on shingle: each group holds the shingle's posting list;
+    // groups over the df cap are dropped whole (identical semantics to a
+    // df<=cap filter + self-join, at two fewer shuffles), the rest emit
+    // their id pairs directly — group size is bounded by the cap, so pair
+    // fan-out per group is bounded by cap^2/2
+    val co = shingled.select(col("shingle").cast("long"), col("id"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, String)]) =>
+        val ids = it.map(_._2).toArray
+        if (maxShingleDf > 0 && ids.length > maxShingleDf) Iterator.empty
+        else {
+          java.util.Arrays.sort(ids, Ordering.String)
+          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+            yield (ids(i), ids(j))
+        }
       }
-
-    val co = joinable.as("a").join(joinable.as("b"), Seq("shingle"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
 
     co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
