@@ -512,7 +512,8 @@ object GazetteerBuilder {
       globalActions: Seq[GlobalAction] = Seq.empty,
       scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
       mergeThreshold: Double = 0.70,
-      grouperByParser: Map[String, IdGrouper] = Map.empty
+      grouperByParser: Map[String, IdGrouper] = Map.empty,
+      extraMetaByParser: Map[String, Map[String, Map[String, String]]] = Map.empty
   ): Gazetteer = {
     import rows.sparkSession.implicits._
     val resolved = resolveSynonymsSpark(rows, scorer, mergeThreshold, grouperByParser).collect()
@@ -523,7 +524,8 @@ object GazetteerBuilder {
         (key._1, key._2, r.defaultLabel, r.dataOrigin, r.entityClass)
       }.collect()
     val entityClassByParser = meta.map(m => m._1 -> m._5).toMap
-    val metadata = meta.map(m => (m._1, m._2) -> IdMeta(m._3, m._4, None)).toMap
+    val metadata = meta.map(m => (m._1, m._2) -> IdMeta(m._3, m._4, None,
+      extraMetaByParser.getOrElse(m._1, Map.empty).getOrElse(m._2, Map.empty))).toMap
 
     val termsByParser = scala.collection.mutable.Map.empty[String, Map[String, SynTerm]]
     val nerCurations = scala.collection.mutable.ArrayBuffer.empty[Curation]
@@ -548,15 +550,18 @@ object GazetteerBuilder {
       scorer: Option[(String, String) => Double] = Some(Fuzz.similarity),
       mergeThreshold: Double = 0.70,
       sourceFn: (String, String) => String = SourceResolver.resolve,
-      grouperByParser: Map[String, IdGrouper] = Map.empty
+      grouperByParser: Map[String, IdGrouper] = Map.empty,
+      extraMetaByParser: Map[String, Map[String, Map[String, String]]] = Map.empty
   ): Gazetteer = {
     val byParser = rows.groupBy(_.parserName)
     val entityClassByParser = byParser.map { case (p, rs) => p -> rs.head.entityClass }
     val metadata = rows
       .groupBy(r => (r.parserName, r.idx))
       .map { case (k, rs) =>
-        // reference export_metadata drops duplicate ids keeping one label
-        k -> IdMeta(rs.head.defaultLabel, rs.head.dataOrigin, None)
+        // reference export_metadata drops duplicate ids keeping one label;
+        // reader-specific extras (OT xrefs, Meddra SOC) ride along
+        val extra = extraMetaByParser.getOrElse(k._1, Map.empty).getOrElse(k._2, Map.empty)
+        k -> IdMeta(rs.head.defaultLabel, rs.head.dataOrigin, None, extra)
       }
 
     val termsByParser = scala.collection.mutable.Map.empty[String, Map[String, SynTerm]]

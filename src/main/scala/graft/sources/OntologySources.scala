@@ -74,6 +74,53 @@ object OntologySources {
       .as[OntologyRow]
   }
 
+  /** Per-id cross-reference CURIEs from an OpenTargets-style JSONL dump
+    * (the `dbXRefs` field, ref parsers.py:214-227) — the input the
+    * XrefIntersection id-grouper consumes (parsers.py:145-211). Returns a
+    * driver-side map (dimension-sized, broadcast with the gazetteer). */
+  def readJsonlXrefs(
+      spark: SparkSession,
+      path: String,
+      idField: String = "id",
+      xrefsField: String = "dbXRefs"
+  ): Map[String, Set[String]] = {
+    import spark.implicits._
+    val raw = spark.read.json(path)
+    if (!raw.columns.contains(xrefsField)) Map.empty
+    else raw.select(col(idField).cast("string").as("idx"),
+        col(xrefsField).cast("array<string>").as("xrefs"))
+      .where(col("idx").isNotNull)
+      .as[(String, Seq[String])]
+      .collect()
+      .map { case (idx, xs) => idx -> Option(xs).getOrElse(Seq.empty).toSet }
+      .toMap
+  }
+
+  /** Per-id extra metadata (SOC name/code) from a Meddra release — the
+    * columns the reference parser keeps alongside the 4-column contract
+    * (parsers.py:1347-1353), surfaced for IdMeta.extra / Mapping
+    * enrichment. */
+  def meddraExtras(
+      spark: SparkSession,
+      dirPath: String,
+      excludeSocs: Seq[String] = Seq(
+        "Surgical and medical procedures", "Social circumstances", "Investigations")
+  ): Map[String, Map[String, String]] = {
+    val raw = spark.read.option("header", "false").option("sep", "$").csv(s"$dirPath/mdhier.asc")
+    val cols = raw.columns
+    val named = raw.toDF(Seq("pt_code", "hlt_code", "hlgt_code", "soc_code", "pt_name",
+      "hlt_name", "hlgt_name", "soc_name", "soc_abbrev", "null_field", "pt_soc_code",
+      "primary_soc_fg", "null2").take(cols.length): _*)
+      .filter(!col("soc_name").isin(excludeSocs: _*))
+    named.select("pt_code", "hlt_code", "hlgt_code", "soc_name", "soc_code")
+      .collect()
+      .flatMap { r =>
+        val extra = Map("soc_name" -> r.getString(3), "soc_code" -> r.getString(4))
+        Seq(r.getString(0) -> extra, r.getString(1) -> extra, r.getString(2) -> extra)
+      }
+      .toMap
+  }
+
   /** OBO stanza source (Cellosaurus/GO-style) — ref parsers.py:655-857,
     * 1115-1201. Reads wholetext (stanzas span lines) and flatMaps [Term]
     * blocks: id, name, synonym "..." TYPE lines. */

@@ -149,6 +149,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(!rows.exists(_.idx == "CHEMBL49")) // null pref_name dropped
   }
 
+  test("OpenTargets-style xrefs feed the XrefIntersection grouper") {
+    val dir = Files.createTempDirectory("ot_xrefs")
+    Files.writeString(dir.resolve("kb.jsonl"),
+      """{"id":"MONDO_1","name":"lung cancer","synonyms":["LC"],"dbXRefs":["UMLS:C1"]}
+        |{"id":"EFO_1","name":"lung carcinoma","synonyms":["LC"],"dbXRefs":["UMLS:C1"]}
+        |{"id":"HP_9","name":"cough","synonyms":["LC"],"dbXRefs":["UMLS:C9"]}
+        |""".stripMargin)
+    val rows = OntologySources.readJsonl(spark, dir.toString + "/kb.jsonl", "ot_p", "disease").collect()
+    val xrefs = OntologySources.readJsonlXrefs(spark, dir.toString + "/kb.jsonl")
+    assert(xrefs == Map("MONDO_1" -> Set("UMLS:C1"), "EFO_1" -> Set("UMLS:C1"), "HP_9" -> Set("UMLS:C9")))
+    val gaz = GazetteerBuilder.buildLocal(rows.toSeq, Seq.empty,
+      grouperByParser = Map("ot_p" -> graft.gazetteer.IdGrouper.XrefIntersection(
+        xrefs, graft.gazetteer.IdGrouper.AllIdsSeparate)))
+    // "LC" is shared by all three ids: MONDO_1+EFO_1 group via UMLS:C1, HP_9 separate
+    val term = gaz.term("ot_p", graft.text.StringNormalizer.normalize("LC", "disease")).get
+    assert(term.idSets.map(_.ids.toSet).toSet == Set(Set("MONDO_1", "EFO_1"), Set("HP_9")))
+    assert(term.aggregatedBy == graft.core.AggStrategy.RESOLVED_BY_XREF)
+  }
+
+  test("Meddra SOC extras ride into IdMeta and Mapping metadata") {
+    val dir = Files.createTempDirectory("meddra_x")
+    Files.writeString(dir.resolve("mdhier.asc"),
+      "10001$20001$30001$40001$Myocardial infarction$Ischaemic heart disorders$Coronary disorders$Cardiac disorders$Card$$10001001$Y$\n")
+    Files.writeString(dir.resolve("llt.asc"), "50001$Heart attack$10001$$$$$$$Y$$\n")
+    val rows = OntologySources.readMeddra(spark, dir.toString, "meddra_p", "disease").collect()
+    val extras = OntologySources.meddraExtras(spark, dir.toString)
+    assert(extras("10001") == Map("soc_name" -> "Cardiac disorders", "soc_code" -> "40001"))
+    assert(extras.contains("20001") && extras.contains("30001"))
+    val gaz = GazetteerBuilder.buildLocal(rows.toSeq, Seq.empty,
+      extraMetaByParser = Map("meddra_p" -> extras))
+    val meta = gaz.meta("meddra_p", "10001").get
+    assert(meta.extra("soc_name") == "Cardiac disorders")
+    assert(meta.asMappingMetadata("soc_code") == "40001")
+  }
+
   // ------------------------------------- gazetteer round-trip (e2e link) --
 
   test("new sources feed the gazetteer + dictionary NER end to end") {
