@@ -85,6 +85,35 @@ object SparkEntry {
   private def fullTriplesDocs(sfDir: String): Int =
     if (sfDir.contains("0.1")) 3000 else if (sfDir.contains("0.01")) 1000 else 300
 
+  /** Multi-section pipeline through the driver: two generated docs become
+    * the intro/body sections of one document; mention counts per (section,
+    * class). Rows-only (cross-section abbreviation propagation is not
+    * SQL-expressible); exact semantics are pinned by SectionsSpec. */
+  def kgSectionMentions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = fullTriplesDocs(sfDir) / 2
+    val corpus = spark.range(n).repartition(32).as[Long]
+      .map { i =>
+        val a = CorpusGen.generateOne(i.toInt).row
+        val b = CorpusGen.generateOne(i.toInt + 100000).row
+        (a.repo, a.path, a.commit, a.lang,
+          Seq(graft.core.SectionText("intro", a.content),
+            graft.core.SectionText("body", b.content)))
+      }
+      .toDF("repo", "path", "commit", "lang", "sections")
+    val docs = Stages.ingestSections(corpus)(spark)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(
+      CorpusGen.gazetteer,
+      Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser))))
+    KgPipeline.annotateSections(docs, bc)
+      .flatMap(d => d.sections.zipWithIndex.flatMap { case (s, i) =>
+        s.mentions.map(m => (i, s.name, m.entityClass))
+      })
+      .toDF("section_idx", "section", "entity_class")
+      .groupBy("section_idx", "section", "entity_class")
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
   /** Connected components (filtering union-find) over a real graph derived
     * from the sf tables: order->customer stars (co-purchase components) +
     * event-id chains of length 100 (forces multi-hop contraction). ~26k
@@ -308,6 +337,7 @@ object SparkEntry {
     "kg_ner_mentions" -> kgNerMentions,
     "kg_triples" -> kgTriples,
     "kg_full_triples" -> kgFullTriples,
+    "kg_section_mentions" -> kgSectionMentions,
     "graph_cc" -> graphCc,
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
