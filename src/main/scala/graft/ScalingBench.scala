@@ -101,6 +101,41 @@ object ScalingBench {
       val bcD = spark.sparkContext.broadcast(bc.value.dict)
       Stages.nerStage(docs, bcD).count()
     }
+    // finer stage isolation: NER+linking, +cascade, +post — each adds one
+    // stage to the same narrow fold, so deltas attribute per-stage cost
+    time("ner_link") {
+      import spark.implicits._
+      val docs = Stages.ingest(corpus.toDF())(spark)
+      docs.filter((d: graft.core.Doc) => d.error.isEmpty).mapPartitions { rows =>
+        val art = bc.value
+        val byClass = graft.link.LinkingStep.indexesByClass(art.indexes)
+        val linkMemo = scala.collection.mutable.HashMap.empty[(String, String), Seq[graft.core.Candidate]]
+        val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
+        rows.map { d =>
+          graft.ac.DictionaryNer.scanText(art.dict, d.docId, d.content, normMemo)
+            .map(graft.link.LinkingStep.linkMention(_, byClass, linkMemo, 20,
+              graft.link.LinkingStep.DefaultSkipNamespaces)).size
+        }
+      }.reduce(_ + _).toLong
+    }
+    time("ner_link_map") {
+      import spark.implicits._
+      val docs = Stages.ingest(corpus.toDF())(spark)
+      docs.filter((d: graft.core.Doc) => d.error.isEmpty).mapPartitions { rows =>
+        val art = bc.value
+        val runner = new graft.disambig.StrategyRunner(art.gaz, art.ctx,
+          graft.disambig.RunnerConfig.default)
+        val byClass = graft.link.LinkingStep.indexesByClass(art.indexes)
+        val linkMemo = scala.collection.mutable.HashMap.empty[(String, String), Seq[graft.core.Candidate]]
+        val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
+        rows.map { d =>
+          val ms = graft.ac.DictionaryNer.scanText(art.dict, d.docId, d.content, normMemo)
+            .map(graft.link.LinkingStep.linkMention(_, byClass, linkMemo, 20,
+              graft.link.LinkingStep.DefaultSkipNamespaces))
+          runner.mapDoc(graft.core.DocMentions(d.docId, d.contentSha, ms)).mentions.size
+        }
+      }.reduce(_ + _).toLong
+    }
     time("full") {
       KgPipeline.triples(Stages.ingest(corpus.toDF())(spark), bc).count()
     }

@@ -182,6 +182,14 @@ final class StrategyRunner(
       m.candidates.map(c => s"${c.parserName}|${c.termNorm}|${c.searchScore.getOrElse(-1.0)}|${c.exactMatch}")
         .sorted.mkString(";"))
 
+  // the runner lives for one partition and is used serially, so memoizing
+  // the regex-heavy symbolic classification across its documents is safe —
+  // the analog of the reference's lru_cache (string_normalizer.py:429-437)
+  private val symbolicMemo = scala.collection.mutable.HashMap.empty[(String, String), Boolean]
+  private def isSymbolic(m: Mention): Boolean =
+    symbolicMemo.getOrElseUpdate((m.matchText, m.entityClass),
+      StringNormalizer.classifySymbolic(m.matchText, m.entityClass))
+
   def mapDoc(dm: DocMentions): DocMentions = {
     val mentions = dm.mentions.toArray
     val accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]] =
@@ -190,11 +198,13 @@ final class StrategyRunner(
     // reference lru_caches these per (document, parser);
     // disambiguation/strategies.py:189-225)
     val docVecCache = scala.collection.mutable.Map.empty[String, graft.link.SparseVec]
+    // entity keys are string-concat-heavy: build once per mention per doc
+    val keys: Array[EntityKey] = mentions.map(entityKey)
 
     // sort indices: -confidence then entity key (strategy_runner.py:250-263)
     val sortedIdx = mentions.indices.sortBy { i =>
       val m = mentions(i)
-      (-m.confidence, m.matchText, m.matchNorm, m.entityClass, entityKey(m)._4)
+      (-m.confidence, m.matchText, m.matchNorm, m.entityClass, keys(i)._4)
     }
 
     // consecutive runs of sortedIdx share a confidence (it's the leading
@@ -207,13 +217,10 @@ final class StrategyRunner(
         scala.collection.mutable.ArrayBuffer.empty) += i
     for ((confidence, idxsThisConf) <- byConfidence) {
       // split symbolic / non-symbolic by (match, class) (ref :213-237)
-      val (symbolic, nonSymbolic) = idxsThisConf.partition { i =>
-        val m = mentions(i)
-        StringNormalizer.classifySymbolic(m.matchText, m.entityClass)
-      }
+      val (symbolic, nonSymbolic) = idxsThisConf.partition(i => isSymbolic(mentions(i)))
       for ((idxs, levels) <- Seq((nonSymbolic, cfg.nonSymbolic), (symbolic, cfg.symbolic)) if idxs.nonEmpty) {
         levels.get(confidence).foreach { level =>
-          executeLevel(mentions, idxs.toSeq, level, accMappings, docVecCache)
+          executeLevel(mentions, keys, idxs.toSeq, level, accMappings, docVecCache)
         }
       }
     }
@@ -225,6 +232,7 @@ final class StrategyRunner(
 
   private def executeLevel(
       mentions: Array[Mention],
+      keys: Array[EntityKey],
       idxs: Seq[Int],
       level: LevelExecution,
       accMappings: Array[scala.collection.mutable.LinkedHashSet[Mapping]],
@@ -232,10 +240,13 @@ final class StrategyRunner(
   ): Unit = {
     // group by entity key, preserving sorted order (ref :318-326)
     val groups = scala.collection.mutable.LinkedHashMap.empty[EntityKey, scala.collection.mutable.ArrayBuffer[Int]]
-    for (i <- idxs) groups.getOrElseUpdate(entityKey(mentions(i)), scala.collection.mutable.ArrayBuffer.empty) += i
+    for (i <- idxs) groups.getOrElseUpdate(keys(i), scala.collection.mutable.ArrayBuffer.empty) += i
 
     val unresolvedParsers = scala.collection.mutable.Map.empty[EntityKey, scala.collection.mutable.Set[String]]
     val entityMapped = scala.collection.mutable.Map.empty[EntityKey, Boolean]
+    // gazetteer term lookups don't change across strategy rounds: resolve
+    // (candidate -> SynTerm) once per key, filter by unresolved per round
+    val candTermsByKey = scala.collection.mutable.Map.empty[EntityKey, Seq[CandTerm]]
 
     for (strategyIndex <- 0 until level.maxIndex) {
       for ((key, groupIdxs) <- groups) {
@@ -248,9 +259,10 @@ final class StrategyRunner(
             (level.stopOnSuccess && entityMapped.getOrElse(key, false))
           if (!skip) {
             val spec = strategies(strategyIndex)
-            val candsByParser = ref.candidates
-              .filter(c => unresolved.contains(c.parserName))
-              .flatMap(c => gaz.term(c.parserName, c.termNorm).map(t => CandTerm(c, t)))
+            val allCandTerms = candTermsByKey.getOrElseUpdate(key,
+              ref.candidates.flatMap(c => gaz.term(c.parserName, c.termNorm).map(t => CandTerm(c, t))))
+            val candsByParser = allCandTerms
+              .filter(ct => unresolved.contains(ct.cand.parserName))
               .groupBy(_.cand.parserName)
             for ((parser, cands) <- candsByParser.toSeq.sortBy(_._1)) {
               val mappings = runStrategy(spec, ref, parser, cands, mentions, accMappings, docVecCache)

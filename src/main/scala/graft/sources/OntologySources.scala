@@ -50,10 +50,15 @@ object OntologySources {
       dataOrigin: String = "jsonl",
       idField: String = "id",
       labelField: String = "name",
-      synonymsField: String = "synonyms"
+      synonymsField: String = "synonyms",
+      includeWhere: Option[String] = None
   ): Dataset[OntologyRow] = {
     import spark.implicits._
-    val raw = spark.read.json(path)
+    // includeWhere: record-level SQL predicate over the raw JSON columns —
+    // the reference's per-parser record filters (allowed therapeutic areas
+    // parsers.py:139+, excluded biotypes :318+) as a pushed-down filter
+    val raw0 = spark.read.json(path)
+    val raw = includeWhere.map(raw0.filter).getOrElse(raw0)
     val hasSyns = raw.columns.contains(synonymsField)
     val base = raw.select(
       col(idField).cast("string").as("idx"),

@@ -149,6 +149,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(!rows.exists(_.idx == "CHEMBL49")) // null pref_name dropped
   }
 
+  test("jsonl includeWhere filters records like the reference's biotype/area filters") {
+    val dir = Files.createTempDirectory("ot_filter")
+    Files.writeString(dir.resolve("kb.jsonl"),
+      """{"id":"ENSG1","name":"BRCA1","synonyms":[],"biotype":"protein_coding"}
+        |{"id":"ENSG2","name":"RNU6-1","synonyms":[],"biotype":"snRNA"}
+        |""".stripMargin)
+    val rows = OntologySources.readJsonl(spark, dir.toString + "/kb.jsonl", "p", "gene",
+      includeWhere = Some("biotype NOT IN ('snRNA')")).collect()
+    assert(rows.map(_.idx).toSet == Set("ENSG1"))
+  }
+
   test("OpenTargets-style xrefs feed the XrefIntersection grouper") {
     val dir = Files.createTempDirectory("ot_xrefs")
     Files.writeString(dir.resolve("kb.jsonl"),
