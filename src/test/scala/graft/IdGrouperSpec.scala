@@ -90,6 +90,24 @@ class IdGrouperSpec extends AnyFunSuite {
     assert(plain.aggregatedBy != AggStrategy.CUSTOM)
   }
 
+  test("buildSpark honors per-parser groupers identically to buildLocal") {
+    import spark.implicits._
+    val rows = Seq(
+      OntologyRow("ens_p", "gene", "ENSG1", "BRCA1", "breast cancer 1", "name", "t"),
+      OntologyRow("ens_p", "gene", "ENSG2", "BRCA1", "breast cancer 1", "name", "t"),
+      OntologyRow("ens_p", "gene", "ENSG3", "TP53", "breast cancer 1", "name", "t"))
+    val groupers: Map[String, IdGrouper] = Map("ens_p" -> IdGrouper.GroupByDefaultLabel)
+    val local = GazetteerBuilder.buildLocal(rows, Seq.empty, grouperByParser = groupers)
+    val viaSpark = GazetteerBuilder.buildSpark(
+      spark.createDataset(rows), Seq.empty, grouperByParser = groupers)
+    val norm = graft.text.StringNormalizer.normalize("breast cancer 1", "gene")
+    val l = local.term("ens_p", norm).get
+    val s = viaSpark.term("ens_p", norm).get
+    assert(s.idSets.map(_.ids.toSet).toSet == l.idSets.map(_.ids.toSet).toSet)
+    assert(s.idSets.map(_.ids.toSet).toSet == Set(Set("ENSG1", "ENSG2"), Set("ENSG3")))
+    assert(s.aggregatedBy == l.aggregatedBy)
+  }
+
   // ------------------------------------------------------------ OXO dump --
 
   test("OXO dump parses to the same xref mappings as hand-built edges") {
