@@ -24,4 +24,25 @@ object TripleSink {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed graph table: bucketBy(obj) + sortBy(obj) so downstream
+    * obj-keyed joins (xref traversals, canonicalization joins, triple-to-
+    * triple entity joins) are CO-LOCATED — the scan reports the bucket
+    * spec and Catalyst plans the join with no Exchange on either side.
+    * At 100 TB this turns the heaviest repeated shuffle (graph joined to
+    * itself or to the components table on obj) into a bucket-local
+    * sort-merge. Requires a catalog table (bucketing metadata lives in the
+    * catalog, which is why `write` above stays a plain-path sink). */
+  def writeBucketedTable(
+      triples: Dataset[Triple],
+      tableName: String,
+      buckets: Int,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit =
+    triples.toDF()
+      .write.mode(mode)
+      .format("parquet")
+      .bucketBy(buckets, "obj")
+      .sortBy("obj")
+      .saveAsTable(tableName) // managed table in the session warehouse
 }

@@ -68,6 +68,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("shingle"), p)
   }
 
+  test("bucketed graph tables join co-located: no Exchange on either side") {
+    import spark.implicits._
+    val triples = (1 to 200).map(i => graft.core.Triple(
+      s"d$i#0-4", "denotes:algorithm", s"OBJ_${i % 40}", "p", "SRC",
+      "HIGHLY_LIKELY", None, s"sha$i"))
+    val ds = spark.createDataset(triples)
+    graft.graph.TripleSink.writeBucketedTable(ds, "t_bucketed_a", buckets = 8)
+    graft.graph.TripleSink.writeBucketedTable(ds, "t_bucketed_b", buckets = 8)
+    val joined = spark.table("t_bucketed_a").as("a")
+      .hint("merge") // force SMJ so the bucket layout (not broadcast) is what's proven
+      .join(spark.table("t_bucketed_b").as("b"), "obj")
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p) // co-located by bucket
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+    assert(joined.count() == 200L * 5) // 40 objs x 5 copies each side per obj
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+  }
+
   test("aggregation has a map-side partial phase") {
     val p = plan(SparkEntry.q1Agg(spark, sfDir))
     // HashAggregate (partial) ... Exchange ... HashAggregate (final)
