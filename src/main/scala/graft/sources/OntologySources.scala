@@ -134,7 +134,8 @@ object OntologySources {
       path: String,
       parserName: String,
       entityClass: String,
-      dataOrigin: String = "obo"
+      dataOrigin: String = "obo",
+      dropObsolete: Boolean = true
   ): Dataset[OntologyRow] = {
     import spark.implicits._
     val synRe = """synonym:\s*"([^"]*)"\s*(\w*)""".r
@@ -145,8 +146,14 @@ object OntologySources {
           val lines = stanza.split("\n").map(_.trim)
           val id = lines.collectFirst { case l if l.startsWith("id:") => l.drop(3).trim }
           val name = lines.collectFirst { case l if l.startsWith("name:") => l.drop(5).trim }
+          // the reference drops obsolete concepts: GO by "obsolete" in the
+          // default label (parsers.py:741-745); OBO also marks them with an
+          // is_obsolete flag line
+          val obsolete = dropObsolete && (
+            lines.exists(l => l.startsWith("is_obsolete:") && l.endsWith("true")) ||
+              name.exists(_.toLowerCase.contains("obsolete")))
           (id, name) match {
-            case (Some(idx), Some(label)) =>
+            case (Some(idx), Some(label)) if !obsolete =>
               val syns = lines.toSeq.collect {
                 case l if l.startsWith("synonym:") =>
                   synRe.findFirstMatchIn(l).map(m =>

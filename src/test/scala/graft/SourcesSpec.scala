@@ -149,6 +149,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(!rows.exists(_.idx == "CHEMBL49")) // null pref_name dropped
   }
 
+  test("obo reader drops obsolete terms (flag line or label marker)") {
+    val dir = Files.createTempDirectory("obo_obs")
+    Files.writeString(dir.resolve("kb.obo"),
+      """[Term]
+        |id: GO:1
+        |name: kinase activity
+        |
+        |[Term]
+        |id: GO:2
+        |name: obsolete transport
+        |
+        |[Term]
+        |id: GO:3
+        |name: binding
+        |is_obsolete: true
+        |""".stripMargin)
+    val rows = OntologySources.readObo(spark, dir.toString + "/kb.obo", "p", "bp").collect()
+    assert(rows.map(_.idx).toSet == Set("GO:1"))
+    val kept = OntologySources.readObo(spark, dir.toString + "/kb.obo", "p", "bp",
+      dropObsolete = false).collect()
+    assert(kept.map(_.idx).toSet == Set("GO:1", "GO:2", "GO:3"))
+  }
+
   test("jsonl includeWhere filters records like the reference's biotype/area filters") {
     val dir = Files.createTempDirectory("ot_filter")
     Files.writeString(dir.resolve("kb.jsonl"),
