@@ -40,18 +40,31 @@ object Multimodal {
     * container frame count. Opaque payloads -> deterministic byte
     * histogram + metadata-derived frame estimate (decoded=false). */
   def decodeMedia(meta: MediaMeta, payload: Array[Byte]): (Array[Long], Int, Boolean) = {
-    if (MediaCodec.isPng(payload)) {
+    // a corrupt payload whose magic still matches must NOT fail the task
+    // (at 100 TB corrupt files are routine): decode failures fall back to
+    // the opaque path, logged, decoded=false
+    def attempt(f: => (Array[Long], Int, Boolean)): (Array[Long], Int, Boolean) =
+      try f catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"media decode failed (${e.getMessage}); opaque fallback")
+          opaqueFallback(meta, payload)
+      }
+    if (MediaCodec.isPng(payload)) attempt {
       val png = MediaCodec.decodePng(payload)
       (MediaCodec.luminanceHistogram(png), 1, true)
-    } else if (MediaCodec.isWav(payload)) {
+    } else if (MediaCodec.isWav(payload)) attempt {
       val wav = MediaCodec.decodeWav(payload)
       (MediaCodec.amplitudeHistogram(wav), 0, true)
-    } else if (MediaCodec.isGvid(payload)) {
+    } else if (MediaCodec.isGvid(payload)) attempt {
       val frames = MediaCodec.gvidSampleFrames(payload, step = 2)
       val hist = new Array[Long](16)
       for (f <- frames; (v, i) <- MediaCodec.luminanceHistogram(f).zipWithIndex) hist(i) += v
       (hist, MediaCodec.gvidFrameCount(payload), true)
-    } else {
+    } else opaqueFallback(meta, payload)
+  }
+
+  private def opaqueFallback(meta: MediaMeta, payload: Array[Byte]): (Array[Long], Int, Boolean) = {
       val hist = new Array[Long](16)
       var i = 0
       while (i < payload.length) {
@@ -64,7 +77,6 @@ object Multimodal {
         case _       => 0
       }
       (hist, frames, false)
-    }
   }
 
   /** Feature-extraction stage: batched per partition over binary payloads;
