@@ -158,8 +158,15 @@ final case class Doc(
 
 /** A document with all its accumulated mentions: the unit of the per-doc
   * folds (strategy cascade, abbreviation propagation, overlap merge).
+  * `error` is the runtime PROCESSING_EXCEPTION analog (ref data.py:38 +
+  * steps/step.py:60-151): a doc whose fold threw carries the message here
+  * (mentions empty) instead of failing the task — row-granular failure.
   */
-final case class DocMentions(docId: String, contentSha: String, mentions: Seq[Mention])
+final case class DocMentions(
+    docId: String,
+    contentSha: String,
+    mentions: Seq[Mention],
+    error: Option[String] = None)
 
 /** One named section of a multi-section document. Ref: Section
   * (data.py:504-562) / Document.from_named_section_texts (data.py:614-637).
@@ -184,11 +191,12 @@ final case class DocSections(
   * indices, like the reference's Section.entities. */
 final case class SectionMentions(name: String, mentions: Seq[Mention])
 
-/** Annotated multi-section document. */
+/** Annotated multi-section document. `error`: see [[DocMentions.error]]. */
 final case class DocSectionMentions(
     docId: String,
     contentSha: String,
-    sections: Seq[SectionMentions]
+    sections: Seq[SectionMentions],
+    error: Option[String] = None
 )
 
 /** Final KG edge. subj = docId#start-end, pred = denotes:<class> | xref,

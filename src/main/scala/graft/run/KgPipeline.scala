@@ -73,6 +73,7 @@ object KgPipeline {
         val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
 
         rows.map { d =>
+          guardedDoc(d.docId, d.contentSha) {
           // 1. dictionary NER (N1)
           var mentions = DictionaryNer.scanText(art.dict, d.docId, d.content, normMemo)
           // 2. dictionary linking for non-dictionary-NER namespaces (L1-L3);
@@ -98,9 +99,30 @@ object KgPipeline {
           if (cfg.mergeOverlaps)
             dm = dm.copy(mentions = MergeOverlaps.process(dm.mentions, cfg.classOrder))
           dm
+          }
         }
       }
   }
+
+  /** Row-granular failure capture (X3, the reference's per-doc error
+    * decorator steps/step.py:60-102 — strictly better than its batch
+    * variant, which fails ALL docs of a failed batch): a doc whose fold
+    * throws yields an empty DocMentions carrying the error instead of
+    * failing the task. */
+  def guardedDoc(docId: String, contentSha: String)(
+      body: => DocMentions): DocMentions =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"doc $docId failed in the semantic fold: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        DocMentions(docId, contentSha, Seq.empty,
+          error = Some(s"PROCESSING_EXCEPTION: ${e.getClass.getName}: ${e.getMessage}"))
+    }
+
+  /** The failed-doc handler surface (S4 at runtime): annotated docs whose
+    * fold threw. */
+  def failedDocs(annotated: Dataset[DocMentions]): Dataset[DocMentions] =
+    annotated.filter((dm: DocMentions) => dm.error.isDefined)
 
   /** Multi-section annotate: NER runs PER SECTION (a dictionary term never
     * matches across a section boundary), then mentions shift into a
@@ -129,6 +151,7 @@ object KgPipeline {
         val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
 
         rows.map { d =>
+          try {
           // section base offsets in the "\n"-joined concat space
           val bases = d.sections.scanLeft(0)((acc, s) => acc + s.text.length + 1)
           val concatText = d.sections.map(_.text).mkString("\n")
@@ -172,6 +195,13 @@ object KgPipeline {
             SectionMentions(s.name, ms)
           }
           DocSectionMentions(d.docId, d.contentSha, bySection)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"doc ${d.docId} failed in the sectioned fold: ${e.getMessage}")
+              DocSectionMentions(d.docId, d.contentSha, Seq.empty,
+                error = Some(s"PROCESSING_EXCEPTION: ${e.getClass.getName}: ${e.getMessage}"))
+          }
         }
       }
   }

@@ -125,6 +125,18 @@ class AcceptanceSpec extends AnyFunSuite {
     assert(annotated.size == nDocs - quarantined)
   }
 
+  test("a doc whose fold throws is captured row-granular, not task-fatal") {
+    val ok = graft.run.KgPipeline.guardedDoc("d1", "sha1")(DocMentions("d1", "sha1", Seq.empty))
+    assert(ok.error.isEmpty)
+    val failed = graft.run.KgPipeline.guardedDoc("d2", "sha2")(
+      throw new IllegalStateException("boom"))
+    assert(failed.docId == "d2" && failed.mentions.isEmpty)
+    assert(failed.error.exists(e => e.startsWith("PROCESSING_EXCEPTION") && e.contains("boom")))
+    // integration: a healthy corpus reports zero failed docs
+    val (annotated, _) = result
+    assert(annotated.forall(_.error.isEmpty))
+  }
+
   test("length guard quarantines giant docs with error rows") {
     val corpus = spark.createDataset(gen.map(_.row)).toDF()
     val docs = Stages.ingest(corpus)(spark)
