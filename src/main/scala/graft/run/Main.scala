@@ -12,8 +12,9 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Usage:
   *   spark-submit --class graft.run.Main <jar> \
   *     --corpus <parquet path with (repo,path,commit,lang,content)> \
-  *     --ontology-tsv <4-column tsv path> --entity-class <class> \
-  *     --out <output dir> [--checkpoint <dir>] [--quarantine <dir>]
+  *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl \
+  *     --entity-class <class> --out <output dir> \
+  *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>]
   *
   * Every stage is checkpointed when --checkpoint is given, so re-running
   * the same command resumes from the last committed stage.
@@ -38,10 +39,16 @@ object Main {
     }
     val corpusPath = opts.getOrElse("--corpus", sys.error("--corpus required"))
     val outPath = opts.getOrElse("--out", sys.error("--out required"))
-    val ontologyTsv = opts.get("--ontology-tsv")
+    // --ontology + --ontology-format select any supported KB reader;
+    // --ontology-tsv is kept as the backward-compatible tsv shorthand
+    val ontologyPath = opts.get("--ontology").orElse(opts.get("--ontology-tsv"))
+    val ontologyFormat =
+      if (opts.contains("--ontology-tsv")) "tsv"
+      else opts.getOrElse("--ontology-format", "tsv")
     val entityClass = opts.getOrElse("--entity-class", "concept")
     val checkpointDir = opts.get("--checkpoint")
     val quarantinePath = opts.get("--quarantine")
+    val failedPath = opts.get("--failed")
 
     val builder = SparkSession.builder()
       .appName("graft-kg-pipeline")
@@ -55,13 +62,24 @@ object Main {
     import spark.implicits._
 
     // artifacts: ontology -> gazetteer (Spark ETL) -> broadcast
-    val gaz = ontologyTsv match {
+    val gaz = ontologyPath match {
       case Some(path) =>
-        val rows = OntologySources.readTabular(spark, path, "main_onto", entityClass)
+        val rows = ontologyFormat match {
+          case "tsv" => OntologySources.readTabular(spark, path, "main_onto", entityClass)
+          case "jsonl" => OntologySources.readJsonl(spark, path, "main_onto", entityClass)
+          case "obo" => OntologySources.readObo(spark, path, "main_onto", entityClass)
+          case "nt" => OntologySources.readNTriples(spark, path, "main_onto", entityClass)
+          case "skosxl" => OntologySources.readSkosXl(spark, path, "main_onto", entityClass)
+          case "owl" => OntologySources.readRdfXml(spark, path, "main_onto", entityClass)
+          case "meddra" => OntologySources.readMeddra(spark, path, "main_onto", entityClass)
+          case "chembl" => graft.sources.SqliteSource.readChembl(spark, path, "main_onto", entityClass)
+          case other => sys.error(s"unknown --ontology-format $other " +
+            "(tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl)")
+        }
         GazetteerBuilder.buildSpark(rows, autoCurations(rows.collect().toSeq))
       case None => graft.datagen.CorpusGen.gazetteer // demo fixture
     }
-    val xref = if (ontologyTsv.isEmpty)
+    val xref = if (ontologyPath.isEmpty)
       Some(XrefManager.fromEdges(graft.datagen.CorpusGen.xrefEdges,
         graft.datagen.CorpusGen.xrefSourceToParser))
     else None
@@ -75,7 +93,11 @@ object Main {
         math.max(spark.sparkContext.defaultParallelism * 2, 2))
       quarantinePath.foreach(q =>
         Stages.quarantine(docs).write.mode(SaveMode.Overwrite).parquet(q))
-      KgPipeline.triples(docs, bc)
+      val annotated = KgPipeline.annotate(docs, bc)
+      failedPath.foreach(f =>
+        KgPipeline.failedDocs(annotated).map(dm => (dm.docId, dm.error.getOrElse("")))
+          .toDF("doc_id", "error").write.mode(SaveMode.Overwrite).parquet(f))
+      graft.graph.Triples.fromDocMentions(annotated)
     }
 
     checkpointDir match {
