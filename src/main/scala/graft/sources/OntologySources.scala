@@ -293,7 +293,7 @@ object OntologySources {
       parserName: String,
       entityClass: String,
       dataOrigin: String = "skos-xl",
-      uriFilter: String => Boolean = _ => true
+      uriPattern: Option[String] = None // is_valid_iri regex — codegen'd rlike, no UDF
   ): Dataset[OntologyRow] = {
     import spark.implicits._
     val skosxl = "http://www.w3.org/2008/05/skos-xl#"
@@ -301,13 +301,16 @@ object OntologySources {
     val literalForm = parsed
       .filter(col("pred") === s"${skosxl}literalForm" && !col("obj_is_iri"))
       .select(col("subj").as("labelNode"), col("obj").as("text"))
-    def hop(pred: String): DataFrame = parsed
-      .filter(col("pred") === s"$skosxl$pred" && col("obj_is_iri"))
-      .select(col("subj").as("idx"), col("obj").as("labelNode"))
-      .join(literalForm, "labelNode")
-      .select(col("idx"), col("text"))
-    val prefOk = hop("prefLabel").filter(udf(uriFilter).apply(col("idx")))
-    val altOk = hop("altLabel").filter(udf(uriFilter).apply(col("idx")))
+    def hop(pred: String): DataFrame = {
+      val base = parsed
+        .filter(col("pred") === s"$skosxl$pred" && col("obj_is_iri"))
+        .select(col("subj").as("idx"), col("obj").as("labelNode"))
+        .join(literalForm, "labelNode")
+        .select(col("idx"), col("text"))
+      uriPattern.map(p => base.filter(col("idx").rlike(p))).getOrElse(base)
+    }
+    val prefOk = hop("prefLabel")
+    val altOk = hop("altLabel")
     val labelRows = prefOk.select(col("idx"), col("text").as("defaultLabel"),
       col("text").as("syn"), lit(s"${skosxl}prefLabel").as("mappingType"))
     val synRows = prefOk.withColumnRenamed("text", "defaultLabel")
