@@ -235,7 +235,10 @@ object SynonymResolver {
     val mappingTypes = rows.map(_._3).distinct.sorted
     val isSymbolic = syns.forall(StringNormalizer.classifySymbolic(_, entityClass))
     val idsAndSource = rows.map(r => IdAndSource(r._2, sourceFn(parserName, r._2))).toSet
-    val labels = rows.map(r => r._2 -> r._4).toMap
+    // min-wins per id: group rows arrive in Spark shuffle order, so a
+    // last-wins toMap would make the retained label (and hence similarity
+    // clustering) nondeterministic for ids with conflicting labels
+    val labels = rows.groupBy(_._2).map { case (id, rs) => id -> rs.map(_._4).min }
     val (idSets, agg) = idGrouper match {
       case Some(g) => g.group(idsAndSource, isSymbolic, labels)
       case None => scoreAndGroupIds(idsAndSource, isSymbolic, labels, scorer, mergeThreshold)
@@ -258,8 +261,12 @@ final class CurationProcessor(
     synonymTerms: Seq[SynTerm]
 ) {
   private val termsByTermNorm = scala.collection.mutable.LinkedHashMap.empty[String, SynTerm]
-  private val droppedKeys = scala.collection.mutable.Set.empty[String]
   private var curations: Set[Curation] = curationsIn.toSet
+
+  /** All ids present in the parser data (base.py:726-739); computed once —
+    * curated id sets are validated against it on every ADD behaviour. */
+  private lazy val knownIds: Set[String] =
+    synonymTerms.iterator.flatMap(_.idSets.iterator.flatMap(_.ids)).toSet
 
   synonymTerms.sortBy(_.termNorm).foreach(t => updateTermLookups(t, override_ = false))
 
@@ -276,9 +283,8 @@ final class CurationProcessor(
     safeToAdd
   }
 
-  private def dropSynonymTerm(termNorm: String): Unit = {
-    if (termsByTermNorm.remove(termNorm).isDefined) droppedKeys += termNorm
-  }
+  private def dropSynonymTerm(termNorm: String): Unit =
+    termsByTermNorm.remove(termNorm)
 
   private def dropIdFromIdSets(idToDrop: String, idSets: Seq[EquivIdSet]): Seq[EquivIdSet] =
     idSets.flatMap { s =>
@@ -378,9 +384,6 @@ final class CurationProcessor(
       case Some(sets0) if sets0.nonEmpty =>
         val matchesExisting = existing.exists(e => canonIdSets(e.idSets) == canonIdSets(sets0))
         if (!matchesExisting) {
-          // ids must exist in the parser data (base.py:726-739)
-          val knownIds: Set[String] =
-            synonymTerms.flatMap(_.idSets.flatMap(_.ids)).toSet
           val sets = sets0.flatMap { s =>
             val kept = s.idsAndSource.filter(i => knownIds.contains(i.idx))
             if (kept.nonEmpty) Some(EquivIdSet(kept)) else None
@@ -516,13 +519,20 @@ object GazetteerBuilder {
       extraMetaByParser: Map[String, Map[String, Map[String, String]]] = Map.empty
   ): Gazetteer = {
     import rows.sparkSession.implicits._
-    val resolved = resolveSynonymsSpark(rows, scorer, mergeThreshold, grouperByParser).collect()
-    val meta = rows
+    // two jobs read the same export: cache it so the KB scan+parse runs once
+    val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resolved = try {
+      resolveSynonymsSpark(cached, scorer, mergeThreshold, grouperByParser).collect()
+    } catch { case e: Throwable => cached.unpersist(); throw e }
+    val meta = cached
       .groupByKey(r => (r.parserName, r.idx))
       .mapGroups { (key: (String, String), it: Iterator[OntologyRow]) =>
-        val r = it.next()
+        // min-wins over (label, origin): group iteration order is shuffle-
+        // dependent, and metadata must be identical run-to-run
+        val r = it.minBy(x => (x.defaultLabel, x.dataOrigin))
         (key._1, key._2, r.defaultLabel, r.dataOrigin, r.entityClass)
       }.collect()
+    cached.unpersist()
     val entityClassByParser = meta.map(m => m._1 -> m._5).toMap
     val metadata = meta.map(m => (m._1, m._2) -> IdMeta(m._3, m._4, None,
       extraMetaByParser.getOrElse(m._1, Map.empty).getOrElse(m._2, Map.empty))).toMap
@@ -559,9 +569,11 @@ object GazetteerBuilder {
       .groupBy(r => (r.parserName, r.idx))
       .map { case (k, rs) =>
         // reference export_metadata drops duplicate ids keeping one label;
-        // reader-specific extras (OT xrefs, Meddra SOC) ride along
+        // min-wins (same rule as buildSpark) so both paths agree run-to-run.
+        // Reader-specific extras (OT xrefs, Meddra SOC) ride along
         val extra = extraMetaByParser.getOrElse(k._1, Map.empty).getOrElse(k._2, Map.empty)
-        k -> IdMeta(rs.head.defaultLabel, rs.head.dataOrigin, None, extra)
+        val r = rs.minBy(x => (x.defaultLabel, x.dataOrigin))
+        k -> IdMeta(r.defaultLabel, r.dataOrigin, None, extra)
       }
 
     val termsByParser = scala.collection.mutable.Map.empty[String, Map[String, SynTerm]]

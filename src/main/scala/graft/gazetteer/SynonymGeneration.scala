@@ -17,26 +17,45 @@ object SynonymGeneration {
     def apply(s: String): Set[String]
   }
 
-  /** Greek letter <-> spelled-name substitution, both directions. The
-    * name->char direction requires a word boundary like the reference
-    * (synonym_generation.py _generate_greek_subs only substitutes names
-    * bounded by space/dash) — otherwise "eta" inside "beta" would corrupt
-    * the synonym. */
+  /** Greek letter <-> spelled-name substitution, faithful to the
+    * reference's ALL_SUBS table + adjacency rule (synonym_generation.py
+    * GreekSymbolSubstitution + _generate_greek_subs): each greek letter
+    * maps to its spelling, the spelling's first letter, and the
+    * case-swapped letterform; each spelling maps back to EVERY letterform
+    * sharing it (both phi codepoints, both betas). A candidate is only
+    * substituted where it is immediately preceded or followed by a
+    * space/dash (GREEK_VARIANT_PREFIX_SUFFIX), so a greek char embedded in
+    * an identifier ("IFNγ1") is never touched. NOTE the reference quirk,
+    * reproduced deliberately: a spelling suffix-adjacent inside a longer
+    * word ("eta " inside "beta ") DOES substitute — such over-generated
+    * variants become curations that simply never match real text. */
   final case class GreekSymbolSubstitution() extends Generator {
     val name = "GreekSymbolSubstitution"
-    private val charToName = LanguagePhenomena.GREEK_SUBS.toMap
-    private val nameToChar: Seq[(String, Char)] =
-      LanguagePhenomena.GREEK_SUBS.filter(_._1.isLower).map(_.swap)
-        .toMap.toSeq.sortBy(_._1)
+    private val allSubs: Seq[(String, Seq[String])] = {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.LinkedHashSet[String]]
+      def add(k: String, v: String): Unit =
+        m.getOrElseUpdate(k, scala.collection.mutable.LinkedHashSet.empty) += v
+      for ((ch, spelling) <- LanguagePhenomena.GREEK_SUBS) {
+        add(ch.toString, spelling)
+        add(ch.toString, spelling.take(1)) // single-letter abbreviation
+        add(spelling, ch.toString) // reversed
+        if (ch.isLower) add(ch.toString, ch.toUpper.toString)
+        else if (ch.isUpper) add(ch.toString, ch.toLower.toString)
+      }
+      m.map { case (k, v) => k -> v.toSeq }.toSeq
+    }
+    private val fixes: Seq[String] =
+      (LanguagePhenomena.DASHES.toSeq.sorted :+ ' ').map(_.toString)
     def apply(s: String): Set[String] = {
       val out = scala.collection.mutable.Set.empty[String]
-      for ((ch, nm) <- charToName if s.indexOf(ch.toInt) >= 0)
-        out += s.replace(ch.toString, nm)
-      for ((nm, ch) <- nameToChar) {
-        val p = java.util.regex.Pattern.compile(
-          "(?<![A-Za-z])" + java.util.regex.Pattern.quote(nm) + "(?![A-Za-z])")
-        val m = p.matcher(s)
-        if (m.find()) out += m.replaceAll(java.util.regex.Matcher.quoteReplacement(ch.toString))
+      for {
+        (candidate, replacements) <- allSubs
+        fix <- fixes
+        repl <- replacements
+      } {
+        if (s.contains(fix + candidate)) out += s.replace(fix + candidate, fix + repl)
+        if (s.contains(candidate + fix)) out += s.replace(candidate + fix, repl + fix)
       }
       out.toSet - s
     }

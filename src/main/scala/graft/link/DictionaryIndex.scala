@@ -84,7 +84,7 @@ final class DictionaryIndex private (
       val scores = new Array[Double](matrix.numRows)
       matrix.dotDense(dense, scores)
       val scorers = BooleanScorers.forEntityClass(entityClass)
-      val order = scores.indices.sortBy(r => (-scores(r), r)).take(topN)
+      val order = topIndices(scores, topN)
       order.iterator
         .map(r => (r, 100.0 * scores(r)))
         .filter(_._2 > 0.0)
@@ -98,6 +98,32 @@ final class DictionaryIndex private (
         }
         .toSeq
     }
+  }
+
+  /** Top-n row indices by (score desc, index asc) via a bounded heap:
+    * O(V log n) and no per-row tuple boxing, vs a full O(V log V) sort on
+    * every memo-missed query. Zero scores are dropped here (the caller
+    * filters > 0 anyway). */
+  private def topIndices(scores: Array[Double], topN: Int): Seq[Int] = {
+    // head = worst retained: lowest score; among equal scores the later
+    // index (we scan ascending, so an equal-score later row never replaces)
+    val heap = new java.util.PriorityQueue[Integer](math.max(topN, 1),
+      (a: Integer, b: Integer) => {
+        val c = java.lang.Double.compare(scores(a), scores(b))
+        if (c != 0) c else Integer.compare(b, a)
+      })
+    var r = 0
+    while (r < scores.length) {
+      if (scores(r) > 0.0) {
+        if (heap.size < topN) heap.offer(r)
+        else if (scores(r) > scores(heap.peek())) { heap.poll(); heap.offer(r) }
+      }
+      r += 1
+    }
+    val out = new Array[Int](heap.size)
+    var i = 0
+    while (i < out.length) { out(i) = heap.poll(); i += 1 }
+    out.sortBy(r => (-scores(r), r)).toSeq
   }
 }
 

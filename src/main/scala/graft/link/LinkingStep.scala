@@ -37,8 +37,30 @@ object LinkingStep {
       val cands = memo.getOrElseUpdate((m.matchText, m.entityClass),
         byClass.getOrElse(m.entityClass, Seq.empty).flatMap(_.search(m.matchText, topN)))
       if (cands.isEmpty) m
-      else m.copy(candidates = (m.candidates ++ cands).distinct)
+      else m.copy(candidates = mergeCandidates(m.candidates, cands))
     }
+
+  /** Dedup by candidate identity (parserName, termNorm) — NOT full equality,
+    * which would keep two copies differing only in metrics — merging metric
+    * fields like the reference's SynonymTermWithMetrics.merge_metrics
+    * (data.py:278-285). First-occurrence order is preserved. */
+  def mergeCandidates(existing: Seq[Candidate], incoming: Seq[Candidate]): Seq[Candidate] = {
+    val byKey = scala.collection.mutable.LinkedHashMap.empty[(String, String), Candidate]
+    for (c <- existing.iterator ++ incoming.iterator) {
+      val k = (c.parserName, c.termNorm)
+      byKey.get(k) match {
+        case None => byKey(k) = c
+        case Some(a) => byKey(k) = a.copy(
+          searchScore = (a.searchScore, c.searchScore) match {
+            case (Some(x), Some(y)) => Some(math.max(x, y))
+            case (x, y) => x.orElse(y)
+          },
+          boolScore = a.boolScore.orElse(c.boolScore),
+          exactMatch = a.exactMatch || c.exactMatch)
+      }
+    }
+    byKey.values.toSeq
+  }
 
   def apply(
       docs: Dataset[DocMentions],

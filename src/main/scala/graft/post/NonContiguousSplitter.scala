@@ -15,8 +15,15 @@ object NonContiguousSplitter {
 
   private val conjRe = """^(\S+) (and|or) (\S+) (\S+)$""".r
 
+  /** Offsets of the produced spans are derived from `m.start`, so refuse to
+    * split a mention whose offsets don't actually slice `text` to its
+    * matchText — corrupt offsets would otherwise propagate into new spans. */
+  private def offsetsValid(text: String, m: Mention): Boolean =
+    m.start >= 0 && m.end <= text.length &&
+      text.substring(m.start, m.end) == m.matchText
+
   def split(text: String, m: Mention): Seq[Mention] = m.matchText match {
-    case conjRe(x, _, y, head) =>
+    case conjRe(x, _, y, head) if offsetsValid(text, m) =>
       val xStart = m.start
       val xEnd = m.start + x.length
       val yStart = m.start + m.matchText.lastIndexOf(s"$y $head")
