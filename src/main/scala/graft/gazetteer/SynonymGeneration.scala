@@ -47,15 +47,31 @@ object SynonymGeneration {
     }
     private val fixes: Seq[String] =
       (LanguagePhenomena.DASHES.toSeq.sorted :+ ' ').map(_.toString)
+    /** Substitutions compound (reference strings_to_substitute accumulation,
+      * synonym_generation.py:241-275): "alpha beta test" also yields
+      * "α β test", not just the two single-substitution variants. The
+      * adjacency flags always test the ORIGINAL string (the reference's
+      * "if it's in the original text" shortcut). MaxVariants is a defensive
+      * cap absent in the reference: a synonym dense in greek names would
+      * otherwise blow up exponentially. */
+    private val MaxVariants = 512
     def apply(s: String): Set[String] = {
       val out = scala.collection.mutable.Set.empty[String]
+      val acc = scala.collection.mutable.LinkedHashSet(s.trim)
       for {
         (candidate, replacements) <- allSubs
         fix <- fixes
-        repl <- replacements
       } {
-        if (s.contains(fix + candidate)) out += s.replace(fix + candidate, fix + repl)
-        if (s.contains(candidate + fix)) out += s.replace(candidate + fix, repl + fix)
+        val suffixAdj = s.contains(fix + candidate)
+        val prefixAdj = s.contains(candidate + fix)
+        if ((prefixAdj || suffixAdj) && acc.size < MaxVariants) {
+          val step = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (base <- acc; repl <- replacements) {
+            if (prefixAdj) { val v = base.replace(candidate + fix, repl + fix); step += v; out += v }
+            if (suffixAdj) { val v = base.replace(fix + candidate, fix + repl); step += v; out += v }
+          }
+          acc ++= step
+        }
       }
       out.toSet - s
     }

@@ -53,4 +53,33 @@ class LinkingSpec extends AnyFunSuite {
     assert(nm("X RECEPTOR", "Y RECEPTOR"))
     assert(!nm("X RECEPTOR", "Y"))
   }
+
+  test("search respects topN and orders by score descending") {
+    // digit-free labels so the numberMatch scorer doesn't filter everything
+    val many = (0 until 200).map { i =>
+      val tag = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      OntologyRow("q", "disease", s"MONDO_$tag", s"cancer kind $tag", s"cancer kind $tag", "name", "f")
+    }
+    val idx = DictionaryIndex.buildAll(GazetteerBuilder.buildLocal(many, Seq.empty))("q")
+    val res = idx.search("cancer kin", topN = 7)
+    assert(res.size <= 7 && res.nonEmpty)
+    val scores = res.map(_.searchScore.get)
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0.0))
+    // deterministic across calls (heap selection has a fixed tie-break)
+    assert(idx.search("cancer kin", topN = 7) == res)
+    // widening topN only appends: the top-7 prefix is selection-stable
+    assert(idx.search("cancer kin", topN = 50).take(res.size) == res)
+  }
+
+  test("mergeCandidates dedups by (parser, termNorm) identity and merges metrics") {
+    import graft.core.Candidate
+    val fromNer = Candidate("p", "NORM", None, None, exactMatch = true)
+    val fromSearch = Candidate("p", "NORM", Some(100.0), Some(true), exactMatch = false)
+    val other = Candidate("p", "OTHER", Some(80.0), Some(true), exactMatch = false)
+    val merged = graft.link.LinkingStep.mergeCandidates(Seq(fromNer), Seq(fromSearch, other))
+    assert(merged.size == 2) // NOT 3: same (p, NORM) merged despite metric diff
+    assert(merged.head == Candidate("p", "NORM", Some(100.0), Some(true), exactMatch = true))
+    assert(merged(1) == other) // first-occurrence order preserved
+  }
 }

@@ -125,6 +125,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(variants.contains("TGF beta receptor")) // combined (permutation fold)
   }
 
+  test("greek substitution matches reference ALL_SUBS semantics") {
+    // cases ported from /root/reference/kazu/tests/test_synonym_generators.py
+    // test_GreekSymbolSubstitution (input plus expected variants)
+    val g = SynonymGeneration.GreekSymbolSubstitution()
+    assert(g("alpha-thalassaemia") == Set("α-thalassaemia", "Α-thalassaemia"))
+    // a greek letterform maps to spelling, single-letter abbrev and case swap
+    assert(g("α-thalassaemia") ==
+      Set("alpha-thalassaemia", "a-thalassaemia", "Α-thalassaemia"))
+    // latin 'A' is not a greek letterform: nothing generated
+    assert(g("A-thalassaemia") == Set.empty)
+    // the reference's documented quirk (xfail there, deliberate here):
+    // "eta " suffix-adjacent inside "beta " also substitutes
+    val beta = g("beta test")
+    assert(Set("β test", "ϐ test", "Β test").subsetOf(beta))
+    assert(beta.contains("bη test")) // the quirk
+    // substitutions compound across candidates (strings_to_substitute)
+    val ab = g("alpha beta test")
+    assert(ab.contains("α β test"))
+    assert(ab.contains("Α Β test"))
+    // embedded greek char with no space/dash adjacency is left alone
+    assert(g("IFNγ1") == Set.empty)
+  }
+
   test("generated synonyms hit via inheritance") {
     val rows = Seq(OntologyRow("p", "gene", "G1", "TGFB", "TGF-β", "name", "f"))
     val base = Seq(Curation("p", "TGF-β", MentionConfidence.HIGHLY_LIKELY,
