@@ -134,4 +134,27 @@ class PropertiesSpec extends AnyFunSuite {
     }
     assert(dist.nerCurations.toSet == local.nerCurations.toSet)
   }
+
+  test("duplicate ids with conflicting labels resolve identically and deterministically") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // same id exported twice with different labels (real KBs do this when a
+    // per-synonym label rides in the label column): the retained metadata
+    // and similarity clustering must not depend on shuffle order
+    val rows = Seq(
+      OntologyRow("p", "gene", "G1", "zeta label", "SYN A", "name", "f"),
+      OntologyRow("p", "gene", "G1", "alpha label", "SYN A", "name", "f"),
+      OntologyRow("p", "gene", "G2", "alpha label", "SYN A", "name", "f")
+    )
+    val local = GazetteerBuilder.buildLocal(rows, Seq.empty)
+    assert(local.meta("p", "G1").map(_.defaultLabel) == Some("alpha label")) // min-wins
+    for (_ <- 1 to 3) {
+      val shuffled = spark.createDataset(rows).repartition(5)
+      val dist = GazetteerBuilder.buildSpark(shuffled, Seq.empty)
+      assert(dist.meta("p", "G1") == local.meta("p", "G1"))
+      val norm = graft.text.StringNormalizer.normalize("SYN A", "gene")
+      assert(dist.term("p", norm).get.idSets.map(_.canonical).toSet ==
+        local.term("p", norm).get.idSets.map(_.canonical).toSet)
+    }
+  }
 }
