@@ -69,10 +69,10 @@ object RulesFilter {
     val classVotes = scala.collection.mutable.Map.empty[(String, String), Votes]
     val mentionVotes = scala.collection.mutable.Map.empty[(String, String), Votes]
 
-    val considered = mentions.filter { m =>
+    def isConsidered(m: Mention): Boolean =
       cfg.classRules.contains(m.entityClass) ||
         cfg.mentionRules.get(m.entityClass).exists(_.contains(m.matchText))
-    }
+    val considered = mentions.filter(isConsidered)
     for (m <- considered) {
       val key = (m.matchText, m.entityClass)
       val toks = sentenceTokens(m)
@@ -92,7 +92,9 @@ object RulesFilter {
       val key = (m.matchText, m.entityClass)
       val cv = classVotes.get(key)
       val mv = mentionVotes.get(key)
-      considered.contains(m) && (
+      // O(1) re-test instead of a linear considered.contains(m) scan,
+      // which is O(n^2) per doc in mention count
+      isConsidered(m) && (
         cv.exists(v => v.fpConfigured && v.fpHit) ||
           cv.exists(v => v.tpConfigured && !v.tpHit) ||
           mv.exists(v => v.fpConfigured && v.fpHit) ||

@@ -313,8 +313,10 @@ final class StrategyRunner(
     val (longest, shortest0) = if (t1.length > t2.length) (t1, s2) else (t2, s1)
     var shortest = shortest0
     for (tok <- longest) {
-      if (!shortest.contains(tok)) return false
-      shortest = shortest.replaceFirst(java.util.regex.Pattern.quote(tok), "")
+      val at = shortest.indexOf(tok)
+      if (at < 0) return false
+      // literal first-occurrence removal; no per-token regex compile
+      shortest = shortest.substring(0, at) + shortest.substring(at + tok.length)
     }
     shortest.trim.isEmpty
   }

@@ -50,16 +50,21 @@ object Triples {
             term <- gaz.term(c.parserName, c.termNorm).toSeq
             if term.idSets.size == 1
             ias <- term.idSets.head.idsAndSource
+            meta = gaz.meta(c.parserName, ias.idx)
           } yield Mapping(
             parserName = c.parserName,
             source = ias.source,
             idx = ias.idx,
-            defaultLabel = gaz.meta(c.parserName, ias.idx).map(_.defaultLabel).getOrElse(""),
-            stringMatchStrategy = "ExactMatchMappingStrategy",
+            defaultLabel = meta.map(_.defaultLabel).getOrElse(""),
+            // same strategy label + metadata shape as the full cascade
+            // (StrategyRunner.createMappings) so outputs of the two paths
+            // are comparable in the exported JSON
+            stringMatchStrategy = "ExactMatch",
             stringMatchConfidence = StringMatchConfidence.HIGHLY_LIKELY,
             disambiguationStrategy = None,
             disambiguationConfidence = None,
-            xrefSourceParserName = None
+            xrefSourceParserName = None,
+            metadata = meta.map(_.asMappingMetadata).getOrElse(Map.empty)
           )
           m.copy(mappings = mappings.distinct)
         }

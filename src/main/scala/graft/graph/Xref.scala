@@ -127,7 +127,6 @@ object ConnectedComponents {
   /** edges: DataFrame with string columns (src, dst). Returns (id,
     * component) where component = lexicographic min id reachable. */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
     val bidirectional = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -189,7 +188,6 @@ object ConnectedComponents {
     * incident to at least one edge (same contract as [[run]]).
     */
   def runStars(edges: DataFrame, maxIter: Int = 50, verbose: Boolean = false): DataFrame = {
-    val spark = edges.sparkSession
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
