@@ -490,7 +490,8 @@ object SparkEntry {
     },
     "text_token_count" ->
       s"""SELECT doc_id,
-         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+         |  CASE WHEN trim(text) = '' THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_ws,
          |  len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS n_tokens_bpeish
          |FROM documents""".stripMargin,
     "mm_media_features" ->

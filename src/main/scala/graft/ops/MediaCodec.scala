@@ -37,6 +37,9 @@ object MediaCodec {
     var done = false
     while (!done && off + 8 <= b.length) {
       val len = be32(b, off)
+      // corrupt negative length would stall the loop (off += 12 + len no-op);
+      // throw so the caller's opaque fallback fires instead of hanging the task
+      require(len >= 0, s"corrupt PNG chunk length $len")
       val typ = new String(b, off + 4, 4, "ISO-8859-1")
       typ match {
         case "IHDR" =>
@@ -140,7 +143,10 @@ object MediaCodec {
     var total = 0
     while (total < expected && !inf.finished()) {
       val n = inf.inflate(out, total, expected - total)
-      if (n == 0 && inf.needsInput()) throw new IllegalStateException("truncated IDAT")
+      // n == 0 while unfinished means needsInput (truncated) OR
+      // needsDictionary (FDICT set) — both unrecoverable; looping would hang
+      if (n == 0) throw new IllegalStateException(
+        if (inf.needsDictionary()) "preset zlib dictionary unsupported" else "truncated IDAT")
       total += n
     }
     inf.end()
@@ -186,6 +192,7 @@ object MediaCodec {
     while (off + 8 <= b.length) {
       val id = new String(b, off, 4, "ISO-8859-1")
       val len = le32(b, off + 4)
+      require(len >= 0, s"corrupt WAV chunk length $len") // see decodePng note
       id match {
         case "fmt " =>
           require(le16(b, off + 8) == 1, "PCM only")
@@ -251,6 +258,7 @@ object MediaCodec {
     var i = 0
     while (i < count) {
       val len = be32(b, off)
+      require(len >= 0, s"corrupt GVID frame length $len") // see decodePng note
       if (i % step == 0)
         out += decodePng(java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len))
       off += 4 + len

@@ -49,9 +49,11 @@ object TextAnalysis {
       .otherwise(lit("fr"))
   }
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Empty/blank text is 0 tokens — split of an
+    * empty string yields one empty element, so guard explicitly. */
   def tokenCountWs(textCol: Column): Column =
-    size(split(trim(textCol), "\\s+"))
+    when(trim(textCol) === "", lit(0))
+      .otherwise(size(split(trim(textCol), "\\s+")))
 
   /** BPE-ish subword unit count: letter runs, digits, and single
     * punctuation marks each count as one token. Same regex works in

@@ -23,9 +23,11 @@ object AcceptanceCriteria {
     val b = Map.newBuilder[String, Gate]
     while (it.hasNext) {
       val e = it.next()
-      b += e.getKey -> Gate(
-        e.getValue.get("precision").asDouble(),
-        e.getValue.get("recall").asDouble())
+      val p = e.getValue.get("precision")
+      val r = e.getValue.get("recall")
+      require(p != null && r != null,
+        s"acceptance_criteria entry '${e.getKey}' must define both precision and recall")
+      b += e.getKey -> Gate(p.asDouble(), r.asDouble())
     }
     Criteria(b.result())
   }

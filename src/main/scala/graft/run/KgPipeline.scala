@@ -80,28 +80,38 @@ object KgPipeline {
           // no-op for mentions that already carry exact candidates
           mentions = mentions.map(LinkingStep.linkMention(_, byClass, linkMemo,
             cfg.linkTopN, LinkingStep.DefaultSkipNamespaces))
-          var dm = DocMentions(d.docId, d.contentSha, mentions)
-          // 3. mapping cascade (M1-M13)
-          dm = runner.mapDoc(dm)
-          // 3b. cross-reference expansion (M14) — reference runs this inside
-          // the mapping step, i.e. before cleanup strips URIs
-          art.xref.foreach { x =>
-            dm = dm.copy(mentions = dm.mentions.map { m =>
-              val extra = m.mappings.flatMap(mp => x.createXrefMappings(mp, art.gaz))
-              if (extra.isEmpty) m else m.copy(mappings = (m.mappings ++ extra).distinct)
-            })
-          }
-          // 4. abbreviation expansion (P1)
-          dm = dm.copy(mentions = Abbreviation.process(d.content, dm.mentions, cfg.excludeAbbrvs))
-          // 5. cleanup (P3-P5)
-          dm = dm.copy(mentions = Cleanup.defaultCleanup(dm.mentions, cfg.stripUris))
-          // 6. overlap merge (P2)
-          if (cfg.mergeOverlaps)
-            dm = dm.copy(mentions = MergeOverlaps.process(dm.mentions, cfg.classOrder))
-          dm
+          docGlobalFold(DocMentions(d.docId, d.contentSha, mentions),
+            d.content, art, runner, cfg)
           }
         }
       }
+  }
+
+  /** Steps 3-6 of the per-doc pipeline, shared verbatim by [[annotate]] and
+    * [[annotateSections]] (which runs it in concatenated coordinates):
+    * 3. mapping cascade (M1-M13), 3b. cross-reference expansion (M14 —
+    * the reference runs this inside the mapping step, i.e. before cleanup
+    * strips URIs), 4. abbreviation expansion (P1), 5. cleanup (P3-P5),
+    * 6. overlap merge (P2). */
+  private def docGlobalFold(
+      dm0: DocMentions,
+      docText: String,
+      art: Artifacts,
+      runner: StrategyRunner,
+      cfg: Config
+  ): DocMentions = {
+    var dm = runner.mapDoc(dm0)
+    art.xref.foreach { x =>
+      dm = dm.copy(mentions = dm.mentions.map { m =>
+        val extra = m.mappings.flatMap(mp => x.createXrefMappings(mp, art.gaz))
+        if (extra.isEmpty) m else m.copy(mappings = (m.mappings ++ extra).distinct)
+      })
+    }
+    dm = dm.copy(mentions = Abbreviation.process(docText, dm.mentions, cfg.excludeAbbrvs))
+    dm = dm.copy(mentions = Cleanup.defaultCleanup(dm.mentions, cfg.stripUris))
+    if (cfg.mergeOverlaps)
+      dm = dm.copy(mentions = MergeOverlaps.process(dm.mentions, cfg.classOrder))
+    dm
   }
 
   /** Row-granular failure capture (X3, the reference's per-doc error
@@ -166,19 +176,9 @@ object KgPipeline {
                 end = m.end + base,
                 spans = m.spans.map(sp => Span(sp.start + base, sp.end + base))))
           }
-          // 3-6. identical document-global fold as `annotate`
-          var dm = DocMentions(d.docId, d.contentSha, shifted)
-          dm = runner.mapDoc(dm)
-          art.xref.foreach { x =>
-            dm = dm.copy(mentions = dm.mentions.map { m =>
-              val extra = m.mappings.flatMap(mp => x.createXrefMappings(mp, art.gaz))
-              if (extra.isEmpty) m else m.copy(mappings = (m.mappings ++ extra).distinct)
-            })
-          }
-          dm = dm.copy(mentions = Abbreviation.process(concatText, dm.mentions, cfg.excludeAbbrvs))
-          dm = dm.copy(mentions = Cleanup.defaultCleanup(dm.mentions, cfg.stripUris))
-          if (cfg.mergeOverlaps)
-            dm = dm.copy(mentions = MergeOverlaps.process(dm.mentions, cfg.classOrder))
+          // 3-6. the identical document-global fold as `annotate`
+          val dm = docGlobalFold(DocMentions(d.docId, d.contentSha, shifted),
+            concatText, art, runner, cfg)
           // split back to section-local offsets (mentions never straddle a
           // boundary: NER is per-section and propagation copies exact token
           // runs inside one section)
@@ -198,7 +198,7 @@ object KgPipeline {
           } catch {
             case scala.util.control.NonFatal(e) =>
               org.slf4j.LoggerFactory.getLogger(getClass)
-                .warn(s"doc ${d.docId} failed in the sectioned fold: ${e.getMessage}")
+                .warn(s"doc ${d.docId} failed in the sectioned fold: ${e.getClass.getSimpleName}: ${e.getMessage}")
               DocSectionMentions(d.docId, d.contentSha, Seq.empty,
                 error = Some(s"PROCESSING_EXCEPTION: ${e.getClass.getName}: ${e.getMessage}"))
           }

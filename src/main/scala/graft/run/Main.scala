@@ -76,7 +76,16 @@ object Main {
           case other => sys.error(s"unknown --ontology-format $other " +
             "(tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl)")
         }
-        GazetteerBuilder.buildSpark(rows, autoCurations(rows.collect().toSeq))
+        // distinct pushed into Spark: only the distinct (syn, parser) pairs
+        // ship to the driver, not every synonym row of a large KB
+        val cached = rows.persist()
+        val pairs = {
+          import spark.implicits._
+          cached.map(r => (r.syn, r.parserName)).distinct().collect().toSeq
+        }
+        val g = GazetteerBuilder.buildSpark(cached, autoCurations(pairs))
+        cached.unpersist()
+        g
       case None => graft.datagen.CorpusGen.gazetteer // demo fixture
     }
     val xref = if (ontologyPath.isEmpty)
@@ -114,8 +123,8 @@ object Main {
     spark.stop()
   }
 
-  private def autoCurations(rows: Seq[graft.gazetteer.OntologyRow]): Seq[Curation] =
-    rows.map(r => (r.syn, r.parserName)).distinct.map { case (syn, parser) =>
+  private def autoCurations(synParserPairs: Seq[(String, String)]): Seq[Curation] =
+    synParserPairs.sorted.map { case (syn, parser) =>
       Curation(parser, syn, graft.core.MentionConfidence.HIGHLY_LIKELY,
         graft.gazetteer.Behaviour.ADD_FOR_NER_AND_LINKING,
         caseSensitive = false, None, None)

@@ -104,20 +104,15 @@ object OntologySources {
   /** Per-id extra metadata (SOC name/code) from a Meddra release — the
     * columns the reference parser keeps alongside the 4-column contract
     * (parsers.py:1347-1353), surfaced for IdMeta.extra / Mapping
-    * enrichment. */
+    * enrichment. Shares the mdhier layout + SOC exclusion with
+    * [[readMeddra]] via [[meddraHier]] so the two can never drift. */
   def meddraExtras(
       spark: SparkSession,
       dirPath: String,
-      excludeSocs: Seq[String] = Seq(
-        "Surgical and medical procedures", "Social circumstances", "Investigations")
+      excludeSocs: Seq[String] = MeddraDefaultExcludeSocs
   ): Map[String, Map[String, String]] = {
-    val raw = spark.read.option("header", "false").option("sep", "$").csv(s"$dirPath/mdhier.asc")
-    val cols = raw.columns
-    val named = raw.toDF(Seq("pt_code", "hlt_code", "hlgt_code", "soc_code", "pt_name",
-      "hlt_name", "hlgt_name", "soc_name", "soc_abbrev", "null_field", "pt_soc_code",
-      "primary_soc_fg", "null2").take(cols.length): _*)
-      .filter(!col("soc_name").isin(excludeSocs: _*))
-    named.select("pt_code", "hlt_code", "hlgt_code", "soc_name", "soc_code")
+    meddraHier(spark, dirPath, excludeSocs)
+      .select("pt_code", "hlt_code", "hlgt_code", "soc_name", "soc_code")
       .collect()
       .flatMap { r =>
         val extra = Map("soc_name" -> r.getString(3), "soc_code" -> r.getString(4))
@@ -174,30 +169,39 @@ object OntologySources {
     * distinct HLT/HLGT rows, all with mapping_type "meddra_link"; SOCs in
     * `excludeSocs` are dropped from the hierarchy first.
     */
+  val MeddraDefaultExcludeSocs: Seq[String] = Seq(
+    "Surgical and medical procedures", "Social circumstances", "Investigations")
+
+  /** '$'-separated headerless reader with positional column names. */
+  private def readAsc(spark: SparkSession, file: String, cols: Seq[String]) = {
+    val raw = spark.read.option("header", "false").option("sep", "$").csv(file)
+    raw.toDF(cols.take(raw.columns.length): _*)
+  }
+
+  /** mdhier.asc with named columns and the SOC exclusion applied — the one
+    * definition of the 13-column layout, shared by [[readMeddra]] and
+    * [[meddraExtras]]. */
+  private def meddraHier(spark: SparkSession, dirPath: String, excludeSocs: Seq[String]) =
+    readAsc(spark, s"$dirPath/mdhier.asc", Seq(
+      "pt_code", "hlt_code", "hlgt_code", "soc_code", "pt_name",
+      "hlt_name", "hlgt_name", "soc_name", "soc_abbrev", "null_field", "pt_soc_code",
+      "primary_soc_fg", "null2"))
+      .filter(!col("soc_name").isin(excludeSocs: _*))
+
   def readMeddra(
       spark: SparkSession,
       dirPath: String,
       parserName: String,
       entityClass: String,
       dataOrigin: String = "meddra",
-      excludeSocs: Seq[String] = Seq(
-        "Surgical and medical procedures", "Social circumstances", "Investigations")
+      excludeSocs: Seq[String] = MeddraDefaultExcludeSocs
   ): Dataset[OntologyRow] = {
     import spark.implicits._
-    val hierCols = Seq("pt_code", "hlt_code", "hlgt_code", "soc_code", "pt_name",
-      "hlt_name", "hlgt_name", "soc_name", "soc_abbrev", "null_field", "pt_soc_code",
-      "primary_soc_fg", "null2")
     val lltCols = Seq("llt_code", "llt_name", "pt_code", "llt_whoart_code", "llt_harts_code",
       "llt_costart_sym", "llt_icd9_code", "llt_icd9cm_code", "llt_icd10_code", "llt_currency",
       "llt_jart_code", "null2")
-    def readAsc(file: String, cols: Seq[String]) = {
-      val raw = spark.read.option("header", "false").option("sep", "$").csv(file)
-      raw.toDF(cols.take(raw.columns.length): _*)
-    }
-    val hier = readAsc(s"$dirPath/mdhier.asc", hierCols)
-      .filter(!col("soc_name").isin(excludeSocs: _*))
-      .cache()
-    val llt = readAsc(s"$dirPath/llt.asc", lltCols)
+    val hier = meddraHier(spark, dirPath, excludeSocs).cache()
+    val llt = readAsc(spark, s"$dirPath/llt.asc", lltCols)
       .select(col("llt_name"), col("pt_code"))
 
     val pt = hier.select(col("pt_code").as("idx"), col("pt_name").as("defaultLabel"),

@@ -23,16 +23,10 @@ object StreamingJobs {
       corpusStream: DataFrame,
       bcArtifacts: Broadcast[Artifacts]
   )(implicit spark: SparkSession): Dataset[Triple] = {
-    import spark.implicits._
-    val docs = corpusStream
-      .select(
-        sha2(concat_ws("|", col("repo"), col("path"), col("commit")), 256).as("docId"),
-        col("repo"), col("path"), col("commit"), col("lang"), col("content"),
-        sha2(col("content"), 256).as("contentSha"),
-        when(length(col("content")) >= graft.run.Stages.MaxDocChars, lit("doc exceeds max length"))
-          .cast("string").as("error"))
-      .as[Doc]
-    KgPipeline.triples(docs, bcArtifacts)
+    // same ingest as batch (all codegen'd columns work on a streaming
+    // DataFrame) — a hand-rolled copy here had already drifted in its
+    // quarantine message
+    KgPipeline.triples(graft.run.Stages.ingest(corpusStream), bcArtifacts)
   }
 
   /** Tumbling-window event counts with a watermark for late data — the

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.{MediaCodec, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corrupt media with NEGATIVE chunk/frame length fields must throw (so the
+  * opaque fallback fires) — a silent `off += len` no-op would spin the
+  * executor task forever, which NonFatal catches cannot rescue. */
+class MediaCorruptSpec extends AnyFunSuite {
+
+  private def le32Bytes(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def be32Bytes(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  test("negative WAV chunk length throws instead of looping") {
+    val b = "RIFF".getBytes("ISO-8859-1") ++ le32Bytes(36) ++
+      "WAVE".getBytes("ISO-8859-1") ++
+      "fmt ".getBytes("ISO-8859-1") ++ le32Bytes(-8) ++ Array.fill[Byte](40)(0)
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(b))
+    assert(e.getMessage.contains("corrupt WAV chunk length"))
+  }
+
+  test("negative PNG chunk length throws instead of looping") {
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val b = magic ++ be32Bytes(-12) ++ "IHDR".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](16)(0)
+    val e = intercept[IllegalArgumentException](MediaCodec.decodePng(b))
+    assert(e.getMessage.contains("corrupt PNG chunk length"))
+  }
+
+  test("negative GVID frame length throws instead of looping") {
+    val b = "GVID".getBytes("ISO-8859-1") ++ be32Bytes(3) ++
+      be32Bytes(-4) ++ Array.fill[Byte](8)(0)
+    val e = intercept[Exception](MediaCodec.gvidSampleFrames(b, 1))
+    assert(e.getMessage.contains("corrupt GVID frame length"))
+  }
+
+  test("decodeMedia takes the opaque fallback on negative-length payloads") {
+    val wav = "RIFF".getBytes("ISO-8859-1") ++ le32Bytes(36) ++
+      "WAVE".getBytes("ISO-8859-1") ++
+      "fmt ".getBytes("ISO-8859-1") ++ le32Bytes(-8) ++ Array.fill[Byte](40)(0)
+    val (_, _, decoded) =
+      Multimodal.decodeMedia(Multimodal.MediaMeta("audio", 0, 0, 8000, 250L), wav)
+    assert(!decoded)
+  }
+}
