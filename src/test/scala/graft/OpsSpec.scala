@@ -158,6 +158,10 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getInt(0) == 9)
     // Hello , world ! This is a test - case with 4 2 tokens ? => 15
     assert(row.getInt(1) == 15)
+    // blank text is 0 tokens, not 1 (split of "" yields one empty element)
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+      .select(TextAnalysis.tokenCountWs(col("text")).as("ws")).collect()
+    assert(blank.forall(_.getInt(0) == 0))
     val q = TextAnalysis.withQuality(df, "text").collect().head
     assert(q.getAs[Long]("n_tokens") == 9)
     assert(q.getAs[Double]("quality_score") >= 0.25)
