@@ -108,6 +108,10 @@ object Similarity {
       centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
         .map(v => { require(v.length == dim); v })
     }
+    // the cache existed for the Lloyd collect-loop above; release it now so
+    // repeated ivfAssign calls in a long session don't pin storage memory.
+    // The final assignment below is a single re-read of the source.
+    ds.unpersist(blocking = false)
 
     val bc = spark.sparkContext.broadcast(centroids)
     val assignments = ds.map { case (id, emb) =>
