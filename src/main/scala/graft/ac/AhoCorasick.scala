@@ -220,6 +220,11 @@ object DictionaryNer {
     NerDictionary(AhoCorasick.build(keys), payloads)
   }
 
+  /** Per-partition norm-memo size cap (the reference uses lru_cache(5000)
+    * on the normalizer; we trade LRU bookkeeping for a fill-then-stop cap
+    * an order larger). */
+  val NormMemoMax = 50000
+
   /** Scan one document's text; emit mentions. Mirror of _process_automaton
     * (memory_efficient_string_matching.py:108-191). `normMemo` (optional)
     * caches match_norm per (text, class) — one per partition replaces the
@@ -237,8 +242,16 @@ object DictionaryNer {
 
     def norm(matchText: String, cls: String): String =
       if (normMemo == null) graft.text.StringNormalizer.normalize(matchText, cls)
-      else normMemo.getOrElseUpdate((matchText, cls),
-        graft.text.StringNormalizer.normalize(matchText, cls))
+      else normMemo.get((matchText, cls)) match {
+        case Some(v) => v
+        case None =>
+          val v = graft.text.StringNormalizer.normalize(matchText, cls)
+          // bounded like the reference's lru_cache: past the cap, compute
+          // without memoizing rather than grow per-partition memory with
+          // the distinct-surface-form count of the whole partition
+          if (normMemo.size < NormMemoMax) normMemo((matchText, cls)) = v
+          v
+      }
 
     dict.automaton.scan(matchable) { (endIndex, keyIdx) =>
       val key = dict.automaton.keys(keyIdx)

@@ -19,6 +19,11 @@ object LinkingStep {
 
   val DefaultSkipNamespaces: Set[String] = Set(DictionaryNer.Namespace)
 
+  /** Per-partition memo cap — the reference's EntityLinkingLookupCache is
+    * LRU-bounded at 50000 (conf); past the cap we score without memoizing
+    * instead of growing with the partition's distinct-mention count. */
+  val LinkMemoMax = 50000
+
   def indexesByClass(indexes: Map[String, DictionaryIndex]): Map[String, Seq[DictionaryIndex]] =
     indexes.values.toSeq.sortBy(_.parserName).groupBy(_.entityClass)
 
@@ -34,8 +39,13 @@ object LinkingStep {
   ): Mention =
     if (skipNamespaces.contains(m.namespace)) m
     else {
-      val cands = memo.getOrElseUpdate((m.matchText, m.entityClass),
-        byClass.getOrElse(m.entityClass, Seq.empty).flatMap(_.search(m.matchText, topN)))
+      val cands = memo.get((m.matchText, m.entityClass)) match {
+        case Some(v) => v
+        case None =>
+          val v = byClass.getOrElse(m.entityClass, Seq.empty).flatMap(_.search(m.matchText, topN))
+          if (memo.size < LinkMemoMax) memo((m.matchText, m.entityClass)) = v
+          v
+      }
       if (cands.isEmpty) m
       else m.copy(candidates = mergeCandidates(m.candidates, cands))
     }

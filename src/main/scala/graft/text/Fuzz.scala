@@ -43,6 +43,9 @@ object Fuzz {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.isEmpty) return 100.0
     if (s.length == l.length) return ratio(s, l)
+    // exact containment means some window IS s (LCS 100) — skip the
+    // O((|l|-|s|)*|s|^2) window scan for the common substring case
+    if (l.contains(s)) return 100.0
     var best = 0.0
     var j = 0
     while (j <= l.length - s.length && best < 100.0) {
@@ -53,8 +56,12 @@ object Fuzz {
     best
   }
 
+  /** The single whitespace-tokenize rule every token-family scorer uses. */
+  private def tokens(s: String): Array[String] =
+    s.trim.split("\\s+").filter(_.nonEmpty)
+
   private def sortTokens(s: String): String =
-    s.trim.split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+    tokens(s).sorted.mkString(" ")
 
   def tokenSortRatio(a: String, b: String): Double =
     ratio(sortTokens(a), sortTokens(b))
@@ -63,8 +70,8 @@ object Fuzz {
     partialRatio(sortTokens(a), sortTokens(b))
 
   def tokenSetRatio(a: String, b: String): Double = {
-    val ta = a.trim.split("\\s+").filter(_.nonEmpty).toSet
-    val tb = b.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val ta = tokens(a).toSet
+    val tb = tokens(b).toSet
     val inter = (ta intersect tb).toSeq.sorted.mkString(" ")
     val diffA = (ta diff tb).toSeq.sorted.mkString(" ")
     val diffB = (tb diff ta).toSeq.sorted.mkString(" ")
@@ -74,15 +81,18 @@ object Fuzz {
   }
 
   def partialTokenSetRatio(a: String, b: String): Double = {
-    val ta = a.trim.split("\\s+").filter(_.nonEmpty).toSet
-    val tb = b.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val ta = tokens(a).toSet
+    val tb = tokens(b).toSet
     if ((ta intersect tb).nonEmpty) 100.0
     else partialRatio(ta.toSeq.sorted.mkString(" "), tb.toSeq.sorted.mkString(" "))
   }
 
-  /** Weighted combination ratio (the public fuzzywuzzy WRatio scheme). */
+  /** Weighted combination ratio (the public fuzzywuzzy WRatio scheme).
+    * Blank-after-trim input scores 0 (fuzzywuzzy's full_process contract)
+    * — otherwise tokenSetRatio's empty intersect/diff strings all ratio to
+    * 100 and a whitespace-only synonym would "match" everything at 95. */
   def wRatio(a: String, b: String): Double = {
-    if (a.isEmpty || b.isEmpty) return 0.0
+    if (a.trim.isEmpty || b.trim.isEmpty) return 0.0
     val base = ratio(a, b)
     val lenRatio = math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
     val unbaseScale = 0.95
@@ -99,13 +109,13 @@ object Fuzz {
     }
   }
 
-  /** The scorer used for synonym-merge decisions. Returns 0..100; callers
-    * compare against threshold*100 (ref base.py:795 uses 0.70 against a
-    * 0..1-scaled rapidfuzz result — rapidfuzz returns 0..100 and KAZU's
-    * threshold of 0.70 is compared after its scorer divides by 100;
-    * we keep a 0..1 contract here to match).
+  /** The scorer used for synonym-merge decisions. Returns 0..1; callers
+    * compare against thresholds like 0.70 directly (ref base.py:795 —
+    * KAZU's scorer divides rapidfuzz's 0..100 result by 100 before the
+    * comparison, and we keep that 0..1 contract).
     */
   def similarity(referenceTerm: String, queryTerm: String): Double = {
+    if (referenceTerm.trim.isEmpty || queryTerm.trim.isEmpty) return 0.0
     val raw =
       if (referenceTerm.length > 10 && referenceTerm.split(" ", -1).length > 4)
         tokenSortRatio(referenceTerm, queryTerm)

@@ -69,7 +69,10 @@ object Tokenizer {
         c == '\n' ||
           ((c == '.' || c == '!' || c == '?') && (i + 1 >= n || Character.isWhitespace(text.charAt(i + 1))))
       if (isBreak) {
-        if (i + 1 > start) out += Span(start, i + 1)
+        // start <= i always holds here, so every break emits a span (a run
+        // of newlines yields one-char "\n" spans — harmless to consumers,
+        // which only use spans to locate the sentence containing an offset)
+        out += Span(start, i + 1)
         start = i + 1
       }
       i += 1
