@@ -66,5 +66,11 @@ class StringNormalizerSpec extends AnyFunSuite {
     assert(Fuzz.partialRatio("hello", "say hello world") == 100.0)
     assert(Fuzz.similarity("same label", "same label") == 1.0)
     assert(Fuzz.similarity("completely different", "zzzz qqqq") < 0.5)
+    // blank input scores 0, never ~0.95 (would clear every 0.70 threshold)
+    assert(Fuzz.similarity("   ", "anything") == 0.0)
+    assert(Fuzz.similarity("anything", "") == 0.0)
+    assert(Fuzz.wRatio("   ", "hello") == 0.0)
+    // a spelled-out blank long enough for the tokenSortRatio branch
+    assert(Fuzz.similarity("            ", "hello") == 0.0)
   }
 }
