@@ -19,7 +19,7 @@ object AcceptanceCriteria {
   def load(path: String): Criteria = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
-    val it = root.fields()
+    val it = root.properties().iterator()
     val b = Map.newBuilder[String, Gate]
     while (it.hasNext) {
       val e = it.next()
