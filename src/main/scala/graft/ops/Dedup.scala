@@ -245,37 +245,38 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // each (id, shingle) row carries the doc's distinct-shingle count, so
+    // set sizes ride the one posting-list shuffle — no separate `sizes`
+    // aggregation, no back-joins, and (crucially at scale) no persisted
+    // shingle intermediate: one scan, one shuffle on shingle, one partial
+    // agg on the pair key
     val shingled = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .as[(String, String)]
-      .flatMap { case (id, t) => Hashing.wordShingles(t, shingleSize).distinct.map(s => (id, s)) }
-      .toDF("id", "shingle")
-      .cache()
-
-    val sizes = shingled.groupBy("id").agg(count(lit(1)).as("n"))
+      .flatMap { case (id, t) =>
+        val sh = Hashing.wordShingles(t, shingleSize).distinct
+        sh.iterator.map(s => (s, id, sh.length))
+      }
+      .toDF("shingle", "id", "n")
 
     // one shuffle on shingle: each group holds the shingle's posting list;
     // groups over the df cap are dropped whole (identical semantics to a
     // df<=cap filter + self-join, at two fewer shuffles), the rest emit
-    // their id pairs directly — group size is bounded by the cap, so pair
-    // fan-out per group is bounded by cap^2/2
-    val co = shingled.select(col("shingle").cast("long"), col("id"))
-      .as[(Long, String)]
+    // their (id, size) pairs directly — group size is bounded by the cap,
+    // so pair fan-out per group is bounded by cap^2/2
+    shingled.as[(Long, String, Int)]
       .groupByKey(_._1)
-      .flatMapGroups { (_: Long, it: Iterator[(Long, String)]) =>
-        val ids = it.map(_._2).toArray
-        if (maxShingleDf > 0 && ids.length > maxShingleDf) Iterator.empty
+      .flatMapGroups { (_: Long, it: Iterator[(Long, String, Int)]) =>
+        val members = it.map(r => (r._2, r._3)).toArray
+        if (maxShingleDf > 0 && members.length > maxShingleDf) Iterator.empty
         else {
-          java.util.Arrays.sort(ids, Ordering.String)
-          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-            yield (ids(i), ids(j))
+          java.util.Arrays.sort(members, Ordering.by((m: (String, Int)) => m._1))
+          for { i <- members.indices.iterator; j <- (i + 1) until members.length }
+            yield (members(i)._1, members(j)._1, members(i)._2, members(j)._2)
         }
       }
-      .toDF("id_a", "id_b")
+      .toDF("id_a", "id_b", "n_a", "n_b")
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-
-    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

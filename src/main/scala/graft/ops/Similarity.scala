@@ -384,7 +384,11 @@ object Similarity {
     }
     val bcPlanes = spark.sparkContext.broadcast(planes)
 
-    val ds = corpus.select(col("id").cast("long"), col("embedding")).as[(Long, Array[Float])].cache()
+    // deliberately NOT persisted: the corpus is unbounded at target scale,
+    // so banding + the two verify joins each re-scan the (columnar,
+    // pruned) source instead of pinning an embedding table in storage
+    val ds = corpus.select(col("id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
     val banded = ds.flatMap { case (id, emb) =>
       val ps = bcPlanes.value
       val sig = (0 until bits).map(i => if (dot(emb, ps(i)) >= 0) 1 else 0)

@@ -105,7 +105,11 @@ object OntologySources {
     * columns the reference parser keeps alongside the 4-column contract
     * (parsers.py:1347-1353), surfaced for IdMeta.extra / Mapping
     * enrichment. Shares the mdhier layout + SOC exclusion with
-    * [[readMeddra]] via [[meddraHier]] so the two can never drift. */
+    * [[readMeddra]] via [[meddraHier]] so the two can never drift.
+    * MedDRA codes routinely sit under several SOCs (one mdhier row per
+    * path), and collect() order is not stable across runs — keep the min
+    * (soc_code, soc_name) pair per code so exported Mapping metadata is
+    * deterministic (the same min-wins rule GazetteerBuilder uses). */
   def meddraExtras(
       spark: SparkSession,
       dirPath: String,
@@ -115,10 +119,14 @@ object OntologySources {
       .select("pt_code", "hlt_code", "hlgt_code", "soc_name", "soc_code")
       .collect()
       .flatMap { r =>
-        val extra = Map("soc_name" -> r.getString(3), "soc_code" -> r.getString(4))
-        Seq(r.getString(0) -> extra, r.getString(1) -> extra, r.getString(2) -> extra)
+        val soc = (r.getString(4), r.getString(3)) // (soc_code, soc_name)
+        Seq(r.getString(0) -> soc, r.getString(1) -> soc, r.getString(2) -> soc)
       }
-      .toMap
+      .groupBy(_._1)
+      .map { case (code, socs) =>
+        val (socCode, socName) = socs.map(_._2).min
+        code -> Map("soc_name" -> socName, "soc_code" -> socCode)
+      }
   }
 
   /** OBO stanza source (Cellosaurus/GO-style) — ref parsers.py:655-857,
@@ -200,7 +208,11 @@ object OntologySources {
     val lltCols = Seq("llt_code", "llt_name", "pt_code", "llt_whoart_code", "llt_harts_code",
       "llt_costart_sym", "llt_icd9_code", "llt_icd9cm_code", "llt_icd10_code", "llt_currency",
       "llt_jart_code", "null2")
-    val hier = meddraHier(spark, dirPath, excludeSocs).cache()
+    // deliberately NOT persisted: a MedDRA release is a few MB of csv; the
+    // four consumers below re-read it, which costs less than pinning
+    // session storage for the session's lifetime (no unpersist point
+    // exists — the returned Dataset is lazy).
+    val hier = meddraHier(spark, dirPath, excludeSocs)
     val llt = readAsc(spark, s"$dirPath/llt.asc", lltCols)
       .select(col("llt_name"), col("pt_code"))
 
@@ -241,7 +253,11 @@ object OntologySources {
         Set("http://www.geneontology.org/formats/oboInOwl#hasExactSynonym")
   ): Dataset[OntologyRow] = {
     import spark.implicits._
-    val parsed = parseNTriples(spark, path).cache()
+    // deliberately NOT persisted: ontology dumps are dimension-sized and
+    // the parse is one narrow regex pass — the two consumers re-parse
+    // rather than pin session storage (the returned Dataset is lazy, so
+    // no safe unpersist point exists).
+    val parsed = parseNTriples(spark, path)
     val labels = parsed.filter(col("pred").isin(labelPredicates.toSeq: _*))
       .select(col("subj").as("idx"), col("obj").as("defaultLabel"))
     val syns = parsed.filter(col("pred").isin(synonymPredicates.toSeq: _*))
@@ -301,7 +317,8 @@ object OntologySources {
   ): Dataset[OntologyRow] = {
     import spark.implicits._
     val skosxl = "http://www.w3.org/2008/05/skos-xl#"
-    val parsed = parseNTriples(spark, path).cache()
+    // deliberately NOT persisted — same rationale as readNTriples
+    val parsed = parseNTriples(spark, path)
     val literalForm = parsed
       .filter(col("pred") === s"${skosxl}literalForm" && !col("obj_is_iri"))
       .select(col("subj").as("labelNode"), col("obj").as("text"))

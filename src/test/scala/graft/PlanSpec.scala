@@ -59,13 +59,18 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
-  test("ngram jaccard df-cap filter joins co-partitioned on shingle") {
+  test("ngram jaccard: one posting-list shuffle, no size joins, no persist") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = plan(graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       threshold = 0.05, maxShingleDf = 100))
-    // the df-filter and the co-occurrence self-join both key on shingle
+    // set sizes ride the posting-list rows, so the whole op is: scan ->
+    // shuffle on shingle -> pair fan-out -> partial+final agg on the pair
+    // key. No join operator, no cached/checkpointed intermediate.
     assert(p.contains("Exchange hashpartitioning"), p)
     assert(p.toLowerCase.contains("shingle"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("InMemoryTableScan") && !p.contains("ExistingRDD"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
   test("bucketed graph tables join co-located: no Exchange on either side") {

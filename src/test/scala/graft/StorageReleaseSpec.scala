@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.OntologySources
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ops and KB readers must not pin session storage: their intermediates
+  * (shingle table, embedding scan, parsed triple lines, meddra hierarchy)
+  * are unbounded or dimension-sized and have no safe unpersist point
+  * because the returned plans are lazy — so they are simply never
+  * persisted; consumers recompute from the narrow source scan. (GC-based
+  * release of localCheckpoint blocks was measured NOT to fire in this
+  * Spark build — the checkpointed RDDs stay strongly reachable — so the
+  * only leak-free designs are explicit unpersist after an eager action,
+  * as ivfAssign and GazetteerBuilder do, or no persistence at all.)
+  */
+class StorageReleaseSpec extends AnyFunSuite {
+  val spark = SparkTestBase.spark
+
+  private def persistentIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("dedup/similarity/KB-reader ops create no lingering persistent RDDs") {
+    import spark.implicits._
+    val before = persistentIds
+
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta doc$i"))
+      .toDF("id", "text")
+    assert(graft.ops.Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.9).count() >= 0)
+
+    val emb = (0 until 40)
+      .map(i => (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 320f)))
+      .toDF("id", "embedding")
+    assert(graft.ops.Similarity.embeddingNearDup(emb, dim = 8, threshold = 0.999).count() >= 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("nt_release")
+    java.nio.file.Files.writeString(dir.resolve("kb.nt"),
+      "<http://x/1> <http://www.w3.org/2000/01/rdf-schema#label> \"Foo\" .\n" +
+        "<http://x/1> <http://www.geneontology.org/formats/oboInOwl#hasExactSynonym> \"Bar\" .\n")
+    assert(OntologySources.readNTriples(spark, dir.toString + "/kb.nt", "p", "gene")
+      .collect().nonEmpty)
+
+    val leaked = persistentIds -- before
+    assert(leaked.isEmpty, s"ops left persistent RDDs behind: $leaked")
+  }
+
+  test("ivfAssign's Lloyd-loop cache is explicitly released") {
+    import spark.implicits._
+    val before = persistentIds
+    val emb = (0 until 64)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat / 13f)))
+      .toDF("id", "embedding")
+    val (centroids, assignments) = graft.ops.Similarity.ivfAssign(emb, numCells = 4, iters = 1)
+    assert(centroids.length == 4 && assignments.count() == 64)
+    val leaked = persistentIds -- before
+    assert(leaked.isEmpty, s"ivfAssign left persistent RDDs behind: $leaked")
+  }
+}
