@@ -46,6 +46,17 @@ object Dedup {
     sig
   }
 
+  /** FNV-1a band keys over a minhash signature: key(b) folds rows
+    * [b*r, (b+1)*r). Pure — shared by the Spark path and the gold-oracle
+    * evaluator. */
+  def minhashBandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L
+      var i = b * rows
+      while (i < (b + 1) * rows) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Plan shape (scale-first): signatures computed per-partition (narrow),
@@ -84,50 +95,86 @@ object Dedup {
       .toDF("id", "sig")
 
     val banded = sigs.as[(String, Array[Long])].flatMap { case (id, sig) =>
-      (0 until bands).iterator.map { b =>
-        var h = 0xcbf29ce484222325L
-        var i = b * rows
-        while (i < (b + 1) * rows) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
-        (b, h, id)
-      }
-    }.toDF("band", "bucket", "id")
+      val keys = minhashBandKeys(sig, bands, rows)
+      (0 until bands).iterator.map(b => (b, keys(b), id, keys))
+    }.toDF("band", "bucket", "id", "keys")
 
     val pairs = bucketPairs(banded, maxBucketSize)
 
     verifyJaccard(df, idCol, textCol, pairs, shingleSize, threshold)
   }
 
-  /** Candidate pairs from (band, bucket, id) rows with a degenerate-bucket
-    * guard: buckets up to `maxBucketSize` emit all pairs; larger buckets
-    * emit a star around the min id — O(N) candidate rows instead of O(N^2).
-    * NOTE the honest trade-off: downstream exact verification filters
-    * PAIRS, so in an oversized bucket two members that pass the threshold
-    * with each other but not with the bucket minimum lose that pair (a
-    * recall relaxation confined to degenerate buckets, where members are
-    * overwhelmingly mutual near-duplicates). Oversized buckets are counted
-    * in the `graft.dedup.oversizedBuckets` accumulator and logged per-task
-    * — capped loudly, never silently.
+  /** Engine-independent pair emission for ONE LSH bucket (pure function —
+    * the gold-oracle evaluator runs this same logic single-threaded, so
+    * Spark is trusted only for distribution, not for the semantics).
+    *
+    * `members` carry their per-band bucket keys. Buckets within the cap
+    * emit all pairs. An oversized bucket emits
+    *   (a) a star around its min id — every member stays reachable, as in
+    *       round 2 — PLUS
+    *   (b) recursive RE-BANDING: members split on their key for the next
+    *       band (r more signature rows per level) until sub-buckets fit
+    *       the cap, which then emit all pairs — recovering the
+    *       min-excluded pairs between mutually-similar members that the
+    *       star alone lost.
+    * A sub-bucket that exhausts every band and still exceeds the cap
+    * holds members with IDENTICAL full signatures; the top-level star
+    * already links those transitively (each spoke passes exact
+    * verification), so it emits nothing extra. Work is O(bucket · bands),
+    * candidate fan-out O(bucket · cap) — never O(bucket²) — and the
+    * output is a strict superset of the round-2 star semantics.
+    * Oversized buckets are reported through `onOversized`, never silent.
+    */
+  def splitBucketPairs(
+      members: Array[(String, Array[Long])],
+      band: Int,
+      maxBucketSize: Int,
+      onOversized: Int => Unit
+  ): Iterator[(String, String)] = {
+    val sorted = members.sortBy(_._1)
+    val bands = if (sorted.isEmpty) 0 else sorted(0)._2.length
+    def go(ms: Array[(String, Array[Long])], depth: Int): Iterator[(String, String)] = {
+      if (ms.length <= 1) Iterator.empty
+      else if (ms.length <= maxBucketSize)
+        for { i <- ms.indices.iterator; j <- (i + 1) until ms.length }
+          yield (ms(i)._1, ms(j)._1)
+      else if (depth >= bands - 1) Iterator.empty // identical signatures: star covers them
+      else {
+        val splitBand = (band + 1 + depth) % bands
+        // groupBy preserves encounter order, so sub-arrays stay id-sorted
+        ms.groupBy(_._2(splitBand)).toSeq.sortBy(_._1).iterator
+          .flatMap { case (_, sub) => go(sub, depth + 1) }
+      }
+    }
+    if (sorted.length <= maxBucketSize) go(sorted, 0)
+    else {
+      onOversized(sorted.length)
+      val m = sorted.head._1
+      sorted.iterator.drop(1).map(x => (m, x._1)) ++ go(sorted, 0)
+    }
+  }
+
+  /** Candidate pairs from (band, bucket, id, keys) rows: one shuffle on
+    * (band, bucket), then [[splitBucketPairs]] per group. Oversized
+    * buckets are counted in the `graft.dedup.oversizedBuckets`
+    * accumulator and logged per-task — re-banded loudly, never silently.
     */
   private[ops] def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     val oversized = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets")
-    banded.select(col("band").cast("int"), col("bucket").cast("long"), col("id").cast("string"))
-      .as[(Int, Long, String)]
-      .groupByKey { case (band, bucket, _) => (band, bucket) }
-      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, String)]) =>
-        val ids = it.map(_._3).toArray.sorted
-        if (ids.length <= 1) Iterator.empty
-        else if (ids.length <= maxBucketSize)
-          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-            yield (ids(i), ids(j))
-        else {
+    banded.select(col("band").cast("int"), col("bucket").cast("long"),
+        col("id").cast("string"), col("keys"))
+      .as[(Int, Long, String, Array[Long])]
+      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, String, Array[Long])]) =>
+        val members = it.map(r => (r._3, r._4)).toArray
+        if (members.length <= 1) Iterator.empty
+        else splitBucketPairs(members, key._1, maxBucketSize, { sz =>
           oversized.add(1L)
           org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"degenerate LSH bucket ${key}: ${ids.length} ids > cap $maxBucketSize; emitting star pairs")
-          val m = ids.head
-          ids.iterator.drop(1).map(x => (m, x))
-        }
+            .warn(s"oversized LSH bucket $key: $sz ids > cap $maxBucketSize; star + re-band")
+        })
       }
       .toDF("id_a", "id_b")
       .distinct()
@@ -174,13 +221,19 @@ object Dedup {
     out
   }
 
+  /** The 4 16-bit windows of a simhash — its per-band bucket keys. Pure;
+    * shared with the gold-oracle evaluator. */
+  def simhashWindows(h: Long): Array[Long] =
+    Array.tabulate(4)(b => (h >>> (b * 16)) & 0xffffL)
+
   /** SimHash near-dup pairs: candidates share at least one of 4 16-bit
     * bands (full recall for hamming distance <= 3 in buckets within the
     * size cap), verified by exact hamming distance <= maxHamming. Same
-    * banded one-shuffle shape as MinHash LSH; buckets beyond
-    * `maxBucketSize` verify each member against the min-id member only
-    * (star, O(N)) — pairs not involving the bucket minimum are not
-    * verified there, a recall relaxation confined to degenerate buckets. */
+    * banded one-shuffle shape as MinHash LSH; oversized buckets emit a
+    * min-id star plus recursive re-banding on the other windows
+    * ([[splitBucketPairs]]), so members of an identical-simhash cluster
+    * stay transitively linked (every spoke verifies at hamming 0) while
+    * mutually-similar members still pair directly. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -190,32 +243,32 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val oversized = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets.simhash")
     val hashes = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .as[(String, String)]
       .map { case (id, t) => (id, simhash(t)) }
       .toDF("id", "simhash")
 
     val banded = hashes.as[(String, Long)].flatMap { case (id, h) =>
-      (0 until 4).iterator.map(b => (b, (h >>> (b * 16)) & 0xffffL, id, h))
+      val keys = simhashWindows(h)
+      (0 until 4).iterator.map(b => (b, keys(b), id, h))
     }.toDF("band", "bucket", "id", "simhash")
 
     banded.as[(Int, Long, String, Long)]
       .groupByKey { case (band, bucket, _, _) => (band, bucket) }
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, String, Long)]) =>
-        val members = it.map { case (_, _, id, h) => (id, h) }.toArray.sortBy(_._1)
-        if (members.length <= maxBucketSize)
-          for {
-            i <- members.indices.iterator
-            j <- (i + 1) until members.length
-            d = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
-            if d <= maxHamming
-          } yield (members(i)._1, members(j)._1, d)
+        val members = it.map { case (_, _, id, h) => (id, h) }.toArray
+        if (members.length <= 1) Iterator.empty
         else {
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"degenerate simhash bucket $key: ${members.length} ids > cap $maxBucketSize; star verify")
-          val (mId, mH) = members.head
-          members.iterator.drop(1)
-            .map { case (id, h) => (mId, id, java.lang.Long.bitCount(mH ^ h)) }
+          val byId = members.toMap
+          splitBucketPairs(
+            members.map { case (id, h) => (id, simhashWindows(h)) },
+            key._1, maxBucketSize, { sz =>
+              oversized.add(1L)
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"oversized simhash bucket $key: $sz ids > cap $maxBucketSize; star + re-band")
+            })
+            .map { case (a, b) => (a, b, java.lang.Long.bitCount(byId(a) ^ byId(b))) }
             .filter(_._3 <= maxHamming)
         }
       }

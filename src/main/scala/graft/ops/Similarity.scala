@@ -359,9 +359,32 @@ object Similarity {
       .toDF("qid", "id", "score")
   }
 
+  /** Deterministic gaussian-ish hyperplanes (sum of uniforms from
+    * splitmix). Pure — shared with the gold-oracle evaluator. */
+  def hyperplanes(dim: Int, bits: Int): Array[Array[Float]] =
+    Array.tabulate(bits) { b =>
+      Array.tabulate(dim) { d =>
+        val u = (0 until 4).map(r => (Hashing.mix(b * 1000003L + d * 7919L + r).toDouble
+          / Long.MaxValue)).sum / 4.0
+        u.toFloat
+      }
+    }
+
+  /** Per-band bucket keys of one embedding under hyperplane LSH. Pure —
+    * shared with the gold-oracle evaluator. */
+  def hyperplaneBandKeys(
+      emb: Array[Float], planes: Array[Array[Float]], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val sig = Array.tabulate(planes.length)(i => if (dot(emb, planes(i)) >= 0) 1L else 0L)
+    Array.tabulate(bands) { b =>
+      sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).foldLeft(0L)((acc, x) => acc * 2 + x)
+    }
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via random
     * hyperplane LSH banding (signature bits from sign(dot(v, plane))),
-    * verified exactly. Deterministic planes from splitmix. */
+    * verified exactly. Deterministic planes from splitmix. Oversized
+    * buckets emit a min-id star plus recursive re-banding on the other
+    * bands' bits (Dedup.splitBucketPairs). */
   def embeddingNearDup(
       corpus: DataFrame, // (id, embedding)
       dim: Int,
@@ -374,14 +397,7 @@ object Similarity {
     import spark.implicits._
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
-    // deterministic gaussian-ish planes via sum of uniforms
-    val planes: Array[Array[Float]] = Array.tabulate(bits) { b =>
-      Array.tabulate(dim) { d =>
-        val u = (0 until 4).map(r => (Hashing.mix(b * 1000003L + d * 7919L + r).toDouble
-          / Long.MaxValue)).sum / 4.0
-        u.toFloat
-      }
-    }
+    val planes = hyperplanes(dim, bits)
     val bcPlanes = spark.sparkContext.broadcast(planes)
 
     // deliberately NOT persisted: the corpus is unbounded at target scale,
@@ -390,15 +406,11 @@ object Similarity {
     val ds = corpus.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     val banded = ds.flatMap { case (id, emb) =>
-      val ps = bcPlanes.value
-      val sig = (0 until bits).map(i => if (dot(emb, ps(i)) >= 0) 1 else 0)
-      (0 until bands).iterator.map { b =>
-        val h = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).foldLeft(0)((acc, x) => acc * 2 + x)
-        (b, h, id)
-      }
-    }.toDF("band", "bucket", "id")
+      val keys = hyperplaneBandKeys(emb, bcPlanes.value, bands, rowsPerBand)
+      (0 until bands).iterator.map(b => (b, keys(b), id, keys))
+    }.toDF("band", "bucket", "id", "keys")
 
-    // degenerate-bucket guard: same star-pair fallback as the text LSH
+    // oversized buckets re-band recursively on the other bands' keys
     // (numeric ids sort identically under the zero-padding-free string sort
     // only within equal lengths, but pair membership — not order — is what
     // matters here; the exact-verify step below recomputes cosine anyway)

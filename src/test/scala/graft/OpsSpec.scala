@@ -259,8 +259,9 @@ class OpsSpec extends AnyFunSuite {
   test("degenerate 10k-duplicate cluster: LSH families stay linear (star pairs)") {
     val n = 10000
     val skew = spark.range(n).select(col("id"), lit(base).as("text"))
-    // all 10k docs hash to ONE bucket in every band; the guard emits a star
-    // around the min id instead of ~50M pairs
+    // all 10k docs hash to ONE bucket in every band with IDENTICAL full
+    // signatures: re-banding can't split them, so the guard emits exactly
+    // the star around the min id instead of ~50M pairs
     val mh = Dedup.minhashLsh(skew, "id", "text", threshold = 0.9).count()
     assert(mh == n - 1, s"minhash star should connect all $n docs, got $mh")
     val sh = Dedup.simhashPairs(skew, "id", "text").count()
@@ -270,6 +271,91 @@ class OpsSpec extends AnyFunSuite {
     // territory, not ngram territory)
     val nj = Dedup.ngramJaccardPairs(skew, "id", "text", threshold = 0.3, maxShingleDf = 100).count()
     assert(nj == 0)
+  }
+
+  test("splitBucketPairs: all pairs within cap, star + re-band beyond it") {
+    // within cap: plain all-pairs, no oversized callback
+    val small = Array.tabulate(10)(i => (f"id$i%03d", Array(7L, i.toLong, 0L, 0L)))
+    var oversized = 0
+    val smallPairs = Dedup.splitBucketPairs(small, 0, 64, _ => oversized += 1).toSet
+    assert(oversized == 0 && smallPairs.size == 45)
+
+    // oversized bucket splitting into 3 clean sub-buckets on band 1:
+    // star around the global min PLUS all pairs within each sub-bucket
+    val members = Array.tabulate(150)(i => (f"id$i%03d", Array(7L, (i % 3).toLong, 9L, 9L)))
+    val pairs = Dedup.splitBucketPairs(members, 0, 64, _ => oversized += 1).toSet
+    assert(oversized == 1)
+    val byId = members.map(m => m._1 -> m._2).toMap
+    val star = pairs.filter(_._1 == "id000")
+    val within = pairs.filterNot(p => p._1 == "id000" && byId(p._2)(1) != 0L)
+    assert(star.size == 149) // every member reachable from the min id
+    // every non-star pair agrees on the split key (band 1)
+    assert(within.forall { case (a, b) => byId(a)(1) == byId(b)(1) })
+    // sub-buckets of 50 emit all their pairs: 3 * C(50,2), some of which
+    // involve id000 and coincide with star spokes
+    val subPairs = (for {
+      g <- 0 until 3
+      ids = members.filter(_._2(1) == g.toLong).map(_._1).sorted
+      i <- ids.indices; j <- (i + 1) until ids.length
+    } yield (ids(i), ids(j))).toSet
+    assert(subPairs.subsetOf(pairs))
+
+    // identical signatures throughout: star only, no quadratic emission
+    val same = Array.tabulate(200)(i => (f"id$i%03d", Array(1L, 2L, 3L, 4L)))
+    val p2 = Dedup.splitBucketPairs(same, 0, 64, _ => ()).toSet
+    assert(p2.size == 199 && p2.forall(_._1 == "id000"))
+  }
+
+  test("oversized near-dup buckets: re-band recovers min-excluded pairs (superset of star)") {
+    // one planted 10k near-duplicate cluster (each doc = 40-word base with
+    // one mutated word): minhash buckets blow far past the cap, the exact
+    // regime where round 2's star fallback silently lost pairs between
+    // members that both differ from the bucket minimum
+    val n = 10000
+    val words = (0 until 40).map(i => s"base$i")
+    def mkDoc(i: Int): String = words.updated(i % 40, s"mut$i").mkString(" ")
+    val local = (0 until n).map(i => (i.toLong, mkDoc(i)))
+    val df = spark.createDataset(local).toDF("id", "text")
+    val threshold = 0.5
+    def pack(a: String, b: String): Long = a.toLong * 1000000L + b.toLong
+    val out = Dedup.minhashLsh(df, "id", "text", threshold = threshold)
+      .collect().map(r => pack(r.getString(0), r.getString(1))).toSet
+
+    // round-2 star semantics, replayed locally from the same pure
+    // signature definitions (no Spark code)
+    val shingles = local.map { case (id, t) => id.toString -> Hashing.wordShingles(t, 3) }.toMap
+    val keys = local.map { case (id, _) =>
+      id.toString -> Dedup.minhashBandKeys(
+        Dedup.minhashSignature(shingles(id.toString), 64), 16, 4)
+    }
+    val buckets = scala.collection.mutable.HashMap.empty[(Int, Long), List[String]]
+    for ((id, ks) <- keys; b <- 0 until 16) {
+      val k = (b, ks(b)); buckets(k) = id :: buckets.getOrElse(k, Nil)
+    }
+    var sawOversized = false
+    val starCand = buckets.values.iterator.flatMap { ids0 =>
+      val ids = ids0.sorted.toArray
+      if (ids.length <= 1) Iterator.empty
+      else if (ids.length <= 64)
+        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length } yield (ids(i), ids(j))
+      else { sawOversized = true; ids.iterator.drop(1).map(x => (ids.head, x)) }
+    }.toSet
+    assert(sawOversized, "corpus must actually produce oversized buckets")
+    def jac(a: String, b: String): Double = Hashing.jaccard(shingles(a), shingles(b))
+    val starVerified = starCand.filter { case (a, b) => jac(a, b) >= threshold }
+      .map { case (a, b) => pack(a, b) }
+    // superset of the star path...
+    val missing = starVerified -- out
+    assert(missing.isEmpty, s"re-band lost star pairs: ${missing.take(5)}")
+    // ...plus recovered min-excluded pairs...
+    val extra = out -- starVerified
+    assert(extra.nonEmpty, "re-banding should recover pairs the star lost")
+    // ...that are genuine near-duplicates (sampled precision check)...
+    assert(extra.take(10000).forall { p =>
+      jac((p / 1000000L).toString, (p % 1000000L).toString) >= threshold })
+    // ...with sub-quadratic fan-out: bands * n * (cap/2 + 1) candidates
+    // max, far below the ~50M true pairs of the planted cluster
+    assert(out.size <= 16L * n * 33, s"fan-out too large: ${out.size}")
   }
 
   test("ngram jaccard df cap drops only capped-shingle contributions") {
