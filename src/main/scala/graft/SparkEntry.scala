@@ -184,6 +184,20 @@ object SparkEntry {
       .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
   }
 
+  /** IVF with the queries as a RELATION (ivfTopKDf). nProbe = numCells
+    * (full probe) makes the probed set the whole corpus, so the exact
+    * brute-force DuckDB oracle stays valid while the query still drives
+    * the entire IVF machinery end to end — Lloyd centroids, assignment
+    * join, per-cell cogroup, bounded heaps, partial top-k merge. The
+    * probe-limited variant (approximate by design) is `ann_ivf_topk`. */
+  def annIvfRel(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embeddingsDf(spark, sfDir)
+    val (centroids, assignments) = Similarity.ivfAssign(emb, numCells = 8)
+    val queries = emb.filter(col("id") < 5).select(col("id").as("qid"), col("embedding"))
+    Similarity.ivfTopKDf(emb, centroids, assignments, queries, k = 10, nProbe = 8)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
+  }
+
   def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embeddingsDf(spark, sfDir)
     val (centroids, assignments) = Similarity.ivfAssign(emb, numCells = 16)
@@ -195,9 +209,10 @@ object SparkEntry {
     * is the approximate scale path). Distributed 2-D triangle blocking:
     * rows hash into blocks, each unordered block pair is one shuffle group
     * scanned with a float kernel — O(1) driver memory, per-task memory of
-    * two blocks, every unordered pair visited exactly once. */
+    * two blocks, every unordered pair visited exactly once. The block
+    * count adapts to the corpus row count (no hardcoded B). */
   def embedSimPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.exactCosinePairsBlocked(embeddingsDf(spark, sfDir), threshold = 0.35, numBlocks = 8)
+    Similarity.exactCosinePairsBlocked(embeddingsDf(spark, sfDir), threshold = 0.35)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
 
   def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
@@ -347,6 +362,7 @@ object SparkEntry {
     "ann_topk" -> annTopK,
     "ann_topk_rel" -> annTopKRel,
     "ann_ivf_topk" -> annIvfTopK,
+    "ann_ivf_rel" -> annIvfRel,
     "embed_sim_pairs" -> embedSimPairs,
     "embed_near_dup_lsh" -> embedNearDupLsh,
     "text_langid" -> textLangId,
@@ -372,13 +388,14 @@ object SparkEntry {
       .map(w => s"(len(string_split_regex(' '||lower(text)||' ', '\\s$w\\s'))-1)")
       .mkString(" + ")
 
-  /** Gold-derived oracle for the full pipeline at the driver's correctness
-    * scale (sf0.01 -> 1000 docs): the generator plants every mention a
-    * priori, so the per-doc-distinct (pred, obj, source) doc counts are
-    * known without running the pipeline — an independent expectation, like
-    * the reference's golden full_pipeline assets. */
-  private def fullTriplesOracle: String = {
-    val gold = CorpusGen.generate(1000)
+  /** Gold-derived oracle for the full pipeline: the generator plants every
+    * mention a priori, so the per-doc-distinct (pred, obj, source) doc
+    * counts are known without running the pipeline — an independent
+    * expectation, like the reference's golden full_pipeline assets. The
+    * doc count comes from the same fullTriplesDocs(sfDir) the query uses,
+    * so query and oracle can never drift across scales. */
+  private def fullTriplesOracle(sfDir: String): String = {
+    val gold = CorpusGen.generate(fullTriplesDocs(sfDir))
       .filterNot(_.quarantined)
       .flatMap(g => g.goldTriples.map(t =>
         (s"denotes:${t.entityClass}", t.idx, t.source, t.docId)))
@@ -392,8 +409,13 @@ object SparkEntry {
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pred, obj, source, n_docs)"
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "kg_full_triples" -> fullTriplesOracle,
+  /** Driver contract: oracles for the default correctness scale. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracles parameterized by the data directory the queries will run on
+    * (gold-VALUES oracles must be built at the same scale). */
+  def oracleSqlFor(sfDir: String): Map[String, String] = Map(
+    "kg_full_triples" -> fullTriplesOracle(sfDir),
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
          |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)
@@ -443,6 +465,15 @@ object SparkEntry {
         |FROM co JOIN sz na ON na.doc_id = ia JOIN sz nb ON nb.doc_id = ib
         |WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.05""".stripMargin,
     "ann_topk_rel" ->
+      """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid)
+        |SELECT qid, id, round(c, 6) AS score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) rn FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "ann_ivf_rel" ->
       """WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
         |scored AS (
         |  SELECT q.qid, e.vec_id AS id,

@@ -213,6 +213,12 @@ object Similarity {
     }
   }
 
+  /** Block count from a row count: one block per `target` rows, clamped
+    * to [1, 4096]. Pure — unit-tested directly; mirrors runUnionFind's
+    * adaptive partition count (graph/Xref.scala). */
+  def adaptiveBlocks(n: Long, target: Long): Int =
+    math.max(1L, math.min(4096L, (n + target - 1) / target)).toInt
+
   /** Exact brute-force top-k where the queries are a RELATION, not a
     * driver-side Seq — the shape for batch scoring of a large query table.
     *
@@ -223,18 +229,29 @@ object Similarity {
     * merge in a final groupBy(qid). Shuffle volume = N*QB + Q*CB rows;
     * per-task memory = Q/QB queries + QB heaps of k — both tunable, no
     * driver collect, no full broadcast.
+    *
+    * Block counts <= 0 (the default) are DERIVED from cheap count()s so
+    * per-task memory stays bounded as the inputs grow: QB targets ~4k
+    * buffered queries per task, CB targets ~64k streamed corpus rows per
+    * task and at least enough (qb, cb) groups to fill the cluster. A
+    * fixed block count would mean per-task memory ~Q/QB grows linearly
+    * with the query table — an executor OOM at 100x scale.
     */
   def bruteForceTopKDf(
       corpus: DataFrame, // (id, embedding)
       queries: DataFrame, // (qid, embedding)
       k: Int,
-      corpusBlocks: Int = 8,
-      queryBlocks: Int = 4
+      corpusBlocks: Int = -1,
+      queryBlocks: Int = -1
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cb = corpusBlocks
-    val qb = queryBlocks
+    val qb = if (queryBlocks > 0) queryBlocks else adaptiveBlocks(queries.count(), 4096L)
+    val cb =
+      if (corpusBlocks > 0) corpusBlocks
+      else math.max(
+        adaptiveBlocks(corpus.count(), 65536L),
+        adaptiveBlocks(spark.sparkContext.defaultParallelism.toLong, qb.toLong))
 
     val corpusTagged = corpus.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -269,15 +286,24 @@ object Similarity {
     * is B rows/row and per-task memory is two blocks (~2N/B vectors), so
     * driver memory is O(1) and executor memory is tuned by B ~ sqrt(tasks).
     * Each unordered id pair occurs in exactly one group => no dedup needed.
+    *
+    * numBlocks <= 0 (the default) DERIVES B from a cheap count() so each
+    * block holds ~`targetRowsPerBlock` vectors regardless of corpus size —
+    * a fixed B would buffer 2N/B vectors per task and OOM at 100x rows.
     */
   def exactCosinePairsBlocked(
       corpus: DataFrame, // (id, embedding)
       threshold: Double,
-      numBlocks: Int = 8
+      numBlocks: Int = -1,
+      targetRowsPerBlock: Long = 16384L
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val b = numBlocks
+    val b =
+      if (numBlocks > 0) numBlocks
+      else math.max(adaptiveBlocks(corpus.count(), targetRowsPerBlock),
+        // at least ~2 groups per core: B(B+1)/2 tasks must fill the cluster
+        math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
     corpus.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>

@@ -273,6 +273,28 @@ class OpsSpec extends AnyFunSuite {
     assert(nj == 0)
   }
 
+  test("adaptive block counts: parity across corpus sizes with different derived B") {
+    assert(Similarity.adaptiveBlocks(0, 100) == 1)
+    assert(Similarity.adaptiveBlocks(100, 100) == 1)
+    assert(Similarity.adaptiveBlocks(101, 100) == 2)
+    assert(Similarity.adaptiveBlocks(10000000L, 100) == 4096) // clamped
+    // same answers at two corpus sizes whose derived B differs (4 vs 25
+    // at targetRowsPerBlock=32 under local[4]) — the driver queries carry
+    // no hardcoded block count any more
+    for (n <- Seq(60, 800)) {
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(8)(d => math.sin(i * 8.0 + d).toFloat)))
+      val df = spark.createDataset(vecs).toDF("id", "embedding")
+      val adaptive = Similarity.exactCosinePairsBlocked(df, threshold = 0.8, targetRowsPerBlock = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = (for {
+        i <- vecs.indices; j <- (i + 1) until vecs.length
+        if Similarity.cosine(vecs(i)._2, vecs(j)._2) >= 0.8
+      } yield (vecs(i)._1, vecs(j)._1)).toSet
+      assert(adaptive == naive, s"n=$n")
+    }
+  }
+
   test("splitBucketPairs: all pairs within cap, star + re-band beyond it") {
     // within cap: plain all-pairs, no oversized callback
     val small = Array.tabulate(10)(i => (f"id$i%03d", Array(7L, i.toLong, 0L, 0L)))
