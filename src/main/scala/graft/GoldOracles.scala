@@ -1,0 +1,197 @@
+package graft
+
+import graft.datagen.CorpusGen
+import graft.ops.{Dedup, Hashing, Similarity}
+import org.apache.spark.sql.SparkSession
+import java.math.RoundingMode
+
+/** Gold-VALUES oracles for the queries whose semantics are not
+  * SQL-expressible in DuckDB (LSH families, IVF, the sectioned pipeline).
+  *
+  * Each oracle computes the exact expected result rows with a
+  * SINGLE-THREADED local evaluation of the same pure, deterministic
+  * definitions the Spark operators are built from (minhash signatures,
+  * band keys, bucket splitting, hyperplanes, decimal centroid means,
+  * generator gold) — no Spark banding/shuffle/cogroup/dedup code runs, so
+  * the driver's DuckDB compare independently checks exactly the
+  * distributed parts, which is where distribution bugs live. The
+  * reference ships the same idea as golden full-pipeline assets
+  * (/root/reference/kazu/tests/test_assets/full_pipeline/).
+  *
+  * The parquet inputs are read (and only read) through the active Spark
+  * session; everything after `.collect()` is plain single-threaded Scala.
+  */
+object GoldOracles {
+
+  // ------------------------------------------------------------ plumbing --
+
+  private def readDocs(sfDir: String): Seq[(Long, String)] = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+  }
+
+  private def readEmbeddings(sfDir: String): Seq[(Long, Array[Float])] = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+  }
+
+  /** Spark round(x, 6) semantics (HALF_UP on the shortest representation),
+    * emitted as a plain decimal literal DuckDB parses to the same double. */
+  private def round6(x: Double): String =
+    java.math.BigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).toPlainString
+
+  private def valuesSql(cols: Seq[String], rows: Seq[String]): String = {
+    require(rows.nonEmpty, s"gold oracle produced zero rows for (${cols.mkString(",")})")
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(${cols.mkString(", ")})"
+  }
+
+  /** (band, key)-bucketed candidate pairs via the same pure
+    * [[Dedup.splitBucketPairs]] the Spark operators call per shuffle
+    * group, evaluated here in one thread over a local hash map. */
+  private def bucketedPairs(
+      keys: Seq[(String, Array[Long])], bands: Int, cap: Int): Set[(String, String)] = {
+    val buckets = scala.collection.mutable.HashMap
+      .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[(String, Array[Long])]]
+    for ((id, ks) <- keys; b <- 0 until bands)
+      buckets.getOrElseUpdate((b, ks(b)), scala.collection.mutable.ArrayBuffer.empty) += ((id, ks))
+    val out = scala.collection.mutable.HashSet.empty[(String, String)]
+    for (((band, _), ms) <- buckets if ms.length > 1)
+      Dedup.splitBucketPairs(ms.toArray, band, cap, _ => ()).foreach(out += _)
+    out.toSet
+  }
+
+  private def orderedLong(a: String, b: String): (Long, Long) =
+    (math.min(a.toLong, b.toLong), math.max(a.toLong, b.toLong))
+
+  // ------------------------------------------------------------- oracles --
+
+  /** Expected rows of SparkEntry.dedupMinhashLsh. */
+  def dedupMinhashLsh(
+      sfDir: String, numHashes: Int, bands: Int, shingleSize: Int,
+      threshold: Double, cap: Int): String = {
+    val rows = numHashes / bands
+    val ds = readDocs(sfDir)
+    val sh = ds.map { case (id, t) => id.toString -> Hashing.wordShingles(t, shingleSize) }.toMap
+    val keys = ds.map { case (id, _) =>
+      id.toString -> Dedup.minhashBandKeys(
+        Dedup.minhashSignature(sh(id.toString), numHashes), bands, rows)
+    }
+    val out = bucketedPairs(keys, bands, cap).toSeq
+      .map { case (a, b) => (a, b, Hashing.jaccard(sh(a), sh(b))) }
+      .filter(_._3 >= threshold)
+      .map { case (a, b, j) => val (x, y) = orderedLong(a, b); (x, y, j) }
+      .sortBy(p => (p._1, p._2))
+    valuesSql(Seq("id_a", "id_b", "jaccard"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"))
+  }
+
+  /** Expected rows of SparkEntry.dedupSimhash. */
+  def dedupSimhash(sfDir: String, maxHamming: Int, cap: Int): String = {
+    val ds = readDocs(sfDir)
+    val h = ds.map { case (id, t) => id.toString -> Dedup.simhash(t) }.toMap
+    val keys = ds.map { case (id, _) => id.toString -> Dedup.simhashWindows(h(id.toString)) }
+    val out = bucketedPairs(keys, 4, cap).toSeq
+      .map { case (a, b) => (a, b, java.lang.Long.bitCount(h(a) ^ h(b))) }
+      .filter(_._3 <= maxHamming)
+      .map { case (a, b, d) => val (x, y) = orderedLong(a, b); (x, y, d) }
+      .sortBy(p => (p._1, p._2))
+    valuesSql(Seq("id_a", "id_b", "hamming"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${p._3} AS INTEGER))"))
+  }
+
+  /** Expected rows of SparkEntry.embedNearDupLsh. */
+  def embedNearDupLsh(
+      sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int, cap: Int): String = {
+    val rowsPerBand = bits / bands
+    val vecs = readEmbeddings(sfDir)
+    val emb = vecs.map { case (id, e) => id.toString -> e }.toMap
+    val planes = Similarity.hyperplanes(dim, bits)
+    val keys = vecs.map { case (id, e) =>
+      id.toString -> Similarity.hyperplaneBandKeys(e, planes, bands, rowsPerBand)
+    }
+    val out = bucketedPairs(keys, bands, cap).toSeq
+      .map { case (a, b) => val (x, y) = orderedLong(a, b); (x, y) }.distinct
+      .map { case (x, y) => (x, y, Similarity.cosine(emb(x.toString), emb(y.toString))) }
+      .filter(_._3 >= threshold)
+      .sortBy(p => (p._1, p._2))
+    valuesSql(Seq("id_a", "id_b", "cos"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"))
+  }
+
+  /** Local replica of Similarity.ivfAssign: same init, same argmax, same
+    * exact-decimal means — bit-identical centroids by construction. */
+  private[graft] def localIvfAssign(
+      vecs: Seq[(Long, Array[Float])], numCells: Int, iters: Int
+  ): (IndexedSeq[Array[Float]], Map[Long, Int]) = {
+    var centroids: IndexedSeq[Array[Float]] =
+      vecs.sortBy(_._1).take(numCells).map(_._2).toIndexedSeq
+    for (_ <- 0 until iters) {
+      val assigned = vecs.map { case (_, e) => (Similarity.nearestCell(e, centroids), e) }
+      val dim = centroids.head.length
+      val byCell = assigned.groupBy(_._1).map { case (cell, ms) =>
+        val arr = new Array[Float](dim)
+        var pos = 0
+        while (pos < dim) {
+          var sum = java.math.BigDecimal.ZERO
+          ms.foreach { case (_, e) => sum = sum.add(Similarity.toDecimal15(e(pos).toDouble)) }
+          arr(pos) = Similarity.decimalMean(sum, ms.length.toLong)
+          pos += 1
+        }
+        cell -> arr
+      }
+      centroids = centroids.indices.map(i => byCell.getOrElse(i, centroids(i)))
+    }
+    val assign = vecs.map { case (id, e) => id -> Similarity.nearestCell(e, centroids) }.toMap
+    (centroids, assign)
+  }
+
+  /** Expected rows of SparkEntry.annIvfTopK (probe-limited IVF with the
+    * first `numQueries` vectors as queries). */
+  def annIvfTopK(
+      sfDir: String, numCells: Int, nProbe: Int, k: Int, numQueries: Int): String = {
+    val vecs = readEmbeddings(sfDir)
+    val (centroids, assign) = localIvfAssign(vecs, numCells, iters = 3)
+    val out = vecs.filter(_._1 < numQueries).sortBy(_._1).flatMap { case (qid, qv) =>
+      val probes = centroids.indices
+        .sortBy(c => -Similarity.cosine(qv, centroids(c))).take(nProbe).toSet
+      val qn = Similarity.norm(qv)
+      vecs.iterator
+        .filter { case (id, _) => id != qid && probes.contains(assign(id)) }
+        .map { case (id, e) =>
+          val n = Similarity.norm(e)
+          (id, if (n == 0 || qn == 0) 0.0 else Similarity.dot(qv, e) / (qn * n))
+        }
+        .toSeq.sortBy(x => (-x._2, x._1)).take(k)
+        .map { case (id, s) => (qid, id, s) }
+    }
+    valuesSql(Seq("qid", "id", "score"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"))
+  }
+
+  /** Expected rows of SparkEntry.kgSectionMentions: per-section mention
+    * class counts derived purely from the generator's planted gold (doc i
+    * = intro gen(i) + body gen(i+100000); docs with a quarantined section
+    * are dropped by the length guard, exactly as ingestSections does). */
+  def kgSectionMentions(nDocs: Int): String = {
+    val counts = scala.collection.mutable.HashMap.empty[(Int, String, String), Long]
+    for (i <- 0 until nDocs) {
+      val intro = CorpusGen.generateOne(i)
+      val body = CorpusGen.generateOne(i + 100000)
+      if (!intro.quarantined && !body.quarantined) {
+        intro.gold.foreach(m =>
+          counts((0, "intro", m.entityClass)) = counts.getOrElse((0, "intro", m.entityClass), 0L) + 1)
+        body.gold.foreach(m =>
+          counts((1, "body", m.entityClass)) = counts.getOrElse((1, "body", m.entityClass), 0L) + 1)
+      }
+    }
+    val rows = counts.toSeq.sortBy { case ((i, s, c), _) => (i, s, c) }
+    valuesSql(Seq("section_idx", "section", "entity_class", "n_mentions"), rows.map {
+      case ((idx, section, cls), n) =>
+        s"(CAST($idx AS INTEGER), '$section', '$cls', CAST($n AS BIGINT))"
+    })
+  }
+}

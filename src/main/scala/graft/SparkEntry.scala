@@ -131,6 +131,24 @@ object SparkEntry {
 
   // ------------------------------------------------------------- dedup ----
 
+  // LSH / IVF parameters shared VERBATIM by the driver queries and their
+  // gold oracles (GoldOracles re-evaluates the same pure definitions
+  // locally) — one constant, zero drift.
+  private val MhNumHashes = 64
+  private val MhBands = 16
+  private val MhShingle = 3
+  private val MhThreshold = 0.05
+  private val LshCap = 64
+  private val ShMaxHamming = 12
+  private val NdDim = 64
+  private val NdThreshold = 0.35
+  private val NdBits = 16
+  private val NdBands = 4
+  private val IvfCells = 16
+  private val IvfProbe = 4
+  private val IvfK = 10
+  private val IvfQueries = 5
+
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
 
@@ -148,14 +166,15 @@ object SparkEntry {
 
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLsh(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
-      threshold = 0.05)
+      numHashes = MhNumHashes, bands = MhBands, shingleSize = MhShingle,
+      threshold = MhThreshold, maxBucketSize = LshCap)
       .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
-      maxHamming = 12)
+      maxHamming = ShMaxHamming, maxBucketSize = LshCap)
       .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"), col("hamming"))
 
@@ -200,8 +219,9 @@ object SparkEntry {
 
   def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embeddingsDf(spark, sfDir)
-    val (centroids, assignments) = Similarity.ivfAssign(emb, numCells = 16)
-    Similarity.ivfTopK(emb, centroids, assignments, queryVectors(spark, sfDir, 5), k = 10, nProbe = 4)
+    val (centroids, assignments) = Similarity.ivfAssign(emb, numCells = IvfCells)
+    Similarity.ivfTopK(emb, centroids, assignments,
+      queryVectors(spark, sfDir, IvfQueries), k = IvfK, nProbe = IvfProbe)
       .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
   }
 
@@ -216,7 +236,8 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
 
   def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.embeddingNearDup(embeddingsDf(spark, sfDir), dim = 64, threshold = 0.35)
+    Similarity.embeddingNearDup(embeddingsDf(spark, sfDir), dim = NdDim,
+      threshold = NdThreshold, bits = NdBits, bands = NdBands, maxBucketSize = LshCap)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
 
   // ---------------------------------------------------- text analysis ----
@@ -416,6 +437,16 @@ object SparkEntry {
     * (gold-VALUES oracles must be built at the same scale). */
   def oracleSqlFor(sfDir: String): Map[String, String] = Map(
     "kg_full_triples" -> fullTriplesOracle(sfDir),
+    // gold-VALUES oracles: the exact expected rows, computed by a
+    // single-threaded local evaluation of the same pure definitions
+    // (GoldOracles) — these check the distributed execution independently
+    "kg_section_mentions" -> GoldOracles.kgSectionMentions(fullTriplesDocs(sfDir) / 2),
+    "dedup_minhash_lsh" -> GoldOracles.dedupMinhashLsh(
+      sfDir, MhNumHashes, MhBands, MhShingle, MhThreshold, LshCap),
+    "dedup_simhash" -> GoldOracles.dedupSimhash(sfDir, ShMaxHamming, LshCap),
+    "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(
+      sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
+    "ann_ivf_topk" -> GoldOracles.annIvfTopK(sfDir, IvfCells, IvfProbe, IvfK, IvfQueries),
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
          |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)

@@ -68,9 +68,38 @@ object Similarity {
       .toDF("qid", "id", "score")
   }
 
+  /** Argmax-cosine cell for one vector. Pure — shared by the Spark Lloyd
+    * loop, the final assignment, and the gold-oracle evaluator. */
+  def nearestCell(emb: Array[Float], cs: IndexedSeq[Array[Float]]): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val s = cosine(emb, cs(c))
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Double -> decimal(·,15), matching Spark's double-to-decimal cast
+    * (shortest-repr BigDecimal, HALF_UP at scale 15). Pure. */
+  def toDecimal15(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v).setScale(15, java.math.RoundingMode.HALF_UP)
+
+  /** Order-independent mean: exact decimal sum (inputs pre-rounded to
+    * scale 15) divided at scale 19 HALF_UP. Decimal addition is
+    * associative, so any combine order gives one result — unlike a double
+    * avg(), whose last-ulp value depends on shuffle order. Shared by the
+    * Spark Lloyd update and the gold evaluator so centroids come out
+    * bit-identical. */
+  def decimalMean(sum: java.math.BigDecimal, n: Long): Float =
+    sum.divide(java.math.BigDecimal.valueOf(n), 19, java.math.RoundingMode.HALF_UP)
+      .doubleValue.toFloat
+
   /** IVF index: deterministic k-means-lite centroids (init = first C
-    * vectors by id, `iters` Lloyd rounds computed with groupBy/avg), then
-    * per-vector cell assignment. */
+    * vectors by id, `iters` Lloyd rounds; per-cell means via exact
+    * decimal sums so the result is independent of partitioning and
+    * combine order), then per-vector cell assignment. */
   def ivfAssign(
       corpus: DataFrame, // (id, embedding)
       numCells: Int,
@@ -86,27 +115,21 @@ object Similarity {
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val assigned = ds.map { case (_, emb) =>
-        val cs = bc.value
-        var best = 0; var bestScore = Double.NegativeInfinity
-        var c = 0
-        while (c < cs.length) {
-          val s = cosine(emb, cs(c))
-          if (s > bestScore) { bestScore = s; best = c }
-          c += 1
-        }
-        (best, emb.map(_.toDouble))
+        (nearestCell(emb, bc.value.toIndexedSeq), emb.map(_.toDouble))
       }.toDF("cell", "emb")
       val dim = centroids.head.length
       val sums = assigned
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
-        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("vec"))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("decimal(30,15)")).as("s"), count(lit(1)).as("c"))
         .collect()
-        .map(r => r.getAs[Int]("cell") ->
-          r.getAs[Seq[org.apache.spark.sql.Row]]("vec").map(_.getAs[Double]("m").toFloat).toArray)
-        .toMap
-      centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
-        .map(v => { require(v.length == dim); v })
+        .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
+      val byCell = sums.groupBy(_._1).map { case (cell, rows) =>
+        val arr = new Array[Float](dim)
+        rows.foreach { case (_, pos, s, c) => arr(pos) = decimalMean(s, c) }
+        cell -> arr
+      }
+      centroids = centroids.indices.map(i => byCell.getOrElse(i, centroids(i)))
     }
     // the cache existed for the Lloyd collect-loop above; release it now so
     // repeated ivfAssign calls in a long session don't pin storage memory.
@@ -115,13 +138,7 @@ object Similarity {
 
     val bc = spark.sparkContext.broadcast(centroids)
     val assignments = ds.map { case (id, emb) =>
-      val cs = bc.value
-      var best = 0; var bestScore = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val s = cosine(emb, cs(c)); if (s > bestScore) { bestScore = s; best = c }; c += 1
-      }
-      (id, best)
+      (id, nearestCell(emb, bc.value.toIndexedSeq))
     }.toDF("id", "cell")
     (centroids, assignments)
   }

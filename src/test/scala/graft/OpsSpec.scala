@@ -273,6 +273,31 @@ class OpsSpec extends AnyFunSuite {
     assert(nj == 0)
   }
 
+  test("decimal cast parity: Spark double->decimal(30,15) equals toDecimal15") {
+    val samples = (0 until 2000).map(i => (math.sin(i * 0.7919) *
+      (if (i % 3 == 0) 1e-7 else 1.0)).toFloat.toDouble) ++
+      Seq(0.0, -0.0, 1.0, -1.0, 0.1f.toDouble, -0.1f.toDouble)
+    val fromSpark = samples.toDF("v").select(col("v").cast("decimal(30,15)"))
+      .collect().map(_.getDecimal(0))
+    samples.zip(fromSpark).foreach { case (d, bd) =>
+      assert(bd.compareTo(Similarity.toDecimal15(d)) == 0, s"mismatch for $d: spark=$bd")
+    }
+  }
+
+  test("ivfAssign is combine-order independent and matches the local gold replica") {
+    val vecs = embDf.as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val (sparkC, sparkA) = Similarity.ivfAssign(embDf, numCells = 8)
+    val (goldC, goldA) = GoldOracles.localIvfAssign(vecs, 8, 3)
+    assert(sparkC.length == goldC.length)
+    sparkC.zip(goldC).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val sa = sparkA.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sa == goldA)
+    // different partitioning -> bit-identical centroids (the decimal sums
+    // are associative; a double avg() would differ in the last ulps)
+    val (sparkC2, _) = Similarity.ivfAssign(embDf.repartition(7), numCells = 8)
+    sparkC.zip(sparkC2).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
   test("adaptive block counts: parity across corpus sizes with different derived B") {
     assert(Similarity.adaptiveBlocks(0, 100) == 1)
     assert(Similarity.adaptiveBlocks(100, 100) == 1)
