@@ -131,14 +131,19 @@ object OntologySources {
 
   /** OBO stanza source (Cellosaurus/GO-style) — ref parsers.py:655-857,
     * 1115-1201. Reads wholetext (stanzas span lines) and flatMaps [Term]
-    * blocks: id, name, synonym "..." TYPE lines. */
+    * blocks: id, name, synonym "..." TYPE lines. `namespaceFilter` keeps
+    * only stanzas whose `namespace:` line matches — the analog of the
+    * reference's BP/MF/CC GO subset parsers, which include only entities
+    * carrying hasOBONamespace = biological_process / molecular_function /
+    * cellular_component (parsers.py:752-857). */
   def readObo(
       spark: SparkSession,
       path: String,
       parserName: String,
       entityClass: String,
       dataOrigin: String = "obo",
-      dropObsolete: Boolean = true
+      dropObsolete: Boolean = true,
+      namespaceFilter: Option[String] = None
   ): Dataset[OntologyRow] = {
     import spark.implicits._
     val synRe = """synonym:\s*"([^"]*)"\s*(\w*)""".r
@@ -149,14 +154,16 @@ object OntologySources {
           val lines = stanza.split("\n").map(_.trim)
           val id = lines.collectFirst { case l if l.startsWith("id:") => l.drop(3).trim }
           val name = lines.collectFirst { case l if l.startsWith("name:") => l.drop(5).trim }
+          val namespace = lines.collectFirst { case l if l.startsWith("namespace:") => l.drop(10).trim }
           // the reference drops obsolete concepts: GO by "obsolete" in the
           // default label (parsers.py:741-745); OBO also marks them with an
           // is_obsolete flag line
           val obsolete = dropObsolete && (
             lines.exists(l => l.startsWith("is_obsolete:") && l.endsWith("true")) ||
               name.exists(_.toLowerCase.contains("obsolete")))
+          val namespaceOk = namespaceFilter.forall(f => namespace.contains(f))
           (id, name) match {
-            case (Some(idx), Some(label)) if !obsolete =>
+            case (Some(idx), Some(label)) if !obsolete && namespaceOk =>
               val syns = lines.toSeq.collect {
                 case l if l.startsWith("synonym:") =>
                   synRe.findFirstMatchIn(l).map(m =>
@@ -169,6 +176,152 @@ object OntologySources {
           }
         }
       }
+  }
+
+  /** MONDO/HP json-graph source (the OLS "graphs[].nodes[]" dump shape) —
+    * ref MondoOntologyParser (parsers.py:897-950): node.id must match the
+    * IRI pattern, nodes without `lbl` are skipped, the label is its own
+    * synonym (mapping_type "lbl"), and meta.synonyms[] entries whose
+    * `pred` is in `synonymPreds` become synonym rows. Spark-first: one
+    * multiLine JSON read, nested-array explodes, codegen'd rlike — the KB
+    * never touches the driver. */
+  def readMondoJson(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "mondo-json",
+      uriPattern: String = "^http://purl\\.obolibrary\\.org/obo/(MONDO|HP)_[0-9]+$",
+      synonymPreds: Seq[String] = Seq("hasExactSynonym")
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val nodes = raw
+      .select(explode(element_at(col("graphs"), 1).getField("nodes")).as("node"))
+      .select(col("node.id").as("idx"), col("node.lbl").as("defaultLabel"),
+        (if (nestedFieldExists(raw.schema, Seq("graphs", "nodes", "meta", "synonyms")))
+          col("node.meta.synonyms")
+        else lit(null).cast("array<struct<pred:string,val:string>>")).as("synonyms"))
+      .filter(col("idx").isNotNull && col("defaultLabel").isNotNull &&
+        col("idx").rlike(uriPattern))
+    val labelRows = nodes.select(col("idx"), col("defaultLabel"),
+      col("defaultLabel").as("syn"), lit("lbl").as("mappingType"))
+    val synRows = nodes
+      .select(col("idx"), col("defaultLabel"), explode(col("synonyms")).as("s"))
+      .filter(col("s.pred").isin(synonymPreds: _*))
+      .select(col("idx"), col("defaultLabel"), col("s.val").as("syn"),
+        col("s.pred").as("mappingType"))
+    labelRows.union(synRows)
+      .where(col("syn").isNotNull && length(col("syn")) > 0)
+      .select(
+        lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
+        col("idx"), col("defaultLabel"), col("syn"), col("mappingType"),
+        lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
+  }
+
+  /** Walks a (possibly array-element) nested path through a schema,
+    * stepping into array element types, to decide whether an optional
+    * field was present in the inferred JSON schema. */
+  private def nestedFieldExists(
+      schema: org.apache.spark.sql.types.StructType, path: Seq[String]): Boolean = {
+    def strip(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case a: org.apache.spark.sql.types.ArrayType => strip(a.elementType)
+        case other => other
+      }
+    path.foldLeft(Option(schema: org.apache.spark.sql.types.DataType)) {
+      case (Some(st: org.apache.spark.sql.types.StructType), name) =>
+        st.fields.find(_.name == name).map(f => strip(f.dataType))
+      case _ => None
+    }.isDefined
+  }
+
+  /** The synonym-bearing keys of an HGNC complete-set record — ref
+    * HGNCGeneOntologyParser.keys_to_check (parsers.py:985-1001). `name`
+    * is among them, so the default label enters as its own synonym with
+    * mapping_type "name", exactly as the reference emits it. */
+  val HgncSynonymKeys: Seq[String] = Seq(
+    "name", "symbol", "uniprot_ids", "alias_name", "alias_symbol", "prev_name",
+    "lncipedia", "prev_symbol", "vega_id", "refseq_accession", "hgnc_id",
+    "mgd_id", "rgd_id", "ccds_id", "pseudogene.org")
+
+  /** HGNC complete-set source (`response.docs[]`, scalar-or-array synonym
+    * keys) — ref HGNCGeneOntologyParser (parsers.py:953-1048): idx =
+    * ensembl_gene_id (records without one, or without `name`, are
+    * skipped); every value under the 15 synonym keys becomes a synonym
+    * row with the key as mapping_type, de-duplicated per record. The
+    * mixed scalar/list value typing rules out a fixed Catalyst schema, so
+    * the (dimension-sized, single-object) dump parses with Jackson INSIDE
+    * the executor task — same pattern as readRdfXml's executor-side XML. */
+  def readHgncJson(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "hgnc-json",
+      idField: String = "ensembl_gene_id",
+      synonymKeys: Seq[String] = HgncSynonymKeys
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .as[String]
+      .flatMap { content =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val docs = mapper.readTree(content).path("response").path("docs")
+        (0 until docs.size).iterator.flatMap { i =>
+          val doc = docs.get(i)
+          def opt(k: String): Option[String] =
+            Option(doc.get(k)).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+          (opt(idField), opt("name")) match {
+            case (Some(idx), Some(label)) =>
+              val syns = synonymKeys.iterator.flatMap { k =>
+                val n = doc.get(k)
+                if (n == null || n.isNull) Iterator.empty
+                else if (n.isArray) (0 until n.size).iterator.map(j => (n.get(j).asText, k))
+                else Iterator.single((n.asText, k))
+              }.filter(_._1.nonEmpty).toSeq.distinct.sortBy(t => (t._2, t._1))
+              syns.iterator.map { case (syn, mt) =>
+                OntologyRow(parserName, entityClass, idx, label, syn, mt, dataOrigin)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** HGNC gene-family source (TSV grouped by Family ID) — ref
+    * HGNCGeneFamilyParser (parsers.py:1398-1437): one "Family name" label
+    * row per family plus a synonym row per distinct Family alias / Common
+    * root gene symbol. Spark-first: groupBy + collect_set + explode. */
+  def readHgncGeneFamilies(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "hgnc-families"
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val grouped = spark.read.option("header", "true").option("sep", "\t").csv(path)
+      .groupBy(col("Family ID").as("idx"))
+      // the reference asserts one family name per id; min() makes the pick
+      // deterministic if a dump ever violates that
+      .agg(min(col("Family name")).as("defaultLabel"),
+        collect_set(col("Family alias")).as("aliases"),
+        collect_set(col("Common root gene symbol")).as("roots"))
+    val labelRows = grouped.select(col("idx"), col("defaultLabel"),
+      col("defaultLabel").as("syn"), lit("Family name").as("mappingType"))
+    val aliasRows = grouped.select(col("idx"), col("defaultLabel"),
+      explode(col("aliases")).as("syn"), lit("Family alias").as("mappingType"))
+    val rootRows = grouped.select(col("idx"), col("defaultLabel"),
+      explode(col("roots")).as("syn"), lit("Common root gene symbol").as("mappingType"))
+    labelRows.union(aliasRows).union(rootRows)
+      .where(col("idx").isNotNull && col("syn").isNotNull && length(col("syn")) > 0)
+      .select(
+        lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
+        col("idx"), col("defaultLabel"), col("syn"), col("mappingType"),
+        lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
   }
 
   /** Meddra release source: '$'-separated headerless mdhier.asc + llt.asc

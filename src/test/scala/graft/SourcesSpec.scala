@@ -202,6 +202,130 @@ class SourcesSpec extends AnyFunSuite {
     assert(term.aggregatedBy == graft.core.AggStrategy.RESOLVED_BY_XREF)
   }
 
+  test("obo namespace filter keeps only the requested GO namespace") {
+    val dir = Files.createTempDirectory("obo_ns")
+    Files.writeString(dir.resolve("go.obo"),
+      """[Term]
+        |id: GO:1
+        |name: kinase activity
+        |namespace: molecular_function
+        |
+        |[Term]
+        |id: GO:2
+        |name: mitosis
+        |namespace: biological_process
+        |
+        |[Term]
+        |id: GO:3
+        |name: nucleus
+        |namespace: cellular_component
+        |""".stripMargin)
+    val bp = OntologySources.readObo(spark, dir.toString + "/go.obo", "go_bp", "bp",
+      namespaceFilter = Some("biological_process")).collect()
+    assert(bp.map(_.idx).toSet == Set("GO:2"))
+    val mf = OntologySources.readObo(spark, dir.toString + "/go.obo", "go_mf", "mf",
+      namespaceFilter = Some("molecular_function")).collect()
+    assert(mf.map(_.idx).toSet == Set("GO:1"))
+    val all = OntologySources.readObo(spark, dir.toString + "/go.obo", "go", "go").collect()
+    assert(all.map(_.idx).toSet == Set("GO:1", "GO:2", "GO:3"))
+  }
+
+  test("MONDO json-graph reader: uri filter, lbl requirement, exact synonyms only") {
+    val dir = Files.createTempDirectory("mondo_json")
+    Files.writeString(dir.resolve("mondo.json"),
+      """{"graphs":[{"nodes":[
+        |{"id":"http://purl.obolibrary.org/obo/MONDO_0000001","lbl":"lung cancer",
+        | "meta":{"synonyms":[{"pred":"hasExactSynonym","val":"pulmonary cancer"},
+        |                     {"pred":"hasRelatedSynonym","val":"chest disease"}]}},
+        |{"id":"http://purl.obolibrary.org/obo/MONDO_0000002","lbl":"influenza"},
+        |{"id":"http://purl.obolibrary.org/obo/NOT_0000003","lbl":"wrong namespace"},
+        |{"id":"http://purl.obolibrary.org/obo/MONDO_0000004"}]}]}
+        |""".stripMargin)
+    val rows = OntologySources.readMondoJson(
+      spark, dir.toString + "/mondo.json", "mondo_p", "disease").collect()
+    val m1 = rows.filter(_.idx.endsWith("MONDO_0000001"))
+    assert(m1.length == 2) // lbl row + exact synonym; related synonym excluded
+    assert(m1.exists(r => r.syn == "lung cancer" && r.mappingType == "lbl"))
+    assert(m1.exists(r => r.syn == "pulmonary cancer" && r.mappingType == "hasExactSynonym"))
+    assert(!rows.exists(_.syn == "chest disease"))
+    assert(rows.count(_.idx.endsWith("MONDO_0000002")) == 1)
+    assert(!rows.exists(_.idx.contains("NOT_"))) // uri regex filter
+    assert(!rows.exists(_.idx.endsWith("MONDO_0000004"))) // no lbl -> skipped
+  }
+
+  test("HGNC complete-set reader: scalar and array synonym keys, skip rules") {
+    val dir = Files.createTempDirectory("hgnc_json")
+    Files.writeString(dir.resolve("hgnc.json"),
+      """{"response":{"docs":[
+        |{"ensembl_gene_id":"ENSG0001","name":"BRCA1 gene","symbol":"BRCA1",
+        | "alias_symbol":["RNF53","BRCC1"],"hgnc_id":"HGNC:1100","ignored_key":"x"},
+        |{"name":"no ensembl id, skipped"},
+        |{"ensembl_gene_id":"ENSG0002","symbol":"no name, skipped"}
+        |]}}
+        |""".stripMargin)
+    val rows = OntologySources.readHgncJson(
+      spark, dir.toString + "/hgnc.json", "hgnc_p", "gene").collect()
+    assert(rows.map(_.idx).toSet == Set("ENSG0001"))
+    assert(rows.forall(_.defaultLabel == "BRCA1 gene"))
+    // name itself is a synonym key (reference keys_to_check includes it)
+    assert(rows.map(r => (r.syn, r.mappingType)).toSet == Set(
+      ("BRCA1 gene", "name"), ("BRCA1", "symbol"),
+      ("RNF53", "alias_symbol"), ("BRCC1", "alias_symbol"), ("HGNC:1100", "hgnc_id")))
+  }
+
+  test("HGNC gene-family reader groups aliases and root symbols per family") {
+    val dir = Files.createTempDirectory("hgnc_fam")
+    Files.writeString(dir.resolve("families.tsv"),
+      "Family ID\tFamily name\tFamily alias\tCommon root gene symbol\n" +
+        "100\tZinc fingers\tZNF family\tZNF\n" +
+        "100\tZinc fingers\tZn fingers\t\n" +
+        "200\tKinases\t\tKIN\n")
+    val rows = OntologySources.readHgncGeneFamilies(
+      spark, dir.toString + "/families.tsv", "fam_p", "gene_family").collect()
+    val f100 = rows.filter(_.idx == "100")
+    assert(f100.map(r => (r.syn, r.mappingType)).toSet == Set(
+      ("Zinc fingers", "Family name"), ("ZNF family", "Family alias"),
+      ("Zn fingers", "Family alias"), ("ZNF", "Common root gene symbol")))
+    val f200 = rows.filter(_.idx == "200")
+    assert(f200.map(r => (r.syn, r.mappingType)).toSet == Set(
+      ("Kinases", "Family name"), ("KIN", "Common root gene symbol")))
+  }
+
+  test("MONDO + HGNC dumps feed the gazetteer and the pipeline links from them") {
+    import graft.core.MentionConfidence
+    import graft.gazetteer.{Behaviour, Curation}
+    import graft.run.{Artifacts, KgPipeline, Stages}
+    val dir = Files.createTempDirectory("mondo_hgnc_e2e")
+    Files.writeString(dir.resolve("mondo.json"),
+      """{"graphs":[{"nodes":[
+        |{"id":"http://purl.obolibrary.org/obo/MONDO_0000001","lbl":"lung cancer",
+        | "meta":{"synonyms":[{"pred":"hasExactSynonym","val":"pulmonary cancer"}]}}]}]}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("hgnc.json"),
+      """{"response":{"docs":[
+        |{"ensembl_gene_id":"ENSG0001","name":"BRCA1 gene","symbol":"BRCA1"}]}}
+        |""".stripMargin)
+    val rows =
+      OntologySources.readMondoJson(spark, dir.toString + "/mondo.json", "mondo_p", "disease").collect() ++
+        OntologySources.readHgncJson(spark, dir.toString + "/hgnc.json", "hgnc_p", "gene").collect()
+    val curations = Seq(("mondo_p", "pulmonary cancer"), ("hgnc_p", "BRCA1")).map {
+      case (parser, syn) => Curation(parser, syn, MentionConfidence.HIGHLY_LIKELY,
+        Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, None, None)
+    }
+    val gaz = GazetteerBuilder.buildLocal(rows.toSeq, curations)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(gaz))
+    import spark.implicits._
+    val corpus = Seq(("r", "p", "c", "txt",
+      "the pulmonary cancer cohort was screened for BRCA1 variants"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val docs = Stages.ingest(corpus)(spark)
+    val triples = KgPipeline.triples(docs, bc).collect()
+    assert(triples.exists(t => t.obj == "MONDO_0000001" && t.pred == "denotes:disease"),
+      triples.mkString(";"))
+    assert(triples.exists(t => t.obj == "ENSG0001" && t.pred == "denotes:gene"),
+      triples.mkString(";"))
+  }
+
   test("Meddra SOC extras ride into IdMeta and Mapping metadata") {
     val dir = Files.createTempDirectory("meddra_x")
     Files.writeString(dir.resolve("mdhier.asc"),
