@@ -71,6 +71,13 @@ object CorpusGen {
   /** Linking-only term (never NER'd). */
   val LinkOnlySyn = "cluster manager service"
 
+  /** Distinguishing synonym for the 'ray' ambiguity's SECOND sense —
+    * without it, no context can ever resolve toward FW_0011, so the
+    * TfIdfContext strategy would be structurally untestable end to end.
+    * Kept out of [[plainTerms]] so the standard corpus's rng draws (and
+    * hence the gold oracles) are unchanged. */
+  val RayTracingSyn = "ray tracing toolkit"
+
   def ontologyRows: Seq[OntologyRow] = {
     val base = (plainTerms ++ ambiguousTerm).map { case (syn, parser, idx, label) =>
       val cls = if (parser == AlgoParser) "algorithm" else "framework"
@@ -78,7 +85,8 @@ object CorpusGen {
     }
     base ++ Seq(
       OntologyRow(FwParser, "framework", FlinkId, "Flink Engine", "Flink", "name", "gen-v1"),
-      OntologyRow(FwParser, "framework", fwId(3), "Hadoop Platform", LinkOnlySyn, "syn", "gen-v1"))
+      OntologyRow(FwParser, "framework", fwId(3), "Hadoop Platform", LinkOnlySyn, "syn", "gen-v1"),
+      OntologyRow(FwParser, "framework", fwId(11), "Ray Tracing Library", RayTracingSyn, "syn", "gen-v1"))
   }
 
   def curations: Seq[Curation] = {
@@ -90,7 +98,9 @@ object CorpusGen {
       Curation(FwParser, "Flink", MentionConfidence.HIGHLY_LIKELY,
         Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = true, None, None),
       Curation(FwParser, LinkOnlySyn, MentionConfidence.PROBABLE,
-        Behaviour.ADD_FOR_LINKING_ONLY, caseSensitive = false, None, None))
+        Behaviour.ADD_FOR_LINKING_ONLY, caseSensitive = false, None, None),
+      Curation(FwParser, RayTracingSyn, MentionConfidence.HIGHLY_LIKELY,
+        Behaviour.ADD_FOR_NER_AND_LINKING, caseSensitive = false, None, None))
   }
 
   lazy val gazetteer: Gazetteer = GazetteerBuilder.buildLocal(ontologyRows, curations)
@@ -131,6 +141,106 @@ object CorpusGen {
   /** Per-index generation (pure, executor-side parallelizable). */
   def generateOne(i: Int, seed: Long = 42L): GenDoc =
     generateDoc(i, new Rng(seed + i * 7919L))
+
+  /** Adversarial acceptance corpus — SEPARATE from the standard corpus
+    * (the driver's gold oracles require pipeline == gold on standard
+    * docs; these docs deliberately include cases the pipeline is EXPECTED
+    * to get wrong, so the acceptance gate sits strictly below 1.0 and any
+    * cascade-strategy regression moves it). Gold here is the planted
+    * TRUTH, not the pipeline's expected output:
+    *  - A1 (40%): ambiguous 'ray' + a 'ray tracing toolkit' co-mention —
+    *    resolvable only through the cascade's doc-context disambiguation
+    *    (DefinedElsewhere / TfIdfContext); gold = FW_0011. A regression
+    *    in either strategy turns 40%% of these docs into linking FNs.
+    *  - A2 (5%): 'ray' meaning the tracing library with NO disambiguating
+    *    context — truth exists (gold triple FW_0011) but no strategy can
+    *    recover it: a PLANNED linking FN that keeps recall < 1.0.
+    *  - A3 (10%): prose 'sort' ("sort of") — truth: not an algorithm
+    *    mention; dictionary NER necessarily tags it: a PLANNED precision
+    *    hit that keeps precision < 1.0.
+    *  - A4 (20%): case trap — 'Flink' (TP) + 'FLINK' (must NOT match;
+    *    a case-sensitivity regression turns each into an FP).
+    *  - A5 (25%): plain unambiguous plants (kafka, binary search).
+    */
+  def generateAdversarial(n: Int, seed: Long = 4242L): Seq[GenDoc] =
+    (0 until n).map(i => generateAdversarialDoc(i, new Rng(seed + i * 104729L)))
+
+  private def generateAdversarialDoc(i: Int, rng: Rng): GenDoc = {
+    val repo = "org/adversarial"
+    val path = s"advsrc/pkg${i % 7}/Case_$i.txt"
+    val commit = sha256(s"$repo|$path").substring(0, 40)
+    val docId = sha256(s"$repo|$path|$commit")
+
+    val sb = new StringBuilder
+    val gold = scala.collection.mutable.ArrayBuffer.empty[GoldMention]
+    val goldTriples = scala.collection.mutable.ArrayBuffer.empty[GoldTriple]
+
+    def pad(k: Int): Unit = {
+      var j = 0
+      while (j < k) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(filler(rng.nextInt(filler.length)))
+        j += 1
+      }
+    }
+    def plant(text: String): (Int, Int) = {
+      if (sb.nonEmpty) sb.append(' ')
+      val start = sb.length
+      sb.append(text)
+      (start, sb.length)
+    }
+    def plantGold(syn: String, cls: String, idx: String, parser: String): Unit = {
+      val (s, e) = plant(syn)
+      gold += GoldMention(docId, s, e, cls, syn)
+      goldTriples += GoldTriple(docId, s, e, cls, stripped(idx), sourceOf(parser, idx))
+    }
+
+    (i % 20) match {
+      case p if p <= 7 => // A1: cascade-resolvable ambiguity
+        pad(3 + rng.nextInt(3))
+        val (s1, e1) = plant("ray")
+        gold += GoldMention(docId, s1, e1, "framework", "ray")
+        goldTriples += GoldTriple(docId, s1, e1, "framework",
+          stripped(fwId(11)), sourceOf(FwParser, fwId(11)))
+        pad(4 + rng.nextInt(3))
+        plantGold(RayTracingSyn, "framework", fwId(11), FwParser)
+        pad(3)
+
+      case 8 => // A2: truth without recoverable context -> planned FN
+        pad(4 + rng.nextInt(3))
+        val (s1, e1) = plant("ray")
+        gold += GoldMention(docId, s1, e1, "framework", "ray")
+        goldTriples += GoldTriple(docId, s1, e1, "framework",
+          stripped(fwId(11)), sourceOf(FwParser, fwId(11)))
+        pad(4)
+
+      case 9 | 10 => // A3: prose 'sort' -> planned FP (no gold)
+        pad(2 + rng.nextInt(3))
+        plant("sort")
+        sb.append(" of")
+        pad(4 + rng.nextInt(3))
+
+      case p if p <= 14 => // A4: case trap
+        pad(3)
+        val (s1, e1) = plant("Flink")
+        gold += GoldMention(docId, s1, e1, "framework", "Flink")
+        goldTriples += GoldTriple(docId, s1, e1, "framework",
+          stripped(FlinkId), sourceOf(FwParser, FlinkId))
+        pad(3)
+        plant("FLINK") // must NOT match (case-sensitive curation)
+        pad(2)
+
+      case _ => // A5: plain unambiguous plants
+        pad(2 + rng.nextInt(3))
+        plantGold("kafka", "framework", fwId(4), FwParser)
+        pad(3 + rng.nextInt(3))
+        plantGold("binary search", "algorithm", algoId(4), AlgoParser)
+        pad(2)
+    }
+
+    GenDoc(DocRow(repo, path, commit, "txt", sb.toString),
+      gold.toSeq, goldTriples.toSeq, quarantined = false)
+  }
 
   private def generateDoc(i: Int, rng: Rng): GenDoc = {
     val repo = if (i % 5 == 0) "org/mono" else f"org/proj-${i % 37}%06d" // planted skew: hot repo

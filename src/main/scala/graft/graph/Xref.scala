@@ -275,17 +275,32 @@ object ConnectedComponents {
       edges: DataFrame,
       maxIter: Int = 30,
       targetEdgesPerTask: Int = 1000000,
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      checkpoint: Option[graft.run.Checkpointer] = None,
+      checkpointPrefix: String = "cc_uf"
   ): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = edges.select(col("src"), col("dst"))
-      .as[(String, String)]
-      .filter((t: (String, String)) => t._1 != t._2)
-      .map((t: (String, String)) => if (t._1 < t._2) t else t.swap)
-      .toDF("src", "dst")
-      .distinct()
-      .localCheckpoint(true)
+    // resumability (north rule): with a Checkpointer, every round's
+    // contracted edge set commits to the checkpoint table (parquet +
+    // per-partition lineage rows); a killed job re-reads committed rounds
+    // instead of recomputing them, and since each round is a pure function
+    // of the previous committed set, the resumed run converges to the
+    // identical components (CheckpointSpec kills after round k and proves
+    // it). Without one, rounds localCheckpoint as before (in-memory
+    // lineage truncation only).
+    def persistRound(name: String)(df: => DataFrame): DataFrame = checkpoint match {
+      case Some(cp) => cp.stageDf(s"${checkpointPrefix}_$name")(df)
+      case None => df.localCheckpoint(true)
+    }
+    var e = persistRound("init") {
+      edges.select(col("src"), col("dst"))
+        .as[(String, String)]
+        .filter((t: (String, String)) => t._1 != t._2)
+        .map((t: (String, String)) => if (t._1 < t._2) t else t.swap)
+        .toDF("src", "dst")
+        .distinct()
+    }
 
     // set fingerprint: bit_xor is order-independent and overflow-free, and
     // the per-round edge set is distinct so no xor-cancellation is possible
@@ -306,7 +321,7 @@ object ConnectedComponents {
         else math.min(
           spark.sparkContext.defaultParallelism * 2,
           (2 * prev._1 / targetEdgesPerTask).toInt + 1)
-      val contracted = e.as[(String, String)]
+      val contracted = persistRound(s"round_$iter") { e.as[(String, String)]
         .flatMap { case (a, b) =>
           val pa = math.floorMod(a.hashCode, p)
           val pb = math.floorMod(b.hashCode, p)
@@ -345,7 +360,7 @@ object ConnectedComponents {
         // persist forever (two partitions keep re-emitting the same edges)
         // and keep the edge set ~2x larger every round
         .distinct()
-        .localCheckpoint(true)
+      }
 
       val cur = sig(contracted)
       converged = p == 1 || cur == prev
@@ -361,9 +376,11 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter union-find rounds")
 
-    e.select(col("dst").as("id"), col("src").as("component"))
+    val comps = e.select(col("dst").as("id"), col("src").as("component"))
       .union(e.select(col("src").as("id"), col("src").as("component")))
       .distinct()
+    checkpoint.map(cp => cp.stageDf(s"${checkpointPrefix}_components")(comps))
+      .getOrElse(comps)
   }
 
   /** Canonicalize triple objects: map each obj to its component

@@ -20,11 +20,16 @@ class AcceptanceSpec extends AnyFunSuite {
   import spark.implicits._
 
   val nDocs = sys.env.getOrElse("GRAFT_ACCEPT_DOCS", "300").toInt
+  val nAdv = sys.env.getOrElse("GRAFT_ACCEPT_ADV_DOCS", "100").toInt
   // per-class gates from config, like the reference model pack's
   // acceptance_criteria.json (acceptance_test.py:26-29)
   val criteria = graft.run.AcceptanceCriteria.load(
     sys.env.getOrElse("GRAFT_ACCEPT_CRITERIA", "src/test/resources/acceptance_criteria.json"))
-  lazy val gen = CorpusGen.generate(nDocs)
+  // standard corpus + the adversarial corpus: the latter plants planned
+  // failures (unresolvable ambiguity, prose 'sort') and cascade-dependent
+  // successes, so the gate sits strictly inside (0.95, 1.0) and a
+  // regression in any cascade strategy moves it below the gate
+  lazy val gen = CorpusGen.generate(nDocs) ++ CorpusGen.generateAdversarial(nAdv)
   lazy val result: (Seq[DocMentions], Seq[Doc]) = {
     val corpus = spark.createDataset(gen.map(_.row)).toDF()
     val docs = Stages.ingest(corpus)(spark)
@@ -67,6 +72,11 @@ class AcceptanceSpec extends AnyFunSuite {
       assert(r >= gate.recall, s"NER recall for $cls below gate: $r")
     }
     assert(perClass.nonEmpty)
+    // the corpus must exert real pressure: a uniform 1.00 would mean the
+    // gate can't detect regressions (planned FPs come from the prose
+    // 'sort' adversarial pattern)
+    assert(perClass.values.exists { case (_, fp, fn) => fp > 0 || fn > 0 },
+      "acceptance corpus exerts no NER pressure (all P/R exactly 1.0)")
   }
 
   test("linking P/R >= 0.95 per entity class (per-source id sets)") {
@@ -99,6 +109,36 @@ class AcceptanceSpec extends AnyFunSuite {
       assert(r >= gate.recall, s"linking recall for $cls below gate: $r")
     }
     assert(perClass.nonEmpty)
+    // planned linking failures (context-free ambiguous 'ray', prose
+    // 'sort') keep at least one class strictly below 1.0
+    assert(perClass.values.exists { case (_, fp, fn) => fp > 0 || fn > 0 },
+      "acceptance corpus exerts no linking pressure (all P/R exactly 1.0)")
+  }
+
+  test("adversarial ambiguity resolves through the cascade's disambiguation strategies") {
+    val (annotated, _) = result
+    val byDoc = annotated.map(dm => dm.docId -> dm).toMap
+    val advA1 = CorpusGen.generateAdversarial(nAdv).zipWithIndex
+      .filter(_._2 % 20 <= 7).map(_._1)
+    assert(advA1.nonEmpty)
+    var resolved = 0
+    val strategies = scala.collection.mutable.Set.empty[String]
+    for (g <- advA1) {
+      val docId = CorpusGen.sha256(s"${g.row.repo}|${g.row.path}|${g.row.commit}")
+      for {
+        m <- byDoc(docId).mentions if m.matchText.equalsIgnoreCase("ray")
+        mp <- m.mappings if mp.idx.endsWith("FW_0011")
+      } {
+        resolved += 1
+        mp.disambiguationStrategy.foreach(strategies += _)
+      }
+    }
+    // every A1 doc's bare 'ray' must resolve to the tracing library, and
+    // only a doc-context disambiguation strategy can have done it — a
+    // regression in the cascade zeroes `resolved` and trips the P/R gates
+    assert(resolved >= advA1.size, s"resolved=$resolved of ${advA1.size}")
+    assert(strategies.nonEmpty && strategies.subsetOf(Set("DefinedElsewhere", "TfIdfContext")),
+      strategies.toString)
   }
 
   test("triple spans slice back to their mention text") {
@@ -122,7 +162,7 @@ class AcceptanceSpec extends AnyFunSuite {
     for (dm <- annotated) assert(dm.contentSha == expectedSha(dm.docId))
     // nothing lost except quarantined
     val quarantined = gen.count(_.quarantined)
-    assert(annotated.size == nDocs - quarantined)
+    assert(annotated.size == nDocs + nAdv - quarantined)
   }
 
   test("a doc whose fold throws is captured row-granular, not task-fatal") {

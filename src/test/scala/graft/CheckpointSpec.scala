@@ -60,4 +60,44 @@ class CheckpointSpec extends AnyFunSuite {
     assert(computed == 1) // only the invalidated stage recomputed
     assert(second == first)
   }
+
+  test("union-find CC killed mid-run resumes from committed rounds to identical components") {
+    import org.apache.spark.sql.functions._
+    // chain of 200 nodes + some stars: needs several contraction rounds
+    val chain = (0 until 199).map(i => (f"n$i%04d", f"n${i + 1}%04d"))
+    val stars = (0 until 50).map(i => (f"s$i%03d", "hub"))
+    val edges = spark.createDataset(chain ++ stars).toDF("src", "dst")
+      .repartition(4)
+
+    val expected = graft.graph.ConnectedComponents.runUnionFind(edges, targetEdgesPerTask = 20)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    // first run "dies" after a couple of rounds (maxIter cap throws the
+    // non-convergence guard — the same state a killed job leaves behind:
+    // committed init + early rounds, nothing after)
+    val dir = Files.createTempDirectory("graft_ckpt_cc").toString
+    val ckpt = new Checkpointer(spark, dir)
+    intercept[IllegalStateException] {
+      graft.graph.ConnectedComponents.runUnionFind(edges, maxIter = 2,
+        targetEdgesPerTask = 20, checkpoint = Some(ckpt))
+    }
+    assert(ckpt.isCommitted("cc_uf_init") && ckpt.isCommitted("cc_uf_round_0"))
+    assert(!ckpt.isCommitted("cc_uf_components"))
+
+    // resume: committed rounds are read back, later rounds continue from
+    // them. Passing a SABOTAGED edge input proves the committed init is
+    // what's actually used — the result must still match the original
+    // graph's components.
+    val sabotaged = spark.createDataset(Seq(("x", "y"))).toDF("src", "dst")
+    val resumed = graft.graph.ConnectedComponents.runUnionFind(sabotaged,
+      targetEdgesPerTask = 20, checkpoint = Some(ckpt))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(resumed == expected)
+    assert(ckpt.isCommitted("cc_uf_components"))
+
+    // per-round lineage rows exist for the committed contraction rounds
+    val stages = ckpt.lineage().select(col("stage")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stages.contains("cc_uf_init") && stages.contains("cc_uf_round_0"))
+  }
 }
