@@ -247,7 +247,86 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** Dedup/ANN pressure tier (round-3 stretch): million-row synthetic
+    * corpora with PLANTED near-duplicate clusters — the regime where the
+    * LSH bucket caps, re-banding, posting-list df caps, and adaptive
+    * block counts actually fire — timed end to end with pairs/s and
+    * rows/s published. Corpus generates executor-side (pure per-index
+    * functions), never on the driver. */
+  def dedupStress(nDocs: Int, nVecs: Int, cores: Int): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.ops.{Dedup, Hashing, Similarity}
+
+    def time(name: String, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val pairs = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"""{"metric":"dedup_stress","op":"$name","rows":$rows,"cores":$cores,""" +
+        s""""sec":$dt,"rows_per_sec":${(rows / dt).toLong},"pairs":$pairs,""" +
+        s""""pairs_per_sec":${(pairs / dt).toLong}}""")
+    }
+
+    // text: 50-word docs in clusters of 8 near-dups (one mutated word per
+    // member) — every cluster floods its LSH buckets together
+    val docs = spark.range(nDocs).repartition(cores * 4).as[Long].mapPartitions(_.map { i =>
+      val cluster = i / 8
+      val sb = new StringBuilder
+      var w = 0
+      while (w < 50) {
+        if (sb.nonEmpty) sb.append(' ')
+        if (w == (i % 50).toInt) sb.append(s"mut$i")
+        else sb.append("w" + (Hashing.mix(cluster * 1315423911L + w) & 0xffffffL))
+        w += 1
+      }
+      (i, sb.toString)
+    }).toDF("id", "text").cache()
+    docs.count()
+
+    time("minhash_lsh", nDocs) { Dedup.minhashLsh(docs, "id", "text", threshold = 0.5).count() }
+    time("simhash", nDocs) { Dedup.simhashPairs(docs, "id", "text", maxHamming = 6).count() }
+    time("ngram_jaccard", nDocs) {
+      Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.5, maxShingleDf = 200).count()
+    }
+    docs.unpersist()
+
+    // embeddings: clusters of 4 near-identical vectors (small component
+    // perturbations keep cosine ~0.999)
+    val vecs = spark.range(nVecs).repartition(cores * 4).as[Long].map { i =>
+      val base = i / 4
+      val arr = Array.tabulate(64)(d =>
+        (Hashing.mix(base * 131L + d).toDouble / Long.MaxValue).toFloat)
+      if (i % 4 != 0) { val j = (i % 64).toInt; arr(j) += 0.01f * (i % 3 + 1) }
+      (i, arr)
+    }.toDF("id", "embedding").cache()
+    vecs.count()
+
+    time("embed_near_dup_lsh", nVecs) {
+      Similarity.embeddingNearDup(vecs, dim = 64, threshold = 0.98).count()
+    }
+    time("ann_ivf_rel", nVecs) {
+      val (centroids, assignments) = Similarity.ivfAssign(vecs, numCells = 64)
+      val queries = vecs.filter(org.apache.spark.sql.functions.col("id") < 1024)
+        .select(org.apache.spark.sql.functions.col("id").as("qid"),
+          org.apache.spark.sql.functions.col("embedding"))
+      Similarity.ivfTopKDf(vecs, centroids, assignments, queries, k = 10, nProbe = 8).count()
+    }
+    vecs.unpersist()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup")) {
+      dedupStress(
+        args.lift(1).map(_.toInt).getOrElse(1000000),
+        args.lift(2).map(_.toInt).getOrElse(500000),
+        args.lift(3).map(_.toInt).getOrElse(32))
+      return
+    }
     if (args.headOption.contains("cc")) {
       ccStress(
         args.lift(1).map(_.toInt).getOrElse(500000),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,22 +84,16 @@ object Dedup {
     import spark.implicits._
 
     // ids flow as strings so both numeric and sha/hex doc ids work
-    val sigs = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+    val docsKeys = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .as[(String, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val sh = Hashing.wordShingles(text, shingleSize)
-          (id, minhashSignature(sh, numHashes))
+          (id, minhashBandKeys(minhashSignature(sh, numHashes), bands, rows))
         }
       }
-      .toDF("id", "sig")
 
-    val banded = sigs.as[(String, Array[Long])].flatMap { case (id, sig) =>
-      val keys = minhashBandKeys(sig, bands, rows)
-      (0 until bands).iterator.map(b => (b, keys(b), id, keys))
-    }.toDF("band", "bucket", "id", "keys")
-
-    val pairs = bucketPairs(banded, maxBucketSize)
+    val pairs = bucketPairsThin(docsKeys, bands, maxBucketSize)
 
     verifyJaccard(df, idCol, textCol, pairs, shingleSize, threshold)
   }
@@ -154,34 +148,86 @@ object Dedup {
     }
   }
 
-  /** Candidate pairs from (band, bucket, id, keys) rows: one shuffle on
-    * (band, bucket), then [[splitBucketPairs]] per group. Oversized
-    * buckets are counted in the `graft.dedup.oversizedBuckets`
-    * accumulator and logged per-task — re-banded loudly, never silently.
+  /** Candidate pairs from per-doc band-key arrays, in two phases:
+    *
+    *  1. a THIN (band, bucket, id) shuffle — 24 bytes/row — emits all
+    *     pairs for buckets within the cap (the overwhelmingly common
+    *     case); oversized buckets are detected beforehand by a partial-
+    *     aggregated count whose shuffle is one row per bucket.
+    *  2. only members of the (rare) oversized buckets are re-derived WITH
+    *     their key arrays and handled by [[splitBucketPairs]] (min-id
+    *     star + recursive re-banding).
+    *
+    * The full key array never rides the wide shuffle — at 16 bands it
+    * would multiply the banded payload ~8x — at the price of recomputing
+    * the narrow, embarrassingly-parallel signature stage for the counting
+    * pass: executor CPU scales with the cluster; shuffle bytes are what
+    * does not. Oversized buckets are counted in the
+    * `graft.dedup.oversizedBuckets` accumulator and logged — re-banded
+    * loudly, never silently.
     */
-  private[ops] def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val spark = banded.sparkSession
+  private[ops] def bucketPairsThin(
+      docsKeys: Dataset[(String, Array[Long])],
+      bands: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
+    val spark = docsKeys.sparkSession
     import spark.implicits._
-    val oversized = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets")
-    banded.select(col("band").cast("int"), col("bucket").cast("long"),
-        col("id").cast("string"), col("keys"))
-      .as[(Int, Long, String, Array[Long])]
-      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
-      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, String, Array[Long])]) =>
-        val members = it.map(r => (r._3, r._4)).toArray
-        if (members.length <= 1) Iterator.empty
-        else splitBucketPairs(members, key._1, maxBucketSize, { sz =>
-          oversized.add(1L)
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"oversized LSH bucket $key: $sz ids > cap $maxBucketSize; star + re-band")
-        })
+    val oversizedAcc = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets")
+    def thin = docsKeys.flatMap { case (id, keys) =>
+      (0 until bands).iterator.map(b => (b, keys(b), id))
+    }
+    val oversized = thin.toDF("band", "bucket", "id")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+      .select(col("band").cast("int"), col("bucket").cast("long"))
+      .as[(Int, Long)].collect().toSet
+    if (oversized.nonEmpty) {
+      oversizedAcc.add(oversized.size.toLong)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"${oversized.size} oversized LSH buckets > cap $maxBucketSize; star + re-band phase scheduled")
+    }
+    val bcOver = spark.sparkContext.broadcast(oversized)
+
+    val small = thin
+      .filter((t: (Int, Long, String)) => !bcOver.value.contains((t._1, t._2)))
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, String)]) =>
+        val ids = it.map(_._3).toArray
+        if (ids.length <= 1) Iterator.empty
+        else {
+          java.util.Arrays.sort(ids, Ordering.String)
+          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+            yield (ids(i), ids(j))
+        }
       }
       .toDF("id_a", "id_b")
-      .distinct()
+
+    val big =
+      if (oversized.isEmpty) small.limit(0)
+      else docsKeys
+        .flatMap { case (id, keys) =>
+          (0 until bands).iterator
+            .filter(b => bcOver.value.contains((b, keys(b))))
+            .map(b => (b, keys(b), id, keys))
+        }
+        .groupByKey { case (b, k, _, _) => (b, k) }
+        .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, String, Array[Long])]) =>
+          val members = it.map(r => (r._3, r._4)).toArray
+          splitBucketPairs(members, key._1, maxBucketSize, _ => ())
+        }
+        .toDF("id_a", "id_b")
+
+    small.union(big).distinct()
   }
 
   /** Join candidate pairs back to texts and keep those with exact shingle
-    * Jaccard >= threshold. Broadcast-friendly when candidates are small. */
+    * Jaccard >= threshold. A near-dup doc appears in MANY candidate pairs
+    * (a cluster of k contributes ~k spokes/pairs), so each task memoizes
+    * its docs' sorted shingle sets in a bounded LRU (the house
+    * per-partition-memo pattern, cf. run/KgPipeline linkMemo) instead of
+    * re-shingling per pair; the Jaccard itself is a merge scan over the
+    * sorted arrays — no boxed sets. */
   def verifyJaccard(
       df: DataFrame,
       idCol: String,
@@ -198,8 +244,23 @@ object Dedup {
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
       .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
       .as[(String, String, String, String)]
-    joined.map { case (a, b, ta, tb) =>
-      (a, b, Hashing.jaccard(Hashing.wordShingles(ta, shingleSize), Hashing.wordShingles(tb, shingleSize)))
+    joined.mapPartitions { it =>
+      val memo = new java.util.LinkedHashMap[String, Array[Long]](1024, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+          size > 8192
+      }
+      def shingles(id: String, text: String): Array[Long] = {
+        val cached = memo.get(id)
+        if (cached != null) cached
+        else {
+          val s = Hashing.sortedDistinct(Hashing.wordShingles(text, shingleSize))
+          memo.put(id, s)
+          s
+        }
+      }
+      it.map { case (a, b, ta, tb) =>
+        (a, b, Hashing.jaccardSorted(shingles(a, ta), shingles(b, tb)))
+      }
     }.toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= threshold)
   }

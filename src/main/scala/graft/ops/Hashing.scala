@@ -29,22 +29,61 @@ object Hashing {
   def words(text: String): Array[String] =
     text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
-  /** Hashed word n-gram shingles (the dedup unit). */
+  /** Hashed word n-gram shingles (the dedup unit). The hash of a shingle
+    * is fnv1a64 of the space-joined words — computed char-by-char without
+    * materializing the joined string (same value, zero allocation per
+    * shingle; this is the hot inner loop of every dedup op). */
   def wordShingles(text: String, n: Int = 3): Array[Long] = {
     val ws = words(text)
+    def fnvJoin(from: Int, k: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var w = 0
+      while (w < k) {
+        if (w > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val s = ws(from + w)
+        var c = 0
+        while (c < s.length) { h ^= s.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+        w += 1
+      }
+      h
+    }
     if (ws.length < n) {
-      if (ws.isEmpty) Array.empty else Array(fnv1a64(ws.mkString(" ")))
-    } else
-      Array.tabulate(ws.length - n + 1)(i => fnv1a64(ws.slice(i, i + n).mkString(" ")))
+      if (ws.isEmpty) Array.empty else Array(fnvJoin(0, ws.length))
+    } else {
+      val out = new Array[Long](ws.length - n + 1)
+      var i = 0
+      while (i < out.length) { out(i) = fnvJoin(i, n); i += 1 }
+      out
+    }
   }
 
-  /** Exact Jaccard over hashed shingle sets. */
-  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+  /** Sorted distinct copy — the canonical set representation for
+    * allocation-free merge intersection. */
+  def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length <= 1) return a.clone()
+    val s = a.clone()
+    java.util.Arrays.sort(s)
+    var n = 1
+    var i = 1
+    while (i < s.length) { if (s(i) != s(n - 1)) { s(n) = s(i); n += 1 }; i += 1 }
+    java.util.Arrays.copyOf(s, n)
+  }
+
+  /** Exact Jaccard over two SORTED-DISTINCT shingle arrays: one merge
+    * scan, no boxing, no hash sets. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
-    val sa = a.toSet
-    val sb = b.toSet
-    val inter = sa.intersect(sb).size
-    val union = sa.size + sb.size - inter
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
     if (union == 0) 1.0 else inter.toDouble / union
   }
+
+  /** Exact Jaccard over hashed shingle multisets (set semantics). */
+  def jaccard(a: Array[Long], b: Array[Long]): Double =
+    jaccardSorted(sortedDistinct(a), sortedDistinct(b))
 }

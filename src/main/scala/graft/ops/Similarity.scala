@@ -448,16 +448,15 @@ object Similarity {
     // pruned) source instead of pinning an embedding table in storage
     val ds = corpus.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-    val banded = ds.flatMap { case (id, emb) =>
-      val keys = hyperplaneBandKeys(emb, bcPlanes.value, bands, rowsPerBand)
-      (0 until bands).iterator.map(b => (b, keys(b), id, keys))
-    }.toDF("band", "bucket", "id", "keys")
+    val docsKeys = ds.map { case (id, emb) =>
+      (id.toString, hyperplaneBandKeys(emb, bcPlanes.value, bands, rowsPerBand))
+    }
 
     // oversized buckets re-band recursively on the other bands' keys
     // (numeric ids sort identically under the zero-padding-free string sort
     // only within equal lengths, but pair membership — not order — is what
     // matters here; the exact-verify step below recomputes cosine anyway)
-    val pairs = Dedup.bucketPairs(banded, maxBucketSize)
+    val pairs = Dedup.bucketPairsThin(docsKeys, bands, maxBucketSize)
       .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"))
       .distinct()
