@@ -69,10 +69,11 @@ object GoldOracles {
 
   // ------------------------------------------------------------- oracles --
 
-  /** Expected rows of SparkEntry.dedupMinhashLsh. */
-  def dedupMinhashLsh(
+  /** Verified minhash-LSH pairs (string ids) with their exact Jaccard —
+    * the shared core of the minhash and clustering oracles. */
+  private def minhashVerifiedPairs(
       sfDir: String, numHashes: Int, bands: Int, shingleSize: Int,
-      threshold: Double, cap: Int): String = {
+      threshold: Double, cap: Int): Seq[(String, String, Double)] = {
     val rows = numHashes / bands
     val ds = readDocs(sfDir)
     val sh = ds.map { case (id, t) => id.toString -> Hashing.wordShingles(t, shingleSize) }.toMap
@@ -80,13 +81,48 @@ object GoldOracles {
       id.toString -> Dedup.minhashBandKeys(
         Dedup.minhashSignature(sh(id.toString), numHashes), bands, rows)
     }
-    val out = bucketedPairs(keys, bands, cap).toSeq
+    bucketedPairs(keys, bands, cap).toSeq
       .map { case (a, b) => (a, b, Hashing.jaccard(sh(a), sh(b))) }
       .filter(_._3 >= threshold)
+  }
+
+  /** Expected rows of SparkEntry.dedupMinhashLsh. */
+  def dedupMinhashLsh(
+      sfDir: String, numHashes: Int, bands: Int, shingleSize: Int,
+      threshold: Double, cap: Int): String = {
+    val out = minhashVerifiedPairs(sfDir, numHashes, bands, shingleSize, threshold, cap)
       .map { case (a, b, j) => val (x, y) = orderedLong(a, b); (x, y, j) }
       .sortBy(p => (p._1, p._2))
     valuesSql(Seq("id_a", "id_b", "jaccard"), out.map(p =>
       s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"))
+  }
+
+  /** Expected rows of SparkEntry.dedupClusters: local union-find over the
+    * verified pair set with lexicographic-min roots (the same root choice
+    * as ConnectedComponents.runUnionFind's union-by-min), every doc
+    * assigned (cluster_id, is_duplicate). */
+  def dedupClusters(
+      sfDir: String, numHashes: Int, bands: Int, shingleSize: Int,
+      threshold: Double, cap: Int): String = {
+    val pairs = minhashVerifiedPairs(sfDir, numHashes, bands, shingleSize, threshold, cap)
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = parent.getOrElse(x, x)
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, r); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b, _) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = readDocs(sfDir).map { case (id, _) =>
+      val cluster = find(id.toString).toLong
+      (id, cluster, id != cluster)
+    }.sortBy(_._1)
+    valuesSql(Seq("doc_id", "cluster_id", "is_duplicate"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), ${p._3})"))
   }
 
   /** Expected rows of SparkEntry.dedupSimhash. */

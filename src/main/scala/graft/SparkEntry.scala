@@ -178,6 +178,27 @@ object SparkEntry {
       .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"), col("hamming"))
 
+  /** Near-duplicate CLUSTERING — the op a curation pipeline actually ends
+    * with: minhash-LSH pairs (same parameters as `dedup_minhash_lsh`)
+    * become edges of the near-dup graph, connected components pick one
+    * canonical doc per cluster (lexicographic min id, the union-find
+    * root), and every doc gets (cluster_id, is_duplicate). Composes the
+    * LSH family with the distributed union-find — both independently
+    * oracled, and this composition carries its own gold-VALUES oracle. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = MhNumHashes, bands = MhBands, shingleSize = MhShingle,
+      threshold = MhThreshold, maxBucketSize = LshCap)
+    val comps = graft.graph.ConnectedComponents.runUnionFind(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    docs.select(col("doc_id").cast("string").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").cast("long").as("doc_id"),
+        coalesce(col("component"), col("id")).cast("long").as("cluster_id"))
+      .withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
+  }
+
   // -------------------------------------------------------- similarity ----
 
   private def embeddingsDf(spark: SparkSession, sfDir: String): DataFrame =
@@ -379,6 +400,7 @@ object SparkEntry {
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "ann_topk" -> annTopK,
     "ann_topk_rel" -> annTopKRel,
@@ -442,6 +464,8 @@ object SparkEntry {
     // (GoldOracles) — these check the distributed execution independently
     "kg_section_mentions" -> GoldOracles.kgSectionMentions(fullTriplesDocs(sfDir) / 2),
     "dedup_minhash_lsh" -> GoldOracles.dedupMinhashLsh(
+      sfDir, MhNumHashes, MhBands, MhShingle, MhThreshold, LshCap),
+    "dedup_clusters" -> GoldOracles.dedupClusters(
       sfDir, MhNumHashes, MhBands, MhShingle, MhThreshold, LshCap),
     "dedup_simhash" -> GoldOracles.dedupSimhash(sfDir, ShMaxHamming, LshCap),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(
