@@ -159,14 +159,18 @@ object GoldOracles {
   }
 
   /** Local replica of Similarity.ivfAssign: same init, same argmax, same
-    * exact-decimal means — bit-identical centroids by construction. */
+    * exact-decimal means, same training sample — bit-identical centroids
+    * by construction. */
   private[graft] def localIvfAssign(
-      vecs: Seq[(Long, Array[Float])], numCells: Int, iters: Int
+      vecs: Seq[(Long, Array[Float])], numCells: Int, iters: Int,
+      trainSampleMod: Int = 1
   ): (IndexedSeq[Array[Float]], Map[Long, Int]) = {
+    val train =
+      if (trainSampleMod <= 1) vecs else vecs.filter(_._1 % trainSampleMod == 0)
     var centroids: IndexedSeq[Array[Float]] =
-      vecs.sortBy(_._1).take(numCells).map(_._2).toIndexedSeq
+      train.sortBy(_._1).take(numCells).map(_._2).toIndexedSeq
     for (_ <- 0 until iters) {
-      val assigned = vecs.map { case (_, e) => (Similarity.nearestCell(e, centroids), e) }
+      val assigned = train.map { case (_, e) => (Similarity.nearestCell(e, centroids), e) }
       val dim = centroids.head.length
       val byCell = assigned.groupBy(_._1).map { case (cell, ms) =>
         val arr = new Array[Float](dim)
@@ -188,9 +192,10 @@ object GoldOracles {
   /** Expected rows of SparkEntry.annIvfTopK (probe-limited IVF with the
     * first `numQueries` vectors as queries). */
   def annIvfTopK(
-      sfDir: String, numCells: Int, nProbe: Int, k: Int, numQueries: Int): String = {
+      sfDir: String, numCells: Int, nProbe: Int, k: Int, numQueries: Int,
+      trainSampleMod: Int = 1): String = {
     val vecs = readEmbeddings(sfDir)
-    val (centroids, assign) = localIvfAssign(vecs, numCells, iters = 3)
+    val (centroids, assign) = localIvfAssign(vecs, numCells, iters = 3, trainSampleMod)
     val out = vecs.filter(_._1 < numQueries).sortBy(_._1).flatMap { case (qid, qv) =>
       val probes = centroids.indices
         .sortBy(c => -Similarity.cosine(qv, centroids(c))).take(nProbe).toSet

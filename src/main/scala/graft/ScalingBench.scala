@@ -309,7 +309,8 @@ object ScalingBench {
       Similarity.embeddingNearDup(vecs, dim = 64, threshold = 0.98).count()
     }
     time("ann_ivf_rel", nVecs) {
-      val (centroids, assignments) = Similarity.ivfAssign(vecs, numCells = 64)
+      val (centroids, assignments) =
+        Similarity.ivfAssign(vecs, numCells = 64, trainSampleMod = 16)
       val queries = vecs.filter(org.apache.spark.sql.functions.col("id") < 1024)
         .select(org.apache.spark.sql.functions.col("id").as("qid"),
           org.apache.spark.sql.functions.col("embedding"))

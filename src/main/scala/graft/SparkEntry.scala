@@ -148,6 +148,9 @@ object SparkEntry {
   private val IvfProbe = 4
   private val IvfK = 10
   private val IvfQueries = 5
+  // quantizer trains on the id%4 sample (assignment still covers every
+  // vector) — the production IVF shape; deterministic, mirrored in gold
+  private val IvfTrainMod = 4
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
@@ -232,7 +235,8 @@ object SparkEntry {
     * probe-limited variant (approximate by design) is `ann_ivf_topk`. */
   def annIvfRel(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embeddingsDf(spark, sfDir)
-    val (centroids, assignments) = Similarity.ivfAssign(emb, numCells = 8)
+    val (centroids, assignments) =
+      Similarity.ivfAssign(emb, numCells = 8, trainSampleMod = IvfTrainMod)
     val queries = emb.filter(col("id") < 5).select(col("id").as("qid"), col("embedding"))
     Similarity.ivfTopKDf(emb, centroids, assignments, queries, k = 10, nProbe = 8)
       .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
@@ -240,7 +244,8 @@ object SparkEntry {
 
   def annIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embeddingsDf(spark, sfDir)
-    val (centroids, assignments) = Similarity.ivfAssign(emb, numCells = IvfCells)
+    val (centroids, assignments) =
+      Similarity.ivfAssign(emb, numCells = IvfCells, trainSampleMod = IvfTrainMod)
     Similarity.ivfTopK(emb, centroids, assignments,
       queryVectors(spark, sfDir, IvfQueries), k = IvfK, nProbe = IvfProbe)
       .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
@@ -470,7 +475,8 @@ object SparkEntry {
     "dedup_simhash" -> GoldOracles.dedupSimhash(sfDir, ShMaxHamming, LshCap),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(
       sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
-    "ann_ivf_topk" -> GoldOracles.annIvfTopK(sfDir, IvfCells, IvfProbe, IvfK, IvfQueries),
+    "ann_ivf_topk" -> GoldOracles.annIvfTopK(
+      sfDir, IvfCells, IvfProbe, IvfK, IvfQueries, IvfTrainMod),
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
          |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)

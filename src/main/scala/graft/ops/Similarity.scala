@@ -97,24 +97,36 @@ object Similarity {
       .doubleValue.toFloat
 
   /** IVF index: deterministic k-means-lite centroids (init = first C
-    * vectors by id, `iters` Lloyd rounds; per-cell means via exact
+    * sample vectors by id, `iters` Lloyd rounds; per-cell means via exact
     * decimal sums so the result is independent of partitioning and
-    * combine order), then per-vector cell assignment. */
+    * combine order), then per-vector cell assignment.
+    *
+    * `trainSampleMod` > 1 trains the quantizer on the deterministic
+    * id-modulo sample (id %% mod == 0) while still assigning EVERY
+    * vector — what production IVF does: Lloyd's cost is O(N·cells·dim)
+    * per round plus an N·dim decimal aggregation, so at a billion
+    * vectors you train on a sliver and pay the full scan only for the
+    * one final assignment. Deterministic, so the gold oracle replays it
+    * exactly. */
   def ivfAssign(
       corpus: DataFrame, // (id, embedding)
       numCells: Int,
-      iters: Int = 3
+      iters: Int = 3,
+      trainSampleMod: Int = 1
   ): (Seq[Array[Float]], DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ds = corpus.select(col("id").cast("long"), col("embedding")).as[(Long, Array[Float])].cache()
+    val train =
+      if (trainSampleMod <= 1) ds
+      else ds.filter((t: (Long, Array[Float])) => t._1 % trainSampleMod == 0)
 
     var centroids: Seq[Array[Float]] =
-      ds.sort("id").limit(numCells).collect().map(_._2).toSeq
+      train.sort("id").limit(numCells).collect().map(_._2).toSeq
 
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = ds.map { case (_, emb) =>
+      val assigned = train.map { case (_, emb) =>
         (nearestCell(emb, bc.value.toIndexedSeq), emb.map(_.toDouble))
       }.toDF("cell", "emb")
       val dim = centroids.head.length

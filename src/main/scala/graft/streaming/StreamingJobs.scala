@@ -42,6 +42,23 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: keeps the FIRST document per
+    * normalized content fingerprint inside the watermark horizon — the
+    * streaming twin of Dedup.exact / normalizedFingerprint. State is
+    * BOUNDED: dropDuplicatesWithinWatermark evicts fingerprints older
+    * than the event-time watermark, so a continuous ingest never grows
+    * state without bound (the property that matters for a long-running
+    * 100 TB ingest; plain dropDuplicates would keep every fingerprint
+    * forever). */
+  def dedupStream(
+      docs: DataFrame, // streaming (ts: timestamp, doc_id, text)
+      watermarkDelay: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.ops.Dedup.normalizedFingerprint(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(userId: Long, nEvents: Long, totalValue: Double, endedByTimeout: Boolean)

@@ -296,6 +296,11 @@ class OpsSpec extends AnyFunSuite {
     // are associative; a double avg() would differ in the last ulps)
     val (sparkC2, _) = Similarity.ivfAssign(embDf.repartition(7), numCells = 8)
     sparkC.zip(sparkC2).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // sample-trained quantizer (the production shape) also matches gold
+    val (sampC, sampA) = Similarity.ivfAssign(embDf, numCells = 8, trainSampleMod = 4)
+    val (goldSampC, goldSampA) = GoldOracles.localIvfAssign(vecs, 8, 3, trainSampleMod = 4)
+    sampC.zip(goldSampC).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(sampA.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == goldSampA)
   }
 
   test("adaptive block counts: parity across corpus sizes with different derived B") {

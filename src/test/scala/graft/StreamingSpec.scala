@@ -59,6 +59,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 11:00:00", "click", 1L, 3.0)))
   }
 
+  test("streaming dedup keeps the first doc per fingerprint with bounded state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingJobs.dedupStream(
+      stream.toDF().toDF("ts", "doc_id", "text"), watermarkDelay = "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData(Seq(
+      (ts(0), 1L, "the quick brown fox"),
+      (ts(1), 2L, "  THE   quick  Brown fox "), // normalized dup of doc 1
+      (ts(2), 3L, "something else entirely")))
+    query.processAllAvailable()
+    stream.addData(Seq((ts(3), 4L, "the quick brown fox"))) // dup within horizon
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("stream_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), kept.toString)
+  }
+
   test("stateful sessionization closes sessions on gap (batch-mode state fn)") {
     // flatMapGroupsWithState also runs on static Datasets — exercises the
     // session state machine without the streaming runtime
