@@ -139,9 +139,11 @@ object GoldOracles {
       s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${p._3} AS INTEGER))"))
   }
 
-  /** Expected rows of SparkEntry.embedNearDupLsh. */
-  def embedNearDupLsh(
-      sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int, cap: Int): String = {
+  /** Verified hyperplane-LSH near-dup pairs (numeric-ordered) with their
+    * cosine — shared by the near-dup and embedding-cluster oracles. */
+  private def embedVerifiedPairs(
+      sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int,
+      cap: Int): Seq[(Long, Long, Double)] = {
     val rowsPerBand = bits / bands
     val vecs = readEmbeddings(sfDir)
     val emb = vecs.map { case (id, e) => id.toString -> e }.toMap
@@ -149,13 +151,44 @@ object GoldOracles {
     val keys = vecs.map { case (id, e) =>
       id.toString -> Similarity.hyperplaneBandKeys(e, planes, bands, rowsPerBand)
     }
-    val out = bucketedPairs(keys, bands, cap).toSeq
+    bucketedPairs(keys, bands, cap).toSeq
       .map { case (a, b) => val (x, y) = orderedLong(a, b); (x, y) }.distinct
       .map { case (x, y) => (x, y, Similarity.cosine(emb(x.toString), emb(y.toString))) }
       .filter(_._3 >= threshold)
-      .sortBy(p => (p._1, p._2))
+  }
+
+  /** Expected rows of SparkEntry.embedNearDupLsh. */
+  def embedNearDupLsh(
+      sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int, cap: Int): String = {
+    val out = embedVerifiedPairs(sfDir, dim, threshold, bits, bands, cap).sortBy(p => (p._1, p._2))
     valuesSql(Seq("id_a", "id_b", "cos"), out.map(p =>
       s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"))
+  }
+
+  /** Expected rows of SparkEntry.embedClusters: local union-find over the
+    * verified near-dup pairs with lexicographic-min STRING roots (matching
+    * runUnionFind's union-by-min over string ids). */
+  def embedClusters(
+      sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int, cap: Int): String = {
+    val pairs = embedVerifiedPairs(sfDir, dim, threshold, bits, bands, cap)
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = parent.getOrElse(x, x)
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, r); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b, _) <- pairs) {
+      val (ra, rb) = (find(a.toString), find(b.toString))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = readEmbeddings(sfDir).map { case (id, _) =>
+      val cluster = find(id.toString).toLong
+      (id, cluster, id != cluster)
+    }.sortBy(_._1)
+    valuesSql(Seq("vec_id", "cluster_id", "is_duplicate"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), ${p._3})"))
   }
 
   /** Local replica of Similarity.ivfAssign: same init, same argmax, same

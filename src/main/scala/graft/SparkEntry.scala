@@ -261,6 +261,22 @@ object SparkEntry {
     Similarity.exactCosinePairsBlocked(embeddingsDf(spark, sfDir), threshold = 0.35)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
 
+  /** Embedding-space near-duplicate CLUSTERING: hyperplane-LSH verified
+    * pairs -> union-find -> canonical vector per cluster — the embedding
+    * twin of `dedup_clusters` (semantic dedup for training data). */
+  def embedClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embeddingsDf(spark, sfDir)
+    val pairs = Similarity.embeddingNearDup(emb, dim = NdDim,
+      threshold = NdThreshold, bits = NdBits, bands = NdBands, maxBucketSize = LshCap)
+    val comps = graft.graph.ConnectedComponents.runUnionFind(
+      pairs.select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst")))
+    emb.select(col("id").cast("string").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").cast("long").as("vec_id"),
+        coalesce(col("component"), col("id")).cast("long").as("cluster_id"))
+      .withColumn("is_duplicate", col("vec_id") =!= col("cluster_id"))
+  }
+
   def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.embeddingNearDup(embeddingsDf(spark, sfDir), dim = NdDim,
       threshold = NdThreshold, bits = NdBits, bands = NdBands, maxBucketSize = LshCap)
@@ -413,6 +429,7 @@ object SparkEntry {
     "ann_ivf_rel" -> annIvfRel,
     "embed_sim_pairs" -> embedSimPairs,
     "embed_near_dup_lsh" -> embedNearDupLsh,
+    "embed_clusters" -> embedClusters,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
@@ -474,6 +491,8 @@ object SparkEntry {
       sfDir, MhNumHashes, MhBands, MhShingle, MhThreshold, LshCap),
     "dedup_simhash" -> GoldOracles.dedupSimhash(sfDir, ShMaxHamming, LshCap),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(
+      sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
+    "embed_clusters" -> GoldOracles.embedClusters(
       sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
     "ann_ivf_topk" -> GoldOracles.annIvfTopK(
       sfDir, IvfCells, IvfProbe, IvfK, IvfQueries, IvfTrainMod),
