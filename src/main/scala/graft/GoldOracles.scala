@@ -25,29 +25,44 @@ object GoldOracles {
 
   // ------------------------------------------------------------ plumbing --
 
-  private def readDocs(sfDir: String): Seq[(Long, String)] = {
-    val spark = SparkSession.active
-    import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
-  }
+  // memoized per data dir: one oracleSqlFor call evaluates several
+  // oracles over the same inputs (minhash pairs feed both the pair and
+  // the cluster oracle, ditto hyperplane pairs), so the driver-side
+  // collects and LSH evaluations run once, not per oracle. Bounded in
+  // practice by the handful of sfDirs a session touches.
+  private val memo = scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
+  private def memoized[T <: AnyRef](key: (String, String))(f: => T): T =
+    memo.getOrElseUpdate(key, f).asInstanceOf[T]
 
-  private def readEmbeddings(sfDir: String): Seq[(Long, Array[Float])] = {
-    val spark = SparkSession.active
-    import spark.implicits._
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
-  }
+  private def readDocs(sfDir: String): Seq[(Long, String)] =
+    memoized(("docs", sfDir)) {
+      val spark = SparkSession.active
+      import spark.implicits._
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    }
+
+  private def readEmbeddings(sfDir: String): Seq[(Long, Array[Float])] =
+    memoized(("embeddings", sfDir)) {
+      val spark = SparkSession.active
+      import spark.implicits._
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    }
 
   /** Spark round(x, 6) semantics (HALF_UP on the shortest representation),
     * emitted as a plain decimal literal DuckDB parses to the same double. */
   private def round6(x: Double): String =
     java.math.BigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).toPlainString
 
-  private def valuesSql(cols: Seq[String], rows: Seq[String]): String = {
-    require(rows.nonEmpty, s"gold oracle produced zero rows for (${cols.mkString(",")})")
-    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(${cols.mkString(", ")})"
-  }
+  /** `emptyRow` is a typed dummy tuple (same CASTs as real rows) used to
+    * preserve the schema when an oracle legitimately expects zero rows —
+    * one empty oracle must not abort the whole eagerly-built map. */
+  private def valuesSql(cols: Seq[String], rows: Seq[String], emptyRow: String): String =
+    if (rows.nonEmpty)
+      s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(${cols.mkString(", ")})"
+    else
+      s"SELECT * FROM (VALUES $emptyRow) AS t(${cols.mkString(", ")}) WHERE 1=0"
 
   /** (band, key)-bucketed candidate pairs via the same pure
     * [[Dedup.splitBucketPairs]] the Spark operators call per shuffle
@@ -73,7 +88,8 @@ object GoldOracles {
     * the shared core of the minhash and clustering oracles. */
   private def minhashVerifiedPairs(
       sfDir: String, numHashes: Int, bands: Int, shingleSize: Int,
-      threshold: Double, cap: Int): Seq[(String, String, Double)] = {
+      threshold: Double, cap: Int): Seq[(String, String, Double)] =
+    memoized(("minhashPairs", s"$sfDir|$numHashes|$bands|$shingleSize|$threshold|$cap")) {
     val rows = numHashes / bands
     val ds = readDocs(sfDir)
     val sh = ds.map { case (id, t) => id.toString -> Hashing.wordShingles(t, shingleSize) }.toMap
@@ -84,7 +100,7 @@ object GoldOracles {
     bucketedPairs(keys, bands, cap).toSeq
       .map { case (a, b) => (a, b, Hashing.jaccard(sh(a), sh(b))) }
       .filter(_._3 >= threshold)
-  }
+    }
 
   /** Expected rows of SparkEntry.dedupMinhashLsh. */
   def dedupMinhashLsh(
@@ -94,17 +110,15 @@ object GoldOracles {
       .map { case (a, b, j) => val (x, y) = orderedLong(a, b); (x, y, j) }
       .sortBy(p => (p._1, p._2))
     valuesSql(Seq("id_a", "id_b", "jaccard"), out.map(p =>
-      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"))
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS DOUBLE))")
   }
 
-  /** Expected rows of SparkEntry.dedupClusters: local union-find over the
-    * verified pair set with lexicographic-min roots (the same root choice
-    * as ConnectedComponents.runUnionFind's union-by-min), every doc
-    * assigned (cluster_id, is_duplicate). */
-  def dedupClusters(
-      sfDir: String, numHashes: Int, bands: Int, shingleSize: Int,
-      threshold: Double, cap: Int): String = {
-    val pairs = minhashVerifiedPairs(sfDir, numHashes, bands, shingleSize, threshold, cap)
+  /** Min-wins union-find over string ids with path compression — the
+    * local replica of ConnectedComponents.runUnionFind's root choice
+    * (lexicographic min), shared by both clustering oracles. Returns the
+    * find function. */
+  private def localUnionFind(pairs: Iterable[(String, String)]): String => String = {
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     def find(x: String): String = {
       var r = parent.getOrElse(x, x)
@@ -113,16 +127,28 @@ object GoldOracles {
       while (c != r) { val n = parent.getOrElse(c, r); parent(c) = r; c = n }
       r
     }
-    for ((a, b, _) <- pairs) {
+    for ((a, b) <- pairs) {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
+    find
+  }
+
+  /** Expected rows of SparkEntry.dedupClusters: local union-find over the
+    * verified pair set, every doc assigned (cluster_id, is_duplicate). */
+  def dedupClusters(
+      sfDir: String, numHashes: Int, bands: Int, shingleSize: Int,
+      threshold: Double, cap: Int): String = {
+    val find = localUnionFind(
+      minhashVerifiedPairs(sfDir, numHashes, bands, shingleSize, threshold, cap)
+        .map(p => (p._1, p._2)))
     val out = readDocs(sfDir).map { case (id, _) =>
       val cluster = find(id.toString).toLong
       (id, cluster, id != cluster)
     }.sortBy(_._1)
     valuesSql(Seq("doc_id", "cluster_id", "is_duplicate"), out.map(p =>
-      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), ${p._3})"))
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), ${p._3})"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), false)")
   }
 
   /** Expected rows of SparkEntry.dedupSimhash. */
@@ -136,14 +162,16 @@ object GoldOracles {
       .map { case (a, b, d) => val (x, y) = orderedLong(a, b); (x, y, d) }
       .sortBy(p => (p._1, p._2))
     valuesSql(Seq("id_a", "id_b", "hamming"), out.map(p =>
-      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${p._3} AS INTEGER))"))
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${p._3} AS INTEGER))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS INTEGER))")
   }
 
   /** Verified hyperplane-LSH near-dup pairs (numeric-ordered) with their
     * cosine — shared by the near-dup and embedding-cluster oracles. */
   private def embedVerifiedPairs(
       sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int,
-      cap: Int): Seq[(Long, Long, Double)] = {
+      cap: Int): Seq[(Long, Long, Double)] =
+    memoized(("embedPairs", s"$sfDir|$dim|$threshold|$bits|$bands|$cap")) {
     val rowsPerBand = bits / bands
     val vecs = readEmbeddings(sfDir)
     val emb = vecs.map { case (id, e) => id.toString -> e }.toMap
@@ -155,40 +183,31 @@ object GoldOracles {
       .map { case (a, b) => val (x, y) = orderedLong(a, b); (x, y) }.distinct
       .map { case (x, y) => (x, y, Similarity.cosine(emb(x.toString), emb(y.toString))) }
       .filter(_._3 >= threshold)
-  }
+    }
 
   /** Expected rows of SparkEntry.embedNearDupLsh. */
   def embedNearDupLsh(
       sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int, cap: Int): String = {
     val out = embedVerifiedPairs(sfDir, dim, threshold, bits, bands, cap).sortBy(p => (p._1, p._2))
     valuesSql(Seq("id_a", "id_b", "cos"), out.map(p =>
-      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"))
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS DOUBLE))")
   }
 
   /** Expected rows of SparkEntry.embedClusters: local union-find over the
-    * verified near-dup pairs with lexicographic-min STRING roots (matching
-    * runUnionFind's union-by-min over string ids). */
+    * verified near-dup pairs (string roots, matching runUnionFind). */
   def embedClusters(
       sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int, cap: Int): String = {
-    val pairs = embedVerifiedPairs(sfDir, dim, threshold, bits, bands, cap)
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
-      var r = parent.getOrElse(x, x)
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (c != r) { val n = parent.getOrElse(c, r); parent(c) = r; c = n }
-      r
-    }
-    for ((a, b, _) <- pairs) {
-      val (ra, rb) = (find(a.toString), find(b.toString))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
+    val find = localUnionFind(
+      embedVerifiedPairs(sfDir, dim, threshold, bits, bands, cap)
+        .map(p => (p._1.toString, p._2.toString)))
     val out = readEmbeddings(sfDir).map { case (id, _) =>
       val cluster = find(id.toString).toLong
       (id, cluster, id != cluster)
     }.sortBy(_._1)
     valuesSql(Seq("vec_id", "cluster_id", "is_duplicate"), out.map(p =>
-      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), ${p._3})"))
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), ${p._3})"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), false)")
   }
 
   /** Local replica of Similarity.ivfAssign: same init, same argmax, same
@@ -243,7 +262,8 @@ object GoldOracles {
         .map { case (id, s) => (qid, id, s) }
     }
     valuesSql(Seq("qid", "id", "score"), out.map(p =>
-      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"))
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${round6(p._3)} AS DOUBLE))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS DOUBLE))")
   }
 
   /** Expected rows of SparkEntry.kgSectionMentions: per-section mention
@@ -266,6 +286,6 @@ object GoldOracles {
     valuesSql(Seq("section_idx", "section", "entity_class", "n_mentions"), rows.map {
       case ((idx, section, cls), n) =>
         s"(CAST($idx AS INTEGER), '$section', '$cls', CAST($n AS BIGINT))"
-    })
+    }, "(CAST(0 AS INTEGER), '', '', CAST(0 AS BIGINT))")
   }
 }

@@ -233,12 +233,18 @@ object SparkEntry {
     * the entire IVF machinery end to end — Lloyd centroids, assignment
     * join, per-cell cogroup, bounded heaps, partial top-k merge. The
     * probe-limited variant (approximate by design) is `ann_ivf_topk`. */
+  // full probe: the ann_ivf_rel oracle (exact brute force) is valid ONLY
+  // when every cell is probed — one constant keeps numCells and nProbe
+  // from drifting apart
+  private val IvfRelCells = 8
+
   def annIvfRel(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embeddingsDf(spark, sfDir)
     val (centroids, assignments) =
-      Similarity.ivfAssign(emb, numCells = 8, trainSampleMod = IvfTrainMod)
-    val queries = emb.filter(col("id") < 5).select(col("id").as("qid"), col("embedding"))
-    Similarity.ivfTopKDf(emb, centroids, assignments, queries, k = 10, nProbe = 8)
+      Similarity.ivfAssign(emb, numCells = IvfRelCells, trainSampleMod = IvfTrainMod)
+    val queries = emb.filter(col("id") < IvfQueries)
+      .select(col("id").as("qid"), col("embedding"))
+    Similarity.ivfTopKDf(emb, centroids, assignments, queries, k = IvfK, nProbe = IvfRelCells)
       .select(col("qid"), col("id"), round(col("score"), 6).as("score"))
   }
 
@@ -474,8 +480,11 @@ object SparkEntry {
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(pred, obj, source, n_docs)"
   }
 
-  /** Driver contract: oracles for the default correctness scale. */
-  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+  /** Driver contract: oracles for the default correctness scale (the
+    * driver's sf0.01 dir; override the location via SPARK_GRAFT_SF_DIR
+    * when the testdata lives elsewhere). */
+  def oracleSql: Map[String, String] =
+    oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
 
   /** Oracles parameterized by the data directory the queries will run on
     * (gold-VALUES oracles must be built at the same scale). */

@@ -287,10 +287,19 @@ object ConnectedComponents {
     // instead of recomputing them, and since each round is a pure function
     // of the previous committed set, the resumed run converges to the
     // identical components (CheckpointSpec kills after round k and proves
-    // it). Without one, rounds localCheckpoint as before (in-memory
-    // lineage truncation only).
+    // it). Stage names carry a FINGERPRINT of the input edge set, so
+    // reusing a checkpoint dir with a CHANGED graph recomputes instead of
+    // silently returning the old graph's components — the fingerprint
+    // pass is one cheap aggregate over the raw edges, paid only when
+    // checkpointing. Without a Checkpointer, rounds localCheckpoint as
+    // before (in-memory lineage truncation only).
+    val stagePrefix = checkpoint.map { _ =>
+      val r = edges.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      val fp = (if (r.isNullAt(1)) 0L else r.getLong(1)) ^ r.getLong(0)
+      f"${checkpointPrefix}_$fp%016x"
+    }.getOrElse(checkpointPrefix)
     def persistRound(name: String)(df: => DataFrame): DataFrame = checkpoint match {
-      case Some(cp) => cp.stageDf(s"${checkpointPrefix}_$name")(df)
+      case Some(cp) => cp.stageDf(s"${stagePrefix}_$name")(df)
       case None => df.localCheckpoint(true)
     }
     var e = persistRound("init") {
@@ -379,7 +388,7 @@ object ConnectedComponents {
     val comps = e.select(col("dst").as("id"), col("src").as("component"))
       .union(e.select(col("src").as("id"), col("src").as("component")))
       .distinct()
-    checkpoint.map(cp => cp.stageDf(s"${checkpointPrefix}_components")(comps))
+    checkpoint.map(cp => cp.stageDf(s"${stagePrefix}_components")(comps))
       .getOrElse(comps)
   }
 

@@ -165,6 +165,13 @@ object Dedup {
     * does not. Oversized buckets are counted in the
     * `graft.dedup.oversizedBuckets` accumulator and logged — re-banded
     * loudly, never silently.
+    *
+    * CONTRACT: `docsKeys` must be DETERMINISTIC under recomputation (the
+    * same requirement Spark's own task-retry fault tolerance imposes on
+    * every lineage) — the passes scan it independently, so an input built
+    * on sample()/rand() would make bucket membership disagree between
+    * passes and silently lose pairs. All library callers derive keys from
+    * pure functions over source rows.
     */
   private[ops] def bucketPairsThin(
       docsKeys: Dataset[(String, Array[Long])],

@@ -42,14 +42,16 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming exact deduplication: keeps the FIRST document per
+  /** Streaming exact deduplication: keeps the first-ARRIVING document per
     * normalized content fingerprint inside the watermark horizon — the
-    * streaming twin of Dedup.exact / normalizedFingerprint. State is
-    * BOUNDED: dropDuplicatesWithinWatermark evicts fingerprints older
-    * than the event-time watermark, so a continuous ingest never grows
-    * state without bound (the property that matters for a long-running
-    * 100 TB ingest; plain dropDuplicates would keep every fingerprint
-    * forever). */
+    * streaming twin of Dedup.exact / normalizedFingerprint. Under
+    * out-of-order ingest the surviving doc is arrival-order-dependent
+    * (standard streaming-dedup semantics; pick-by-event-time needs a
+    * batch pass). State is BOUNDED: dropDuplicatesWithinWatermark evicts
+    * fingerprints older than the event-time watermark, so a continuous
+    * ingest never grows state without bound (the property that matters
+    * for a long-running 100 TB ingest; plain dropDuplicates would keep
+    * every fingerprint forever). */
   def dedupStream(
       docs: DataFrame, // streaming (ts: timestamp, doc_id, text)
       watermarkDelay: String = "1 hour"

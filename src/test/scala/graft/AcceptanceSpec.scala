@@ -121,7 +121,7 @@ class AcceptanceSpec extends AnyFunSuite {
     val advA1 = CorpusGen.generateAdversarial(nAdv).zipWithIndex
       .filter(_._2 % 20 <= 7).map(_._1)
     assert(advA1.nonEmpty)
-    var resolved = 0
+    val resolvedDocs = scala.collection.mutable.Set.empty[String]
     val strategies = scala.collection.mutable.Set.empty[String]
     for (g <- advA1) {
       val docId = CorpusGen.sha256(s"${g.row.repo}|${g.row.path}|${g.row.commit}")
@@ -129,14 +129,16 @@ class AcceptanceSpec extends AnyFunSuite {
         m <- byDoc(docId).mentions if m.matchText.equalsIgnoreCase("ray")
         mp <- m.mappings if mp.idx.endsWith("FW_0011")
       } {
-        resolved += 1
+        resolvedDocs += docId
         mp.disambiguationStrategy.foreach(strategies += _)
       }
     }
-    // every A1 doc's bare 'ray' must resolve to the tracing library, and
+    // EVERY A1 doc's bare 'ray' must resolve to the tracing library
+    // (distinct docs, so duplicate mapping rows can't mask a miss), and
     // only a doc-context disambiguation strategy can have done it — a
-    // regression in the cascade zeroes `resolved` and trips the P/R gates
-    assert(resolved >= advA1.size, s"resolved=$resolved of ${advA1.size}")
+    // regression in the cascade empties this and trips the P/R gates
+    assert(resolvedDocs.size == advA1.size,
+      s"resolved ${resolvedDocs.size} of ${advA1.size} A1 docs")
     assert(strategies.nonEmpty && strategies.subsetOf(Set("DefinedElsewhere", "TfIdfContext")),
       strategies.toString)
   }

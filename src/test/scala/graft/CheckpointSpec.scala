@@ -81,23 +81,31 @@ class CheckpointSpec extends AnyFunSuite {
       graft.graph.ConnectedComponents.runUnionFind(edges, maxIter = 2,
         targetEdgesPerTask = 20, checkpoint = Some(ckpt))
     }
-    assert(ckpt.isCommitted("cc_uf_init") && ckpt.isCommitted("cc_uf_round_0"))
-    assert(!ckpt.isCommitted("cc_uf_components"))
+    // stage names carry the input fingerprint
+    val stages0 = ckpt.lineage().select(col("stage")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val initStage = stages0.find(s => s.startsWith("cc_uf_") && s.endsWith("_init"))
+    assert(initStage.isDefined, stages0.toString)
+    val fpPrefix = initStage.get.stripSuffix("_init")
+    assert(stages0.contains(s"${fpPrefix}_round_0"))
+    assert(!ckpt.isCommitted(s"${fpPrefix}_components"))
 
-    // resume: committed rounds are read back, later rounds continue from
-    // them. Passing a SABOTAGED edge input proves the committed init is
-    // what's actually used — the result must still match the original
-    // graph's components.
-    val sabotaged = spark.createDataset(Seq(("x", "y"))).toDF("src", "dst")
-    val resumed = graft.graph.ConnectedComponents.runUnionFind(sabotaged,
+    // resume with the SAME input: committed rounds are read back (init +
+    // early rounds stay committed), later rounds continue from them, and
+    // the result is identical to the uncheckpointed run
+    val resumed = graft.graph.ConnectedComponents.runUnionFind(edges,
       targetEdgesPerTask = 20, checkpoint = Some(ckpt))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(resumed == expected)
-    assert(ckpt.isCommitted("cc_uf_components"))
+    assert(ckpt.isCommitted(s"${fpPrefix}_components"))
 
-    // per-round lineage rows exist for the committed contraction rounds
-    val stages = ckpt.lineage().select(col("stage")).distinct()
-      .collect().map(_.getString(0)).toSet
-    assert(stages.contains("cc_uf_init") && stages.contains("cc_uf_round_0"))
+    // a CHANGED input in the same checkpoint dir must NOT reuse the old
+    // graph's rounds: the fingerprint keys fresh stages and the result
+    // reflects the new graph
+    val changed = spark.createDataset(Seq(("x", "y"))).toDF("src", "dst")
+    val changedOut = graft.graph.ConnectedComponents.runUnionFind(changed,
+      targetEdgesPerTask = 20, checkpoint = Some(ckpt))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(changedOut == Set(("x", "x"), ("y", "x")))
   }
 }
