@@ -12,7 +12,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Usage:
   *   spark-submit --class graft.run.Main <jar> \
   *     --corpus <parquet path with (repo,path,commit,lang,content)> \
-  *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl \
+  *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families \
   *     --entity-class <class> --out <output dir> \
   *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>]
   *
@@ -37,6 +37,23 @@ object Main {
       }
       m.toMap
     }
+    val builder = SparkSession.builder()
+      .appName("graft-kg-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // spark-submit injects the master; default to local[*] when launched
+    // directly (e.g. sbt runMain)
+    val spark = (if (new org.apache.spark.SparkConf().contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(opts, spark)
+    spark.stop()
+  }
+
+  /** The CLI body, separated from session lifecycle so tests can drive
+    * the full spark-submit surface on a shared session. */
+  def run(opts: Map[String, String], spark: SparkSession): Unit = {
+    import spark.implicits._
     val corpusPath = opts.getOrElse("--corpus", sys.error("--corpus required"))
     val outPath = opts.getOrElse("--out", sys.error("--out required"))
     // --ontology + --ontology-format select any supported KB reader;
@@ -50,17 +67,6 @@ object Main {
     val quarantinePath = opts.get("--quarantine")
     val failedPath = opts.get("--failed")
 
-    val builder = SparkSession.builder()
-      .appName("graft-kg-pipeline")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // spark-submit injects the master; default to local[*] when launched
-    // directly (e.g. sbt runMain)
-    val spark = (if (new org.apache.spark.SparkConf().contains("spark.master")) builder
-                 else builder.master("local[*]")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
     // artifacts: ontology -> gazetteer (Spark ETL) -> broadcast
     val gaz = ontologyPath match {
       case Some(path) =>
@@ -73,8 +79,11 @@ object Main {
           case "owl" => OntologySources.readRdfXml(spark, path, "main_onto", entityClass)
           case "meddra" => OntologySources.readMeddra(spark, path, "main_onto", entityClass)
           case "chembl" => graft.sources.SqliteSource.readChembl(spark, path, "main_onto", entityClass)
+          case "mondo-json" => OntologySources.readMondoJson(spark, path, "main_onto", entityClass)
+          case "hgnc-json" => OntologySources.readHgncJson(spark, path, "main_onto", entityClass)
+          case "hgnc-families" => OntologySources.readHgncGeneFamilies(spark, path, "main_onto", entityClass)
           case other => sys.error(s"unknown --ontology-format $other " +
-            "(tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl)")
+            "(tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families)")
         }
         // distinct pushed into Spark: only the distinct (syn, parser) pairs
         // ship to the driver, not every synonym row of a large KB
@@ -120,7 +129,6 @@ object Main {
         TripleSink.write(triples, outPath)
         println(s"[graft] wrote ${spark.read.parquet(outPath).count()} triples to $outPath")
     }
-    spark.stop()
   }
 
   private def autoCurations(synParserPairs: Seq[(String, String)]): Seq[Curation] =

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Drives the spark-submit CLI surface (run/Main) end to end on the
+  * shared session: corpus parquet in, KB dump in (the round-3 MONDO
+  * json-graph format), checkpointed run, triples parquet out — and a
+  * second invocation resumes from the committed triples stage.
+  */
+class CliSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("Main CLI: mondo-json KB + corpus parquet -> checkpointed triples") {
+    val dir = Files.createTempDirectory("graft_cli")
+    val corpusPath = s"$dir/corpus.parquet"
+    Seq(
+      ("org/r1", "src/a.txt", "c1", "txt", "this pulmonary cancer cohort is large"),
+      ("org/r2", "src/b.txt", "c2", "txt", "nothing relevant here at all"))
+      .toDF("repo", "path", "commit", "lang", "content")
+      .write.parquet(corpusPath)
+    Files.writeString(dir.resolve("mondo.json"),
+      """{"graphs":[{"nodes":[
+        |{"id":"http://purl.obolibrary.org/obo/MONDO_0000001","lbl":"lung cancer",
+        | "meta":{"synonyms":[{"pred":"hasExactSynonym","val":"pulmonary cancer"}]}}]}]}
+        |""".stripMargin)
+
+    val opts = Map(
+      "--corpus" -> corpusPath,
+      "--ontology" -> s"$dir/mondo.json",
+      "--ontology-format" -> "mondo-json",
+      "--entity-class" -> "disease",
+      "--checkpoint" -> s"$dir/ckpt",
+      "--quarantine" -> s"$dir/quarantine",
+      "--out" -> s"$dir/out")
+    graft.run.Main.run(opts, spark)
+
+    val triples = spark.read.parquet(s"$dir/out")
+    val objs = triples.select("obj").collect().map(_.getString(0)).toSet
+    assert(objs.contains("MONDO_0000001"), objs.toString) // CURIE-stripped
+    val firstCount = triples.count()
+    assert(firstCount >= 1)
+
+    // second run resumes from the committed triples stage, same output
+    // (refresh drops the session's cached file listing of the overwritten dir)
+    graft.run.Main.run(opts, spark)
+    spark.catalog.refreshByPath(s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out").count() == firstCount)
+  }
+}
