@@ -60,11 +60,14 @@ object Dedup {
   /** MinHash + LSH near-duplicate pairs.
     *
     * Plan shape (scale-first): signatures computed per-partition (narrow),
-    * exploded to `bands` rows/doc, ONE shuffle on (band, band_hash) to form
-    * buckets, pairs emitted inside buckets only, then exact Jaccard
-    * verification on the (small) candidate set via a self-join on ids.
-    * With b bands of r rows, P(bucket-collision) = 1-(1-j^r)^b — defaults
-    * (b=16, r=4) give the classic S-curve around j ~ 0.6.
+    * exploded to `bands` THIN (band, key, id) rows, shuffled on
+    * (band, key) to form buckets ([[bucketPairsThin]]: a one-row-per-
+    * bucket count detects oversized buckets first, and only their members
+    * re-derive full key arrays), pairs emitted inside buckets only, then
+    * exact Jaccard verification on the (small) candidate set via a
+    * self-join on ids. With b bands of r rows, P(bucket-collision) =
+    * 1-(1-j^r)^b — defaults (b=16, r=4) give the classic S-curve around
+    * j ~ 0.6.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
