@@ -151,6 +151,15 @@ object GoldOracles {
       "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), false)")
   }
 
+  /** Expected rows of SparkEntry.textSimhash (the native codegen
+    * expression must agree with the JVM kernel on every doc). */
+  def textSimhash(sfDir: String): String = {
+    val out = readDocs(sfDir).map { case (id, t) => (id, Dedup.simhash(t)) }
+    valuesSql(Seq("doc_id", "simhash"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT))")
+  }
+
   /** Expected rows of SparkEntry.dedupSimhash. */
   def dedupSimhash(sfDir: String, maxHamming: Int, cap: Int): String = {
     val ds = readDocs(sfDir)

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: configure
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) to get graft's native
+  * SQL functions in every session — currently `simhash64(text)`. For an
+  * already-built session, `GraftSqlBridge.registerFunctions(spark)` does
+  * the same registration imperatively.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.ops.Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => graft.ops.Simhash64(children.head)))
+  }
+}

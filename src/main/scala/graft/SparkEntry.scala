@@ -301,6 +301,13 @@ object SparkEntry {
     }.drop("text")
   }
 
+  /** Per-doc 64-bit SimHash via the native codegen expression (ops/
+    * Simhash64) — document fingerprinting as a first-class Catalyst
+    * column; the whole query is one WholeStageCodegen scan+project. */
+  def textSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), graft.ops.Simhash64.col(col("text")).as("simhash"))
+
   def textTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
@@ -439,6 +446,7 @@ object SparkEntry {
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
+    "text_simhash" -> textSimhash,
     "mm_media_features" -> mmMediaFeatures,
     "q1_agg" -> q1Agg,
     "q2_join_topk" -> q2JoinTopK,
@@ -505,6 +513,7 @@ object SparkEntry {
       sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
     "ann_ivf_topk" -> GoldOracles.annIvfTopK(
       sfDir, IvfCells, IvfProbe, IvfK, IvfQueries, IvfTrainMod),
+    "text_simhash" -> GoldOracles.textSimhash(sfDir),
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
          |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)

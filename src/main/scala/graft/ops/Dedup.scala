@@ -315,10 +315,10 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val oversized = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets.simhash")
-    val hashes = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
-      .as[(String, String)]
-      .map { case (id, t) => (id, simhash(t)) }
-      .toDF("id", "simhash")
+    // native codegen expression: the scan+hash projection stays inside
+    // WholeStageCodegen instead of a Dataset.map's object round-trip
+    val hashes = df.select(col(idCol).cast("string").as("id"),
+      Simhash64.col(col(textCol)).as("simhash"))
 
     val banded = hashes.as[(String, Long)].flatMap { case (id, h) =>
       val keys = simhashWindows(h)

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the 64-bit SimHash of a text column.
+  *
+  * This is the builder-mandated extension ladder rung (b): a custom
+  * `Expression` with `doGenCode`, preferred over a Scala UDF and over
+  * `Dataset.map` for scalar work — the generated code calls the same
+  * static JVM kernel ([[Dedup.simhash]]) the LSH operator and the gold
+  * oracle use (zero semantic divergence between eval modes), while the
+  * projection stays inside WholeStageCodegen: no
+  * DeserializeToObject/SerializeFromObject pair per row, and Catalyst
+  * can prune/push around it like any built-in function (PlanSpec pins
+  * the fused `*(n) Project`).
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Dedup.simhash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Dedup.simhash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  /** Column wrapper: `simhash64(text)` as a first-class Catalyst column. */
+  def col(text: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      Simhash64(org.apache.spark.sql.graft.GraftSqlBridge.expression(text)))
+}

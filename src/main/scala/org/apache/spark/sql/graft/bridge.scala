@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 keeps `ExpressionUtils` (and the session's function registry)
+  * `private[sql]`, so libraries that ship custom expressions host a thin
+  * accessor inside an `org.apache.spark.sql` subpackage — the same
+  * technique the public Spark extension ecosystem uses. Only plumbing
+  * lives here; all semantics stay in `graft.ops`.
+  */
+object GraftSqlBridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions on an EXISTING session (the
+    * SparkSessionExtensions path covers spark-submit sessions configured
+    * with spark.sql.extensions=graft.GraftExtensions). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.ops.Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => graft.ops.Simhash64(children.head))
+  }
+}

@@ -325,6 +325,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 native expression: codegen + interpreted parity with the JVM kernel") {
+    // codegen path (whole-stage)
+    val out = docsDf(docs).select(col("id"), Simhash64.col(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, t) <- docs) assert(out(id) == Dedup.simhash(t), s"doc $id")
+    // interpreted path (Expression.eval)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val lit = Literal(org.apache.spark.unsafe.types.UTF8String.fromString(docs.head._2),
+      org.apache.spark.sql.types.StringType)
+    assert(Simhash64(lit).eval(null) == Dedup.simhash(docs.head._2))
+    // null flows through like any unary expression
+    assert(Simhash64(Literal(null, org.apache.spark.sql.types.StringType)).eval(null) == null)
+    // the projection fuses into a WholeStageCodegen span (no object round-trip)
+    val p = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Simhash64.col(col("text"))).queryExecution.executedPlan.toString
+    assert(p.contains("simhash64"), p)
+    assert(p.contains("*(1) Project"), p)
+    assert(!p.contains("DeserializeToObject"), p)
+    // SQL surface: registered as a first-class function
+    org.apache.spark.sql.graft.GraftSqlBridge.registerFunctions(spark)
+    val viaSql = spark.sql(s"SELECT simhash64('${docs.head._2}') AS h").head().getLong(0)
+    assert(viaSql == Dedup.simhash(docs.head._2))
+  }
+
   test("splitBucketPairs: all pairs within cap, star + re-band beyond it") {
     // within cap: plain all-pairs, no oversized callback
     val small = Array.tabulate(10)(i => (f"id$i%03d", Array(7L, i.toLong, 0L, 0L)))
