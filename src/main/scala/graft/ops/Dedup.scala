@@ -86,17 +86,13 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // ids flow as strings so both numeric and sha/hex doc ids work
-    val docsKeys = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
-      .as[(String, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val sh = Hashing.wordShingles(text, shingleSize)
-          (id, minhashBandKeys(minhashSignature(sh, numHashes), bands, rows))
-        }
-      }
+    // ids flow as strings so both numeric and sha/hex doc ids work; the
+    // signature+band-key derivation is the MinhashKeys native expression,
+    // so every thin-phase scan of the keys is pure codegen
+    val keysDf = df.select(col(idCol).cast("string").as("id"),
+      MinhashKeys.col(col(textCol), numHashes, bands, shingleSize).as("keys"))
 
-    val pairs = bucketPairsThin(docsKeys, bands, maxBucketSize)
+    val pairs = bucketPairsThin(keysDf, bands, maxBucketSize)
 
     verifyJaccard(df, idCol, textCol, pairs, shingleSize, threshold)
   }
@@ -177,17 +173,18 @@ object Dedup {
     * pure functions over source rows.
     */
   private[ops] def bucketPairsThin(
-      docsKeys: Dataset[(String, Array[Long])],
+      keysDf: DataFrame, // (id: string, keys: array<bigint>) — deterministic lineage
       bands: Int,
       maxBucketSize: Int
   ): DataFrame = {
-    val spark = docsKeys.sparkSession
+    val spark = keysDf.sparkSession
     import spark.implicits._
     val oversizedAcc = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets")
-    def thin = docsKeys.flatMap { case (id, keys) =>
-      (0 until bands).iterator.map(b => (b, keys(b), id))
-    }
-    val oversized = thin.toDF("band", "bucket", "id")
+    // pure column program: the key derivation + band explode stay inside
+    // WholeStageCodegen for every pass that scans them
+    def thin = keysDf.select(col("id"),
+      posexplode(col("keys")).as(Seq("band", "bucket")))
+    val oversized = thin
       .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucketSize)
       .select(col("band").cast("int"), col("bucket").cast("long"))
@@ -200,6 +197,8 @@ object Dedup {
     val bcOver = spark.sparkContext.broadcast(oversized)
 
     val small = thin
+      .select(col("band").cast("int"), col("bucket").cast("long"), col("id").cast("string"))
+      .as[(Int, Long, String)]
       .filter((t: (Int, Long, String)) => !bcOver.value.contains((t._1, t._2)))
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, String)]) =>
@@ -215,7 +214,9 @@ object Dedup {
 
     val big =
       if (oversized.isEmpty) small.limit(0)
-      else docsKeys
+      else keysDf
+        .select(col("id").cast("string"), col("keys"))
+        .as[(String, Array[Long])]
         .flatMap { case (id, keys) =>
           (0 until bands).iterator
             .filter(b => bcOver.value.contains((b, keys(b))))

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression computing a document's minhash LSH band
+  * keys (`array<bigint>`, one bucket key per band) straight off the text
+  * column: shingling, the 64-hash signature, and the per-band FNV folds
+  * all run through the same static JVM kernels as the gold oracle, but
+  * inside WholeStageCodegen — no object round-trip for the signature
+  * stage, which the thin two-phase banding recomputes 2-3x by design.
+  * The result is an UnsafeArrayData over a primitive long[] (no boxing).
+  */
+case class MinhashKeys(child: Expression, numHashes: Int, bands: Int, shingleSize: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_keys requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_keys"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinhashKeys.compute(input.asInstanceOf[UTF8String], numHashes, bands, shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.MinhashKeys.compute($c, $numHashes, $bands, $shingleSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashKeys =
+    copy(child = newChild)
+}
+
+object MinhashKeys {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, numHashes: Int, bands: Int, shingleSize: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Dedup.minhashBandKeys(
+        Dedup.minhashSignature(Hashing.wordShingles(text.toString, shingleSize), numHashes),
+        bands, numHashes / bands))
+
+  /** Column wrapper. */
+  def col(text: Column, numHashes: Int, bands: Int, shingleSize: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      MinhashKeys(org.apache.spark.sql.graft.GraftSqlBridge.expression(text),
+        numHashes, bands, shingleSize))
+}

@@ -462,7 +462,7 @@ object Similarity {
       .as[(Long, Array[Float])]
     val docsKeys = ds.map { case (id, emb) =>
       (id.toString, hyperplaneBandKeys(emb, bcPlanes.value, bands, rowsPerBand))
-    }
+    }.toDF("id", "keys")
 
     // oversized buckets re-band recursively on the other bands' keys
     // (numeric ids sort identically under the zero-padding-free string sort

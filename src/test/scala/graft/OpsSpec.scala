@@ -349,6 +349,23 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == Dedup.simhash(docs.head._2))
   }
 
+  test("minhash_keys native expression matches the JVM kernel (codegen + interpreted)") {
+    val out = docsDf(docs).select(col("id"), MinhashKeys.col(col("text"), 64, 16, 3).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    for ((id, t) <- docs) {
+      val expected = Dedup.minhashBandKeys(
+        Dedup.minhashSignature(Hashing.wordShingles(t, 3), 64), 16, 4)
+      assert(out(id).sameElements(expected), s"doc $id")
+    }
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val lit = Literal(org.apache.spark.unsafe.types.UTF8String.fromString(docs.head._2),
+      org.apache.spark.sql.types.StringType)
+    val interp = MinhashKeys(lit, 64, 16, 3).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(interp.sameElements(Dedup.minhashBandKeys(
+      Dedup.minhashSignature(Hashing.wordShingles(docs.head._2, 3), 64), 16, 4)))
+  }
+
   test("splitBucketPairs: all pairs within cap, star + re-band beyond it") {
     // within cap: plain all-pairs, no oversized callback
     val small = Array.tabulate(10)(i => (f"id$i%03d", Array(7L, i.toLong, 0L, 0L)))
