@@ -435,6 +435,29 @@ object Similarity {
     }
   }
 
+  /** Persist an IVF index as a CELL-PARTITIONED table: the serving path
+    * at target scale. The cell count is small and bounded (the coarse
+    * quantizer's k), so each cell is a partition directory, and probing
+    * with [[probeIvfIndex]] PRUNES to the probed cells' directories
+    * (PartitionFilters in the physical plan, machine-checked by PlanSpec)
+    * instead of scanning everything and filtering: with numCells cells
+    * and nProbe probes, scan cost is ~nProbe/numCells of the index
+    * regardless of corpus size. */
+  def writeIvfIndex(
+      corpus: DataFrame, // (id, embedding)
+      assignments: DataFrame, // (id, cell)
+      table: String
+  ): Unit =
+    corpus.join(assignments, "id")
+      .write.format("parquet")
+      .partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table)
+
+  /** Partition-pruned read of the probed cells. */
+  def probeIvfIndex(spark: SparkSession, table: String, cells: Seq[Int]): DataFrame =
+    spark.table(table).filter(col("cell").isin(cells: _*))
+
   /** Embedding near-duplicate pairs above a cosine threshold, via random
     * hyperplane LSH banding (signature bits from sign(dot(v, plane))),
     * verified exactly. Deterministic planes from splitmix. Oversized

@@ -93,6 +93,31 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
   }
 
+  test("IVF index table: probing prunes to the probed cells' partitions") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val (_, assignments) = graft.ops.Similarity.ivfAssign(emb, numCells = 8)
+    spark.sql("DROP TABLE IF EXISTS t_ivf_index")
+    // a previously-failed run can leave files without a catalog entry
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/t_ivf_index"))
+    graft.ops.Similarity.writeIvfIndex(emb, assignments, "t_ivf_index")
+    val probed = graft.ops.Similarity.probeIvfIndex(spark, "t_ivf_index", Seq(1, 3))
+    // partition pruning: the scan touches ONLY the probed cell directories
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.isDefined, plan(probed))
+    assert(scan.get.selectedPartitions.partitionCount == 2, // of 8 cells
+      s"selected ${scan.get.selectedPartitions.partitionCount} partitions\n${plan(probed)}")
+    assert(plan(probed).contains("PartitionFilters"), plan(probed))
+    // and returns exactly the probed cells' rows
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(Set(1, 3)), cells.toString)
+    spark.sql("DROP TABLE IF EXISTS t_ivf_index")
+  }
+
   test("aggregation has a map-side partial phase") {
     val p = plan(SparkEntry.q1Agg(spark, sfDir))
     // HashAggregate (partial) ... Exchange ... HashAggregate (final)
