@@ -374,14 +374,12 @@ object Dedup {
     // set sizes ride the one posting-list shuffle — no separate `sizes`
     // aggregation, no back-joins, and (crucially at scale) no persisted
     // shingle intermediate: one scan, one shuffle on shingle, one partial
-    // agg on the pair key
-    val shingled = df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
-      .as[(String, String)]
-      .flatMap { case (id, t) =>
-        val sh = Hashing.wordShingles(t, shingleSize).distinct
-        sh.iterator.map(s => (s, id, sh.length))
-      }
-      .toDF("shingle", "id", "n")
+    // agg on the pair key. The shingle-set derivation is the ShingleSet
+    // native expression, so the whole pre-shuffle stage is codegen'd.
+    val shingled = df
+      .select(col(idCol).cast("string").as("id"),
+        ShingleSet.col(col(textCol), shingleSize).as("sh"))
+      .select(explode(col("sh")).as("shingle"), col("id"), size(col("sh")).as("n"))
 
     // one shuffle on shingle: each group holds the shingle's posting list;
     // groups over the df cap are dropped whole (identical semantics to a

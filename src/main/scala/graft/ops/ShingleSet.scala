@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for a document's SORTED-DISTINCT hashed
+  * word-shingle set (`array<bigint>`) — the exact-dedup unit. Same
+  * static kernels as the operators and the gold oracle
+  * ([[Hashing.wordShingles]] / [[Hashing.sortedDistinct]]), fused into
+  * WholeStageCodegen so the n-gram Jaccard pre-shuffle stage is a pure
+  * column program; the result is UnsafeArrayData over a primitive
+  * long[].
+  */
+case class ShingleSet(child: Expression, shingleSize: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_set requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleSet.compute(input.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.ShingleSet.compute($c, $shingleSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+object ShingleSet {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, shingleSize: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Hashing.sortedDistinct(Hashing.wordShingles(text.toString, shingleSize)))
+
+  /** Column wrapper. */
+  def col(text: Column, shingleSize: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      ShingleSet(org.apache.spark.sql.graft.GraftSqlBridge.expression(text), shingleSize))
+}
