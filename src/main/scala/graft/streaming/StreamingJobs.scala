@@ -61,6 +61,124 @@ object StreamingJobs {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  final case class BandRow(band: Int, key: Long, ts: java.sql.Timestamp,
+      docId: String, sig: Array[Long])
+  final case class BucketState(ts: Array[Long], docIds: Array[String],
+      sigs: Array[Array[Long]])
+  final case class NearDup(docId: String, dupOf: String, estJaccard: Double,
+      ts: java.sql.Timestamp)
+
+  /** Streaming MinHash-LSH near-duplicate detection — the streaming twin of
+    * Dedup.minhashLsh. Each arriving doc is banded with the SAME pure
+    * signature/band-key kernels the batch and gold-oracle paths use
+    * (Hashing.wordShingles -> Dedup.minhashSignature -> minhashBandKeys),
+    * exploded to `bands` thin keyed rows, and matched against per-bucket
+    * keyed state via flatMapGroupsWithState. A doc whose signature agrees
+    * with an earlier in-horizon bucket member on >= threshold of its
+    * minhash rows emits a NearDup pointing at the EARLIEST such member.
+    *
+    * Deltas vs batch semantics, both inherent to one-pass streaming:
+    *   - similarity is the signature ESTIMATE (matching rows / numHashes),
+    *     not the exact shingle Jaccard — exact verification would need the
+    *     full text of past docs in state (unbounded) or a stream-batch
+    *     join; identical texts still estimate exactly 1.0;
+    *   - a doc co-bucketed with its match in several bands emits one
+    *     NearDup PER MATCHING BAND (Spark disallows a second stateful
+    *     operator after flatMapGroupsWithState in a streaming query, so
+    *     the library cannot collapse them in-stream); rows are exact
+    *     duplicates when dupOf agrees, so a consumer dedupes with a plain
+    *     distinct per micro-batch (foreachBatch) or downstream batch pass.
+    *
+    * State is BOUNDED on both axes: per-bucket membership is capped at
+    * maxBucketSize (oldest evicted first — the batch path's loud-cap
+    * analog), and whole buckets expire via event-time timeout once the
+    * watermark passes their newest member by `horizon` — so a continuous
+    * 100 TB ingest holds at most (active buckets x cap) signatures.
+    */
+  def nearDupStream(
+      docs: DataFrame, // streaming (ts: timestamp, doc_id, text)
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 64,
+      watermarkDelay: String = "1 hour",
+      horizonMs: Long = 60 * 60 * 1000L
+  ): Dataset[NearDup] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.{Dedup, Hashing}
+
+    val banded: Dataset[BandRow] = docs
+      .select(col("ts"), col("doc_id").cast("string").as("doc_id"), col("text"))
+      .as[(java.sql.Timestamp, String, String)]
+      .flatMap { case (ts, id, text) =>
+        val shingles = Hashing.sortedDistinct(Hashing.wordShingles(text, shingleSize))
+        if (shingles.isEmpty) Iterator.empty // degenerate: no content to band
+        else {
+          val sig = Dedup.minhashSignature(shingles, numHashes)
+          Dedup.minhashBandKeys(sig, bands, numHashes / bands).iterator.zipWithIndex
+            .map { case (k, b) => BandRow(b, k, ts, id, sig) }
+        }
+      }
+
+    banded
+      // the watermark must tag the post-flatMap ts attribute: event-time
+      // column metadata does not survive an object-level flatMap, and
+      // EventTimeTimeout requires it on the stateful op's direct input
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketState, NearDup](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ts = Array.empty[Long]
+            var ids = Array.empty[String]
+            var sigs = Array.empty[Array[Long]]
+            state.getOption.foreach { s => ts = s.ts; ids = s.docIds; sigs = s.sigs }
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
+            // arrival order within the micro-batch: event time, then id —
+            // deterministic regardless of partition interleaving
+            for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))) {
+              if (!ids.contains(r.docId)) {
+                // earliest in-horizon member whose signature estimate passes
+                var best = -1
+                var i = 0
+                while (i < ids.length) {
+                  if (best < 0) {
+                    var eq = 0
+                    var k = 0
+                    while (k < r.sig.length) { if (r.sig(k) == sigs(i)(k)) eq += 1; k += 1 }
+                    if (eq.toDouble / r.sig.length >= threshold) best = i
+                  }
+                  i += 1
+                }
+                if (best >= 0)
+                  out += NearDup(r.docId, ids(best),
+                    sigs(best).indices.count(k => r.sig(k) == sigs(best)(k)).toDouble / r.sig.length,
+                    r.ts)
+                // append (members stay ts-ordered); cap evicts the oldest
+                val drop = if (ids.length >= maxBucketSize) 1 else 0
+                ts = ts.drop(drop) :+ r.ts.getTime
+                ids = ids.drop(drop) :+ r.docId
+                sigs = sigs.drop(drop) :+ r.sig
+              }
+            }
+            state.update(BucketState(ts, ids, sigs))
+            // expire the bucket once the watermark passes its newest member
+            // by the horizon (clamped above the watermark — Spark rejects a
+            // timeout in the past); batch mode has no watermark — skip there
+            if (ts.nonEmpty) scala.util.Try {
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(wm + 1, ts.max + horizonMs))
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(userId: Long, nEvents: Long, totalValue: Double, endedByTimeout: Boolean)

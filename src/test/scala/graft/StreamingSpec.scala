@@ -80,6 +80,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L), kept.toString)
   }
 
+  test("streaming near-dup flags later near-identical docs against bounded LSH state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingJobs.nearDupStream(
+      stream.toDF().toDF("ts", "doc_id", "text"),
+      threshold = 0.7, watermarkDelay = "10 minutes", horizonMs = 10 * 60 * 1000L)
+    val query = out.writeStream
+      .format("memory").queryName("stream_neardup").outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearMiss = (1 to 50).map(i => if (i == 25) "CHANGED" else s"w$i").mkString(" ")
+    val other = (1 to 50).map(i => s"z$i").mkString(" ")
+
+    // batch 1: original + same-batch identical dup + unrelated doc
+    stream.addData(Seq((ts(10, 0), 1L, base), (ts(10, 1), 2L, base), (ts(10, 2), 3L, other)))
+    query.processAllAvailable()
+    // batch 2: cross-batch near-dup (one word changed)
+    stream.addData(Seq((ts(10, 3), 4L, nearMiss)))
+    query.processAllAvailable()
+
+    def dups() = spark.table("stream_neardup")
+      .select("docId", "dupOf").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dups() == Set(("2", "1"), ("4", "1")), dups().toString)
+
+    // batch 3: unrelated doc far in the future advances the watermark past
+    // doc 1's bucket horizon; batch 4 triggers the event-time timeout sweep
+    stream.addData(Seq((ts(12, 0), 5L, (1 to 50).map(i => s"y$i").mkString(" "))))
+    query.processAllAvailable()
+    stream.addData(Seq((ts(12, 1), 6L, (1 to 50).map(i => s"x$i").mkString(" "))))
+    query.processAllAvailable()
+    // batch 5: identical to doc 1, but its bucket state expired -> no match
+    stream.addData(Seq((ts(12, 2), 7L, base)))
+    query.processAllAvailable()
+    query.stop()
+    assert(dups() == Set(("2", "1"), ("4", "1")), dups().toString)
+  }
+
+  test("streaming near-dup estimate agrees with batch exact jaccard on identical text") {
+    // identical docs share every minhash row -> the streaming estimate is
+    // exactly 1.0, matching Dedup.minhashLsh's exact verification
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingJobs.nearDupStream(
+      stream.toDF().toDF("ts", "doc_id", "text"), watermarkDelay = "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("stream_neardup_est").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:01:00")
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    stream.addData(Seq((t0, 11L, text), (t1, 12L, text)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("stream_neardup_est")
+      .select("docId", "dupOf", "estJaccard").distinct().collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set(("12", "11", 1.0)))
+  }
+
   test("stateful sessionization closes sessions on gap (batch-mode state fn)") {
     // flatMapGroupsWithState also runs on static Datasets — exercises the
     // session state machine without the streaming runtime
