@@ -25,6 +25,20 @@ object TripleSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Snapshot-committed graph table (see [[SnapshotTable]]): each pipeline
+    * run appends its triples as one atomic snapshot, keyed by the run's
+    * commit key so a restarted job resumes idempotently from the last
+    * committed snapshot — the north rule's materialization contract.
+    * Partitioned by pred so per-predicate consumers prune. */
+  def appendSnapshot(triples: Dataset[Triple], tablePath: String, commitKey: String): Long = {
+    val table = new SnapshotTable(triples.sparkSession, tablePath)
+    table.appendIdempotent(
+      triples.toDF()
+        .withColumn("pred_part", regexp_replace(col("pred"), "[^A-Za-z0-9_]", "_")),
+      commitKey,
+      partitionBy = Seq("pred_part"))
+  }
+
   /** Bucketed graph table: bucketBy(obj) + sortBy(obj) so downstream
     * obj-keyed joins (xref traversals, canonicalization joins, triple-to-
     * triple entity joins) are CO-LOCATED — the scan reports the bucket

@@ -33,6 +33,26 @@ class SinkAndSkewSpec extends AnyFunSuite {
     assert(filtered.count() > 0)
   }
 
+  test("snapshot triple sink: atomic append per run, idempotent replay on resume") {
+    val gen = CorpusGen.generate(60)
+    val docs = Stages.ingest(spark.createDataset(gen.map(_.row)).toDF())(spark)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(CorpusGen.gazetteer))
+    val triples = KgPipeline.triples(docs, bc)
+    val out = Files.createTempDirectory("triple_snap").toString + "/graph"
+
+    val n = triples.count()
+    val s0 = TripleSink.appendSnapshot(triples, out, commitKey = "run-2026-08-17-batch0")
+    // restarted driver replays the same run: no duplicate triples
+    val replay = TripleSink.appendSnapshot(triples, out, commitKey = "run-2026-08-17-batch0")
+    assert(s0 == replay)
+    val table = new graft.graph.SnapshotTable(spark, out)
+    assert(table.read().count() == n)
+    // the next batch lands as its own snapshot on the same table
+    TripleSink.appendSnapshot(triples, out, commitKey = "run-2026-08-17-batch1")
+    assert(table.read().count() == 2 * n)
+    assert(table.read(s0).count() == n) // time travel to the first run
+  }
+
   test("salted rebalance spreads a hot repo across all partitions") {
     // pattern: 20% of docs live in the hot 'org/mono' repo (CorpusGen)
     val gen = CorpusGen.generate(400)

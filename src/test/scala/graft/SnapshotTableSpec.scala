@@ -1,0 +1,109 @@
+package graft
+
+import graft.graph.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotTableSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("snaptab").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/tbl"
+  }
+
+  test("append commits immutable snapshots; time travel reads any of them") {
+    val t = new SnapshotTable(spark, freshRoot())
+    assert(t.currentSnapshotId() == -1L)
+    val s0 = t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    val s1 = t.append(Seq(("c", 3), ("d", 4), ("e", 5)).toDF("k", "v"))
+    assert((s0, s1) == (0L, 1L))
+    assert(t.read().count() == 5)
+    assert(t.read(s0).select("k").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    val snaps = t.snapshots()
+    assert(snaps.map(m => (m.snapshotId, m.rows)) == Seq((0L, 2L), (1L, 5L)))
+    assert(snaps.map(_.parentId) == Seq(-1L, 0L))
+  }
+
+  test("overwrite starts a new chain but old snapshots stay readable") {
+    val t = new SnapshotTable(spark, freshRoot())
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    t.append(Seq(("b", 2)).toDF("k", "v"))
+    val s2 = t.overwrite(Seq(("z", 9)).toDF("k", "v"))
+    assert(t.read().select("k").as[String].collect().toSeq == Seq("z"))
+    assert(t.read(1).count() == 2) // time travel across the overwrite
+    assert(t.snapshots().find(_.snapshotId == s2).get.operation == "overwrite")
+  }
+
+  test("appendIdempotent replays as a no-op on resume (north-rule stage resume)") {
+    val t = new SnapshotTable(spark, freshRoot())
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val first = t.appendIdempotent(df, "stage-triples-part0")
+    // restarted job re-issues the same stage append
+    val replay = t.appendIdempotent(df, "stage-triples-part0")
+    assert(first == replay)
+    assert(t.read().count() == 2)
+    // a genuinely new stage key lands
+    t.appendIdempotent(Seq(("c", 3)).toDF("k", "v"), "stage-triples-part1")
+    assert(t.read().count() == 3)
+  }
+
+  test("a killed writer's data dir is invisible to readers and surfaced as orphan") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    // simulate a writer that wrote data files, then died before its commit
+    val orphan = s"$root/data/dead-writer-${java.util.UUID.randomUUID()}"
+    Seq(("ghost", 99)).toDF("k", "v").write.parquet(orphan)
+    assert(t.read().count() == 1) // reader isolation
+    assert(t.orphanDataDirs().exists(_.endsWith(new java.io.File(orphan).getName)))
+  }
+
+  test("an unpublished claim blocks appends fail-stop; recoverStaleClaims unblocks") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root, maxClaimAttempts = 3)
+    t.append(Seq(("a", 1)).toDF("k", "v"))
+    // dead writer claimed id 1 but never published its manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/meta/snap-1.claim"), false).close()
+    val e = intercept[IllegalStateException] { t.append(Seq(("b", 2)).toDF("k", "v")) }
+    assert(e.getMessage.contains("recoverStaleClaims"))
+    assert(t.read().count() == 1) // no partial commit became visible
+    assert(t.recoverStaleClaims() == Seq(1L))
+    assert(t.append(Seq(("b", 2)).toDF("k", "v")) == 1L)
+    assert(t.read().count() == 2)
+  }
+
+  test("concurrent appenders serialize into a strict linear history (no lost rows)") {
+    val root = freshRoot()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        val t = new SnapshotTable(spark, root)
+        t.append(Seq((s"w$i", i)).toDF("k", "v"))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val t = new SnapshotTable(spark, root)
+    assert(t.currentSnapshotId() == 3L) // ids 0..3, no gaps
+    assert(t.read().select("k").as[String].collect().sorted.toSeq ==
+      Seq("w1", "w2", "w3", "w4")) // every append on the chain
+    assert(t.snapshots().map(_.parentId) == Seq(-1L, 0L, 1L, 2L))
+  }
+
+  test("partitioned append round-trips partition columns and prunes on read") {
+    val t = new SnapshotTable(spark, freshRoot())
+    t.append(
+      Seq(("links_to", "a", "b"), ("defined_in", "c", "d")).toDF("pred", "subj", "obj"),
+      partitionBy = Seq("pred"))
+    val got = t.read().where(col("pred") === "links_to").select("subj").as[String].collect()
+    assert(got.toSeq == Seq("a"))
+    val scan = t.read().where(col("pred") === "links_to")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("pred"), scan)
+  }
+}
