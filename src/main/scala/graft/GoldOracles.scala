@@ -181,10 +181,14 @@ object GoldOracles {
       sfDir: String, dim: Int, threshold: Double, bits: Int, bands: Int,
       cap: Int): Seq[(Long, Long, Double)] =
     memoized(("embedPairs", s"$sfDir|$dim|$threshold|$bits|$bands|$cap")) {
-    val rowsPerBand = bits / bands
     val vecs = readEmbeddings(sfDir)
+    // bits == 0 = adaptive, mirroring Similarity.embeddingNearDup
+    val effBits =
+      if (bits > 0) bits
+      else bands * Similarity.adaptiveHyperplaneRows(vecs.size.toLong)
+    val rowsPerBand = effBits / bands
     val emb = vecs.map { case (id, e) => id.toString -> e }.toMap
-    val planes = Similarity.hyperplanes(dim, bits)
+    val planes = Similarity.hyperplanes(dim, effBits)
     val keys = vecs.map { case (id, e) =>
       id.toString -> Similarity.hyperplaneBandKeys(e, planes, bands, rowsPerBand)
     }

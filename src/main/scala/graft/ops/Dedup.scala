@@ -105,17 +105,28 @@ object Dedup {
     * emit all pairs. An oversized bucket emits
     *   (a) a star around its min id — every member stays reachable, as in
     *       round 2 — PLUS
-    *   (b) recursive RE-BANDING: members split on their key for the next
+    *   (b) a star around the MODAL-signature representative: the min-id
+    *       member of the bucket's most frequent full signature. In the
+    *       common degenerate topology — a pile of identical/near-identical
+    *       docs plus near-dup satellites — every spoke from the pile's
+    *       representative verifies directly against both the pile
+    *       (distance 0) and each similar satellite, which the min-id star
+    *       alone cannot guarantee: when the min id happens to BE a
+    *       satellite, its spokes to the pile can fail exact verification
+    *       and silently disconnect it (measured: simhash giant-tier
+    *       cluster recovery 0.58 before this star, 1.0 after — BENCH.md
+    *       "Measured LSH recall") — PLUS
+    *   (c) recursive RE-BANDING: members split on their key for the next
     *       band (r more signature rows per level) until sub-buckets fit
     *       the cap, which then emit all pairs — recovering the
     *       min-excluded pairs between mutually-similar members that the
-    *       star alone lost.
+    *       stars alone lost.
     * A sub-bucket that exhausts every band and still exceeds the cap
-    * holds members with IDENTICAL full signatures; the top-level star
-    * already links those transitively (each spoke passes exact
-    * verification), so it emits nothing extra. Work is O(bucket · bands),
-    * candidate fan-out O(bucket · cap) — never O(bucket²) — and the
-    * output is a strict superset of the round-2 star semantics.
+    * holds members with IDENTICAL full signatures; the modal star links
+    * the largest such pile directly and the min-id star keeps every other
+    * member reachable transitively. Work is O(bucket · bands), candidate
+    * fan-out O(bucket · cap) — never O(bucket²) — and the output is a
+    * strict superset of the round-2 star semantics.
     * Oversized buckets are reported through `onOversized`, never silent.
     */
   def splitBucketPairs(
@@ -143,7 +154,27 @@ object Dedup {
     else {
       onOversized(sorted.length)
       val m = sorted.head._1
-      sorted.iterator.drop(1).map(x => (m, x._1)) ++ go(sorted, 0)
+      // modal representative: min id among holders of the most frequent
+      // full signature (deterministic; ties break toward the larger count,
+      // then the smaller id)
+      val modal: String = {
+        val counts = scala.collection.mutable.HashMap.empty[Seq[Long], (Int, String)]
+        sorted.foreach { case (id, keys) =>
+          counts.updateWith(keys.toSeq) {
+            case Some((n, mid)) => Some((n + 1, if (id < mid) id else mid))
+            case None           => Some((1, id))
+          }
+        }
+        counts.valuesIterator.reduceLeft { (a, b) =>
+          if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a
+        }._2
+      }
+      val minStar = sorted.iterator.drop(1).map(x => (m, x._1))
+      val modalStar =
+        if (modal == m) Iterator.empty
+        else sorted.iterator.map(_._1).filter(_ != modal)
+          .map(x => if (x < modal) (x, modal) else (modal, x))
+      minStar ++ modalStar ++ go(sorted, 0)
     }
   }
 

@@ -416,6 +416,22 @@ object Similarity {
 
   /** Deterministic gaussian-ish hyperplanes (sum of uniforms from
     * splitmix). Pure — shared with the gold-oracle evaluator. */
+  /** Rows (sign bits) per hyperplane-LSH band, adapted to corpus size:
+    * each band has 2^rows distinct bucket keys, so a FIXED rows at growing
+    * n drives every bucket past the size cap — the old fixed 16-bit /
+    * 4-band default left 16 keys per band, and at 200k rows ALL buckets
+    * were degenerate (measured in BENCH.md "Measured LSH recall"). Sized
+    * so the mean bucket is ~targetBucket, clamped to [4, 20]: 2^20 keys
+    * per band covers ~3e7 rows at the default target; past that raise
+    * `bands`, not rows — each extra row multiplies per-band recall by
+    * p_bit < 1 while extra bands buy recall back (1-(1-p^r)^b). Pure —
+    * shared with the gold-oracle evaluator. */
+  def adaptiveHyperplaneRows(n: Long, targetBucket: Int = 32): Int = {
+    var r = 4
+    while ((1L << r) * targetBucket < n && r < 20) r += 1
+    r
+  }
+
   def hyperplanes(dim: Int, bits: Int): Array[Array[Float]] =
     Array.tabulate(bits) { b =>
       Array.tabulate(dim) { d =>
@@ -467,15 +483,20 @@ object Similarity {
       corpus: DataFrame, // (id, embedding)
       dim: Int,
       threshold: Double = 0.9,
-      bits: Int = 16,
-      bands: Int = 4,
+      bits: Int = 0, // 0 = adaptive: bands * adaptiveHyperplaneRows(row count)
+      bands: Int = 8,
       maxBucketSize: Int = 64
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(bits % bands == 0)
-    val rowsPerBand = bits / bands
-    val planes = hyperplanes(dim, bits)
+    require(bits == 0 || bits % bands == 0)
+    // adaptive band width needs the corpus size — one extra narrow count
+    // scan, the same price ingest-side adaptivity pays everywhere else
+    // (cf. adaptiveBlocks); callers that know their scale pass bits > 0
+    val effBits =
+      if (bits > 0) bits else bands * adaptiveHyperplaneRows(corpus.count())
+    val rowsPerBand = effBits / bands
+    val planes = hyperplanes(dim, effBits)
     val bcPlanes = spark.sparkContext.broadcast(planes)
 
     // deliberately NOT persisted: the corpus is unbounded at target scale,

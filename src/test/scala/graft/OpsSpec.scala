@@ -451,6 +451,62 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size <= 16L * n * 33, s"fan-out too large: ${out.size}")
   }
 
+  test("oversized buckets: modal-signature star links the majority pile directly") {
+    // a pile of 100 identical signatures plus one satellite whose id sorts
+    // FIRST: the min-id star alone routes every pile pair through the
+    // satellite's spokes, which downstream exact verification can reject
+    // (satellite dissimilar to pile => pile silently disconnected). The
+    // modal star must link the pile through one of its own members.
+    val pile = Array.tabulate(100)(i => (f"b$i%02d", Array(7L, 8L, 9L, 10L)))
+    val satellite = ("a", Array(7L, 99L, 98L, 97L)) // shares band 0 only
+    val out = Dedup.splitBucketPairs(satellite +: pile, 0, 64, _ => ()).toSet
+    // min-id star spokes from "a"
+    assert(pile.forall { case (id, _) => out.contains(("a", id)) })
+    // modal star: every pile member paired with the pile's min id directly
+    assert(pile.drop(1).forall { case (id, _) => out.contains(("b00", id)) })
+  }
+
+  test("simhash pile + dissimilar min-id satellite stays closure-connected") {
+    // one giant near-dup cluster (8x over the bucket cap): 3/4 identical
+    // members, 1/4 mutate one word of 50 — and id 0 (the string-min id,
+    // hence the min-id star center in every bucket) is a MUTATED member.
+    // Before the modal star, 42% of such clusters lost closure
+    // connectivity (BENCH.md "Measured LSH recall"); this pins the fix.
+    val n = 512
+    def textOf(i: Int): String = {
+      val sb = new StringBuilder
+      var w = 0
+      while (w < 50) {
+        if (sb.nonEmpty) sb.append(' ')
+        if (i % 4 == 0 && w == i % 50) sb.append("mut" + i)
+        else sb.append("w" + java.lang.Long.toHexString(Hashing.mix(1315423911L + w) & 0xffffffL))
+        w += 1
+      }
+      sb.toString
+    }
+    val local = (0 until n).map(i => (i.toLong, textOf(i)))
+    val df = spark.createDataset(local).toDF("id", "text")
+    val found = Dedup.simhashPairs(df, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // local truth from the same pure kernel
+    val hashes = local.map { case (id, t) => id.toString -> Dedup.simhash(t) }.toMap
+    val truth = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if java.lang.Long.bitCount(hashes(i.toString) ^ hashes(j.toString)) <= 3
+    } yield (i.toString, j.toString)
+    assert(truth.size > 70000, s"pile must dominate truth (got ${truth.size})")
+    // union-find over found pairs; every truth pair must be connected
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    found.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val unclosed = truth.filterNot { case (a, b) => find(a) == find(b) }
+    assert(unclosed.isEmpty,
+      s"${unclosed.size} truth pairs not closure-connected, e.g. ${unclosed.take(3)}")
+  }
+
   test("ngram jaccard df cap drops only capped-shingle contributions") {
     // cap excludes the shared stop shingle but pairs sharing rare shingles survive
     val d = Seq(
