@@ -12,7 +12,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Usage:
   *   spark-submit --class graft.run.Main <jar> \
   *     --corpus <parquet path with (repo,path,commit,lang,content)> \
-  *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families \
+  *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|ot-target \
   *     --entity-class <class> --out <output dir> \
   *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>]
   *
@@ -82,8 +82,9 @@ object Main {
           case "mondo-json" => OntologySources.readMondoJson(spark, path, "main_onto", entityClass)
           case "hgnc-json" => OntologySources.readHgncJson(spark, path, "main_onto", entityClass)
           case "hgnc-families" => OntologySources.readHgncGeneFamilies(spark, path, "main_onto", entityClass)
+          case "ot-target" => OntologySources.readOpenTargetsTarget(spark, path, "main_onto", entityClass)
           case other => sys.error(s"unknown --ontology-format $other " +
-            "(tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families)")
+            "(tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|ot-target)")
         }
         // distinct pushed into Spark: only the distinct (syn, parser) pairs
         // ship to the driver, not every synonym row of a large KB

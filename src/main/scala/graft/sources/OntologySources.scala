@@ -51,7 +51,10 @@ object OntologySources {
       idField: String = "id",
       labelField: String = "name",
       synonymsField: String = "synonyms",
-      includeWhere: Option[String] = None
+      includeWhere: Option[String] = None,
+      // extra flat-string-array synonym fields with their mapping_type —
+      // e.g. OpenTargets molecule tradeNames (ref parsers.py:435-442)
+      extraSynonymFields: Seq[(String, String)] = Nil
   ): Dataset[OntologyRow] = {
     import spark.implicits._
     // includeWhere: record-level SQL predicate over the raw JSON columns —
@@ -70,7 +73,15 @@ object OntologySources {
       col("defaultLabel").as("syn"), lit("name").as("mappingType"))
     val synRows = base.select(col("idx"), col("defaultLabel"),
       explode(col("synonyms")).as("syn"), lit("hasExactSynonym").as("mappingType"))
-    labelRows.union(synRows)
+    val extraRows = extraSynonymFields
+      .filter { case (f, _) => raw.columns.contains(f) }
+      .map { case (f, mt) =>
+        raw.select(col(idField).cast("string").as("idx"),
+          col(labelField).cast("string").as("defaultLabel"),
+          explode(col(f).cast("array<string>")).as("syn"),
+          lit(mt).as("mappingType"))
+      }
+    (labelRows +: synRows +: extraRows).reduce(_ union _)
       .where(col("syn").isNotNull && length(col("syn")) > 0)
       .select(
         lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
@@ -99,6 +110,72 @@ object OntologySources {
       .collect()
       .map { case (idx, xs) => idx -> Option(xs).getOrElse(Seq.empty).toSet }
       .toMap
+  }
+
+  /** OpenTargets TARGET jsonl source — ref parsers.py:253-408
+    * (OpenTargetsTargetOntologyParser). Unlike the flat-synonym jsonl
+    * contract, target synonyms are OBJECT lists ({label|id, source}) over
+    * four keys (synonyms / obsoleteSymbols / obsoleteNames / proteinIds),
+    * with mapping_type taken from each record's source. Records whose
+    * approvedSymbol equals their Ensembl id carry no approved symbol and
+    * are skipped (the reference's "automatically ignored records"), as are
+    * excluded biotypes. The approvedSymbol / approvedName / id themselves
+    * are emitted as synonyms (mapping types approvedSymbol / approvedName
+    * / opentargets_id). Pure column program over spark.read.json — absent
+    * keys and absent struct subfields degrade gracefully, matching the
+    * reference's dict.get walks. */
+  def readOpenTargetsTarget(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String = "gene",
+      excludedBiotypes: Seq[String] = Nil,
+      dataOrigin: String = "open_targets"
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val raw0 = spark.read.json(path)
+    val raw1 = raw0.where(col("id") =!= col("approvedSymbol"))
+    val raw =
+      if (excludedBiotypes.isEmpty || !raw0.columns.contains("biotype")) raw1
+      else raw1.where(col("biotype").isNull || !col("biotype").isin(excludedBiotypes: _*))
+    def keyCols = Seq(col("id").cast("string").as("idx"),
+      col("approvedSymbol").cast("string").as("defaultLabel"))
+    def structSyns(field: String): Option[DataFrame] =
+      if (!raw.columns.contains(field)) None
+      else raw.schema(field).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            st: org.apache.spark.sql.types.StructType, _) =>
+          val sub = st.fieldNames.toSet
+          val synCol = (sub.contains("label"), sub.contains("id")) match {
+            case (true, true)  => coalesce(col("rec.label"), col("rec.id"))
+            case (true, false) => col("rec.label")
+            case (false, true) => col("rec.id")
+            case _             => lit(null).cast("string")
+          }
+          val mt = if (sub.contains("source")) col("rec.source") else lit(field)
+          Some(raw.select(keyCols :+ explode(col(field)).as("rec"): _*)
+            .select(col("idx"), col("defaultLabel"),
+              synCol.cast("string").as("syn"), mt.cast("string").as("mappingType")))
+        case _ => None
+      }
+    val objRows = Seq("synonyms", "obsoleteSymbols", "obsoleteNames", "proteinIds")
+      .flatMap(structSyns)
+    val fixedRows = Seq(
+      ("approvedSymbol", "approvedSymbol"),
+      ("approvedName", "approvedName"),
+      ("id", "opentargets_id"))
+      .filter { case (f, _) => raw.columns.contains(f) }
+      .map { case (f, mt) =>
+        raw.select(keyCols :+ col(f).cast("string").as("syn"): _*)
+          .withColumn("mappingType", lit(mt))
+      }
+    (objRows ++ fixedRows).reduce(_ union _)
+      .where(col("syn").isNotNull && length(col("syn")) > 0)
+      .select(
+        lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
+        col("idx"), col("defaultLabel"), col("syn"), col("mappingType"),
+        lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
   }
 
   /** Per-id extra metadata (SOC name/code) from a Meddra release — the

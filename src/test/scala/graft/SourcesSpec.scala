@@ -202,6 +202,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(term.aggregatedBy == graft.core.AggStrategy.RESOLVED_BY_XREF)
   }
 
+  test("OpenTargets target reader: object synonyms, skip rules, biotype filter") {
+    val dir = Files.createTempDirectory("ot_target")
+    // ref parsers.py:361-408 — synonyms/obsoleteSymbols carry {label,source},
+    // proteinIds carries {id,source}; records with id==approvedSymbol have
+    // no approved symbol and are skipped; excluded biotypes are dropped
+    Files.writeString(dir.resolve("targets.jsonl"),
+      """{"id":"ENSG1","approvedSymbol":"BRCA1","approvedName":"BRCA1 DNA repair associated","biotype":"protein_coding","synonyms":[{"label":"RNF53","source":"HGNC"}],"obsoleteSymbols":[{"label":"BRCC1","source":"HGNC"}],"proteinIds":[{"id":"P38398","source":"uniprot_swissprot"}]}
+        |{"id":"ENSG2","approvedSymbol":"ENSG2","approvedName":"novel transcript","biotype":"lncRNA","synonyms":[]}
+        |{"id":"ENSG3","approvedSymbol":"RNU6-1","approvedName":"RNA U6 small nuclear 1","biotype":"snRNA","synonyms":[{"label":"U6","source":"HGNC"}]}
+        |""".stripMargin)
+    val rows = OntologySources.readOpenTargetsTarget(spark,
+      dir.toString + "/targets.jsonl", "ot_target", "gene",
+      excludedBiotypes = Seq("snRNA")).collect()
+    // ENSG2 skipped (id == approvedSymbol), ENSG3 skipped (excluded biotype)
+    assert(rows.map(_.idx).toSet == Set("ENSG1"))
+    val byType = rows.map(r => r.mappingType -> r.syn).toSet
+    assert(byType == Set(
+      "HGNC" -> "RNF53", "HGNC" -> "BRCC1",
+      "uniprot_swissprot" -> "P38398",
+      "approvedSymbol" -> "BRCA1",
+      "approvedName" -> "BRCA1 DNA repair associated",
+      "opentargets_id" -> "ENSG1"))
+    assert(rows.forall(_.defaultLabel == "BRCA1"))
+  }
+
+  test("jsonl extra synonym fields: OpenTargets molecule tradeNames") {
+    val dir = Files.createTempDirectory("ot_molecule")
+    // ref parsers.py:410-442 — molecule synonyms are flat strings plus a
+    // tradeNames list with its own mapping type
+    Files.writeString(dir.resolve("molecules.jsonl"),
+      """{"id":"CHEMBL25","name":"ASPIRIN","synonyms":["Acetylsalicylic acid"],"tradeNames":["Aspro","Disprin"]}
+        |""".stripMargin)
+    val rows = OntologySources.readJsonl(spark, dir.toString + "/molecules.jsonl",
+      "ot_molecule", "drug",
+      extraSynonymFields = Seq("tradeNames" -> "tradeNames")).collect()
+    val byType = rows.map(r => r.mappingType -> r.syn).toSet
+    assert(byType == Set(
+      "name" -> "ASPIRIN",
+      "hasExactSynonym" -> "Acetylsalicylic acid",
+      "tradeNames" -> "Aspro",
+      "tradeNames" -> "Disprin"))
+  }
+
   test("obo namespace filter keeps only the requested GO namespace") {
     val dir = Files.createTempDirectory("obo_ns")
     Files.writeString(dir.resolve("go.obo"),
