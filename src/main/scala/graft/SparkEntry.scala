@@ -142,7 +142,11 @@ object SparkEntry {
   private val ShMaxHamming = 12
   private val NdDim = 64
   private val NdThreshold = 0.35
-  private val NdBits = 16
+  // 0 = adaptive band width (Similarity.adaptiveHyperplaneRows from the
+  // corpus row count, mirrored by the gold evaluator) — the scale path;
+  // a fixed width was measured degenerate at 200k rows (BENCH.md
+  // "Measured LSH recall")
+  private val NdBits = 0
   private val NdBands = 4
   private val IvfCells = 16
   private val IvfProbe = 4

@@ -416,30 +416,79 @@ object Similarity {
 
   /** Deterministic gaussian-ish hyperplanes (sum of uniforms from
     * splitmix). Pure — shared with the gold-oracle evaluator. */
-  /** Rows (sign bits) per hyperplane-LSH band, adapted to corpus size:
-    * each band has 2^rows distinct bucket keys, so a FIXED rows at growing
-    * n drives every bucket past the size cap — the old fixed 16-bit /
-    * 4-band default left 16 keys per band, and at 200k rows ALL buckets
-    * were degenerate (measured in BENCH.md "Measured LSH recall"). Sized
-    * so the mean bucket is ~targetBucket, clamped to [4, 20]: 2^20 keys
-    * per band covers ~3e7 rows at the default target; past that raise
+  /** Rows (sign bits) per hyperplane-LSH band, adapted to corpus size.
+    * Two failure modes bound it from both sides, both measured (BENCH.md
+    * "Measured LSH recall"):
+    *
+    *  - too FEW rows: a fixed 16-bit/4-band default leaves 16 keys per
+    *    band — at 200k rows every bucket is over the size cap and recall
+    *    collapses to the star fallback;
+    *  - too MANY vectors per key: the candidate mass is dominated by
+    *    RANDOM co-occupancy — expected random candidates per band are
+    *    ~n²/2^rows (n·μ/2 at mean occupancy μ = n/2^rows), so μ=32 at
+    *    500k vectors emitted 60M candidate pairs for 750k true ones and
+    *    exact verification became the whole runtime.
+    *
+    * Sizing for mean occupancy ~targetBucket=2 keeps random candidates
+    * at O(n·bands) while near-dup clusters still collide through their
+    * band (p_bit^rows per band, bands chances). Clamped to [4, 26]
+    * (2^26 keys ≈ 1.3e8 rows at the default target; past that raise
     * `bands`, not rows — each extra row multiplies per-band recall by
-    * p_bit < 1 while extra bands buy recall back (1-(1-p^r)^b). Pure —
+    * p_bit < 1 while extra bands buy recall back, 1-(1-p^r)^b). Pure —
     * shared with the gold-oracle evaluator. */
-  def adaptiveHyperplaneRows(n: Long, targetBucket: Int = 32): Int = {
+  def adaptiveHyperplaneRows(n: Long, targetBucket: Int = 2): Int = {
     var r = 4
-    while ((1L << r) * targetBucket < n && r < 20) r += 1
+    while ((1L << r) * targetBucket < n && r < 26) r += 1
     r
   }
 
   def hyperplanes(dim: Int, bits: Int): Array[Array[Float]] =
-    Array.tabulate(bits) { b =>
+  {
+    val raw = Array.tabulate(bits) { b =>
       Array.tabulate(dim) { d =>
         val u = (0 until 4).map(r => (Hashing.mix(b * 1000003L + d * 7919L + r).toDouble
           / Long.MaxValue)).sum / 4.0
         u.toFloat
       }
     }
+    // Orthonormalize in dim-sized blocks (modified Gram-Schmidt — the
+    // random-rotation construction from the LSH literature): sign bits of
+    // CORRELATED planes are correlated, which skews bucket occupancy
+    // catastrophically — measured 13.5k oversized buckets emitting 43.8M
+    // candidate pairs at 500k vectors with 112 raw planes (BENCH.md).
+    // Orthogonal planes give independent bits for isotropic data; each
+    // dim-sized block is an independent rotation, so bits stay useful
+    // past `dim` total. Deterministic, pure — shared with the gold
+    // evaluator through this same function.
+    var blockStart = 0
+    while (blockStart < bits) {
+      val blockEnd = math.min(blockStart + dim, bits)
+      var i = blockStart
+      while (i < blockEnd) {
+        val v = raw(i)
+        var j = blockStart
+        while (j < i) {
+          val u = raw(j)
+          var d = 0.0
+          var k = 0
+          while (k < dim) { d += v(k) * u(k); k += 1 }
+          k = 0
+          while (k < dim) { v(k) = (v(k) - d * u(k)).toFloat; k += 1 }
+          j += 1
+        }
+        var n2 = 0.0
+        var k = 0
+        while (k < dim) { n2 += v(k) * v(k); k += 1 }
+        val n = math.sqrt(n2)
+        // a numerically degenerate direction keeps its raw residual —
+        // probability ~0 under the deterministic hash init
+        if (n > 1e-9) { k = 0; while (k < dim) { v(k) = (v(k) / n).toFloat; k += 1 } }
+        i += 1
+      }
+      blockStart += dim
+    }
+    raw
+  }
 
   /** Per-band bucket keys of one embedding under hyperplane LSH. Pure —
     * shared with the gold-oracle evaluator. */
