@@ -179,6 +179,32 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     commit("overwrite", dir, rows, commitKey)
   }
 
+  /** Rewrite the CURRENT table view as one new snapshot with
+    * `targetFiles` output files — the small-files compaction every
+    * append-heavy / streaming-fed table needs at scale: N appends leave N
+    * data dirs of small files whose per-file open cost dominates the scan
+    * long before the bytes do. Commits as an "overwrite", so subsequent
+    * reads scan ONE directory while every prior snapshot (and time
+    * travel to it) stays intact — no data files are deleted; reclaiming
+    * superseded dirs stays an explicit operator sweep. Idempotent via
+    * `commitKey` (a restarted maintenance job re-issues the compaction
+    * and only the uncommitted one lands). */
+  def compact(
+      targetFiles: Int,
+      partitionBy: Seq[String] = Nil,
+      commitKey: Option[String] = None): Long = {
+    commitKey.flatMap(k => chainManifests().find(_.commitKey.contains(k))) match {
+      case Some(m) => m.snapshotId
+      case None =>
+        val cur = read()
+        val reshaped =
+          if (partitionBy.isEmpty) cur.repartition(targetFiles)
+          else cur.repartition(targetFiles,
+            partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        overwrite(reshaped, partitionBy, commitKey)
+    }
+  }
+
   /** Append unless a committed snapshot in the CURRENT chain already
     * carries `commitKey` — the stage-resume primitive: a restarted job
     * re-issues all its appends and only the uncommitted ones land.

@@ -95,6 +95,44 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.snapshots().map(_.parentId) == Seq(-1L, 0L, 1L, 2L))
   }
 
+  test("compact rewrites N append dirs into one dir with targetFiles files; history intact") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    // 6 stage-grained appends -> 6 data dirs, each with >=1 small file
+    (1 to 6).foreach(i => t.append(Seq((s"k$i", i)).toDF("k", "v").repartition(4)))
+    val before = t.read()
+    val beforeRows = before.select("k").as[String].collect().sorted.toSeq
+    assert(t.snapshots().last.dataDirs.size == 6)
+
+    val sid = t.compact(targetFiles = 2, commitKey = Some("maint-compact-1"))
+    val m = t.snapshots().find(_.snapshotId == sid).get
+    assert(m.operation == "overwrite" && m.dataDirs.size == 1) // one dir scanned now
+    assert(t.read().select("k").as[String].collect().sorted.toSeq == beforeRows)
+    // physical small-files claim: the compacted dir holds exactly targetFiles parquet files
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(m.dataDirs.head))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(files.length == 2, files.toSeq)
+    // time travel to the pre-compaction snapshot still works
+    assert(t.read(sid - 1).count() == 6)
+    // restarted maintenance job replays the compaction as a no-op
+    assert(t.compact(targetFiles = 2, commitKey = Some("maint-compact-1")) == sid)
+    assert(t.currentSnapshotId() == sid)
+  }
+
+  test("partitioned compact keeps hive partition dirs and read-side pruning") {
+    val t = new SnapshotTable(spark, freshRoot())
+    t.append(Seq(("links_to", "a", "b")).toDF("pred", "subj", "obj"), partitionBy = Seq("pred"))
+    t.append(Seq(("defined_in", "c", "d")).toDF("pred", "subj", "obj"), partitionBy = Seq("pred"))
+    t.compact(targetFiles = 2, partitionBy = Seq("pred"))
+    val got = t.read().where(col("pred") === "defined_in").select("subj").as[String].collect()
+    assert(got.toSeq == Seq("c"))
+    val scan = t.read().where(col("pred") === "defined_in")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("pred"), scan)
+  }
+
   test("partitioned append round-trips partition columns and prunes on read") {
     val t = new SnapshotTable(spark, freshRoot())
     t.append(
