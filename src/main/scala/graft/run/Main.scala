@@ -14,10 +14,25 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *     --corpus <parquet path with (repo,path,commit,lang,content)> \
   *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|ot-target \
   *     --entity-class <class> --out <output dir> \
-  *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>]
+  *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>] \
+  *     [--snapshot-table <dir> [--commit-key <key>]]
   *
   * Every stage is checkpointed when --checkpoint is given, so re-running
   * the same command resumes from the last committed stage.
+  *
+  * With --snapshot-table the triples land as one atomic snapshot commit on
+  * a [[graft.graph.SnapshotTable]] instead of a plain parquet overwrite —
+  * the north rule's "resumes idempotently from the last committed snapshot"
+  * at the production entry point: a restarted run re-issues the append and
+  * it lands exactly once. The commit key defaults to a hash of the run
+  * config (corpus/ontology/format/class — the reference's cache-key-by-
+  * step-config notion, kazu/utils/caching.py); pass --commit-key to
+  * distinguish runs that re-ingest NEW data from identical paths.
+  *
+  * Maintenance: --compact <targetFiles> with --snapshot-table rewrites the
+  * table's current view as one snapshot with that many files (see
+  * SnapshotTable.compact) and exits — the small-files sweep a streaming-fed
+  * or many-run table needs.
   */
 object Main {
 
@@ -54,8 +69,21 @@ object Main {
     * the full spark-submit surface on a shared session. */
   def run(opts: Map[String, String], spark: SparkSession): Unit = {
     import spark.implicits._
+    val snapshotTablePath = opts.get("--snapshot-table")
+
+    // maintenance mode: compact the snapshot table and exit
+    opts.get("--compact").foreach { n =>
+      val tbl = snapshotTablePath.getOrElse(sys.error("--compact requires --snapshot-table"))
+      val sid = new graft.graph.SnapshotTable(spark, tbl)
+        .compact(n.toInt, partitionBy = Seq("pred_part"), commitKey = opts.get("--commit-key"))
+      println(s"[graft] compacted $tbl into snapshot $sid")
+      return
+    }
+
     val corpusPath = opts.getOrElse("--corpus", sys.error("--corpus required"))
-    val outPath = opts.getOrElse("--out", sys.error("--out required"))
+    val outPath = opts.get("--out")
+    require(outPath.nonEmpty || snapshotTablePath.nonEmpty,
+      "--out or --snapshot-table required")
     // --ontology + --ontology-format select any supported KB reader;
     // --ontology-tsv is kept as the backward-compatible tsv shorthand
     val ontologyPath = opts.get("--ontology").orElse(opts.get("--ontology-tsv"))
@@ -119,16 +147,30 @@ object Main {
       graft.graph.Triples.fromDocMentions(annotated)
     }
 
+    def materialize(triples: org.apache.spark.sql.Dataset[graft.core.Triple]): Unit = {
+      snapshotTablePath.foreach { tbl =>
+        val key = opts.getOrElse("--commit-key", {
+          val cfg = Seq(corpusPath, ontologyPath.getOrElse(""), ontologyFormat, entityClass)
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(cfg.mkString("|").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        })
+        val sid = TripleSink.appendSnapshot(triples, tbl, key)
+        println(s"[graft] committed snapshot $sid of $tbl (commit key $key)")
+      }
+      outPath.foreach { out =>
+        TripleSink.write(triples, out)
+        spark.catalog.refreshByPath(out) // drop any stale listing of the overwritten dir
+        println(s"[graft] wrote ${spark.read.parquet(out).count()} triples to $out")
+      }
+    }
+
     checkpointDir match {
       case Some(dir) =>
         val ckpt = new Checkpointer(spark, dir)
-        val triples = ckpt.stage("triples")(pipeline())
-        TripleSink.write(triples, outPath)
-        println(s"[graft] wrote ${triples.count()} triples to $outPath (checkpoints: $dir)")
+        materialize(ckpt.stage("triples")(pipeline()))
       case None =>
-        val triples = pipeline()
-        TripleSink.write(triples, outPath)
-        println(s"[graft] wrote ${spark.read.parquet(outPath).count()} triples to $outPath")
+        materialize(pipeline())
     }
   }
 

@@ -49,4 +49,49 @@ class CliSpec extends AnyFunSuite {
     spark.catalog.refreshByPath(s"$dir/out")
     assert(spark.read.parquet(s"$dir/out").count() == firstCount)
   }
+
+  test("Main CLI: --snapshot-table commits atomically, replays idempotently, compacts") {
+    val dir = Files.createTempDirectory("graft_cli_snap")
+    val corpusPath = s"$dir/corpus.parquet"
+    Seq(
+      ("org/r1", "src/a.txt", "c1", "txt", "this pulmonary cancer cohort is large"),
+      ("org/r2", "src/b.txt", "c2", "txt", "pulmonary cancer appears here too"))
+      .toDF("repo", "path", "commit", "lang", "content")
+      .write.parquet(corpusPath)
+    Files.writeString(dir.resolve("onto.tsv"),
+      "idx\tdefault_label\tsyn\tmapping_type\n" +
+        "MONDO:0000001\tlung cancer\tpulmonary cancer\tname\n")
+
+    val opts = Map(
+      "--corpus" -> corpusPath,
+      "--ontology" -> s"$dir/onto.tsv",
+      "--ontology-format" -> "tsv",
+      "--entity-class" -> "disease",
+      "--snapshot-table" -> s"$dir/graph")
+    graft.run.Main.run(opts, spark) // no --out: snapshot table is the sink
+    val table = new graft.graph.SnapshotTable(spark, s"$dir/graph")
+    val sid = table.currentSnapshotId()
+    assert(sid == 0L)
+    val rows = table.read().count()
+    assert(rows >= 2) // both docs mention the synonym
+
+    // restarted identical run: same derived commit key -> no new snapshot
+    graft.run.Main.run(opts, spark)
+    assert(table.currentSnapshotId() == sid)
+    assert(table.read().count() == rows)
+
+    // a distinct commit key marks a genuinely new ingest batch
+    graft.run.Main.run(opts + ("--commit-key" -> "batch-2"), spark)
+    assert(table.currentSnapshotId() == sid + 1)
+    assert(table.read().count() == rows * 2)
+
+    // maintenance sweep: compact the two append dirs into one snapshot
+    graft.run.Main.run(Map(
+      "--snapshot-table" -> s"$dir/graph", "--compact" -> "2"), spark)
+    val m = table.snapshots().last
+    assert(m.operation == "overwrite" && m.dataDirs.size == 1)
+    assert(table.read().count() == rows * 2)
+    // predicate partitioning survives compaction (pruned per-pred reads)
+    assert(table.read().columns.contains("pred_part"))
+  }
 }

@@ -80,14 +80,21 @@ class SnapshotTableSpec extends AnyFunSuite {
 
   test("concurrent appenders serialize into a strict linear history (no lost rows)") {
     val root = freshRoot()
+    // generous claim budget: a co-tenant-loaded host can stall a claim
+    // holder past the production default's 5s bound, which would abort a
+    // blocked appender and make this read as a (phantom) lost commit
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (1 to 4).map { i =>
       new Thread(() => {
-        val t = new SnapshotTable(spark, root)
-        t.append(Seq((s"w$i", i)).toDF("k", "v"))
+        try {
+          val t = new SnapshotTable(spark, root, maxClaimAttempts = 600)
+          t.append(Seq((s"w$i", i)).toDF("k", "v"))
+        } catch { case e: Throwable => failures.add(e) }
       })
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
+    assert(failures.isEmpty, failures.toString)
     val t = new SnapshotTable(spark, root)
     assert(t.currentSnapshotId() == 3L) // ids 0..3, no gaps
     assert(t.read().select("k").as[String].collect().sorted.toSeq ==
