@@ -222,9 +222,12 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     var id = currentSnapshotId()
     var done = id < 0
     while (!done) {
-      val m = readManifest(id)
-      out += m
-      if (m.operation == "overwrite" || m.parentId < 0) done = true else id = m.parentId
+      if (!fs.exists(manifestPath(id))) done = true // chain tail expired
+      else {
+        val m = readManifest(id)
+        out += m
+        if (m.operation == "overwrite" || m.parentId < 0) done = true else id = m.parentId
+      }
     }
     out.result().reverse
   }
@@ -242,6 +245,33 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     m.dataDirs
       .map(d => spark.read.option("basePath", d).parquet(d))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Expire history: drop all committed snapshots except the most recent
+    * `keepLast`, then delete data dirs that only expired snapshots
+    * referenced — the Iceberg expire-snapshots analog, and the reclamation
+    * step [[compact]] defers to ("no data files are deleted"). Time travel
+    * to an expired id stops working, by design; the CURRENT view and the
+    * kept tail are untouched. ONLY safe when no writer is live and no
+    * reader holds an expired snapshot open (the same operator-sweep
+    * contract as [[recoverStaleClaims]]/[[orphanDataDirs]]). Expired
+    * manifests take their commit keys with them, so the
+    * [[appendIdempotent]] replay horizon narrows to the kept tail —
+    * expire only after the writing job's retry window has closed (same
+    * rule Iceberg documents for expire_snapshots vs. idempotent writers).
+    * Returns (expired snapshot ids, deleted data dirs). */
+  def expireSnapshots(keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val all = snapshots()
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    val keptDirs = kept.flatMap(_.dataDirs).toSet
+    val reclaim = expired.flatMap(_.dataDirs).distinct.filterNot(keptDirs)
+    expired.foreach { m =>
+      fs.delete(manifestPath(m.snapshotId), false)
+      fs.delete(claimPath(m.snapshotId), false)
+    }
+    reclaim.foreach(d => fs.delete(new Path(d), true))
+    (expired.map(_.snapshotId), reclaim)
   }
 
   /** Data dirs present on disk but referenced by NO committed manifest —

@@ -16,6 +16,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *     --entity-class <class> --out <output dir> \
   *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>] \
   *     [--snapshot-table <dir> [--commit-key <key>]]
+  *     [--compact <targetFiles> | --expire-snapshots <keepLast>]
   *
   * Every stage is checkpointed when --checkpoint is given, so re-running
   * the same command resumes from the last committed stage.
@@ -32,7 +33,10 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Maintenance: --compact <targetFiles> with --snapshot-table rewrites the
   * table's current view as one snapshot with that many files (see
   * SnapshotTable.compact) and exits — the small-files sweep a streaming-fed
-  * or many-run table needs.
+  * or many-run table needs. --expire-snapshots <keepLast> with
+  * --snapshot-table drops history beyond the newest keepLast snapshots and
+  * reclaims data dirs only they referenced (SnapshotTable.expireSnapshots)
+  * — run it only after every writer's retry window has closed.
   */
 object Main {
 
@@ -77,6 +81,17 @@ object Main {
       val sid = new graft.graph.SnapshotTable(spark, tbl)
         .compact(n.toInt, partitionBy = Seq("pred_part"), commitKey = opts.get("--commit-key"))
       println(s"[graft] compacted $tbl into snapshot $sid")
+      return
+    }
+
+    // maintenance mode: expire old snapshots and reclaim their data dirs
+    opts.get("--expire-snapshots").foreach { keep =>
+      val tbl = snapshotTablePath.getOrElse(
+        sys.error("--expire-snapshots requires --snapshot-table"))
+      val (expired, reclaimed) =
+        new graft.graph.SnapshotTable(spark, tbl).expireSnapshots(keep.toInt)
+      println(s"[graft] expired ${expired.size} snapshots of $tbl, " +
+        s"reclaimed ${reclaimed.size} data dirs")
       return
     }
 

@@ -179,6 +179,42 @@ object StreamingJobs {
       }
   }
 
+  /** One micro-batch of streaming triples committed as one atomic snapshot.
+    * The commit key is (queryKey, batchId): Structured Streaming's recovery
+    * contract re-delivers the last in-flight micro-batch WITH THE SAME
+    * batchId after a crash, so `appendIdempotent` turns the redelivery into
+    * a no-op when the snapshot already landed — at-least-once delivery +
+    * idempotent commit = exactly-once table contents, without any
+    * transactional sink support. Empty batches (idle stream ticks) are
+    * skipped rather than committed as empty snapshots. */
+  def commitTriplesBatch(
+      batch: Dataset[Triple],
+      tablePath: String,
+      queryKey: String,
+      batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      graft.graph.TripleSink.appendSnapshot(batch, tablePath, s"$queryKey#batch-$batchId")
+      ()
+    }
+
+  /** Continuous KG materialization: stream triples into a snapshot-
+    * committed graph table ([[graft.graph.SnapshotTable]]), one atomic
+    * snapshot per micro-batch, exactly-once via [[commitTriplesBatch]].
+    * Long-running streams accrete one data dir per batch — the table's
+    * `compact()` maintenance sweep (Main CLI `--compact`) is the designed
+    * countermeasure. */
+  def triplesToSnapshotTable(
+      triples: Dataset[Triple],
+      tablePath: String,
+      queryKey: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    triples.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch((batch: Dataset[Triple], batchId: Long) =>
+        commitTriplesBatch(batch, tablePath, queryKey, batchId))
+      .start()
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(userId: Long, nEvents: Long, totalValue: Double, endedByTimeout: Boolean)

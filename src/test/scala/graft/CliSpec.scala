@@ -93,5 +93,15 @@ class CliSpec extends AnyFunSuite {
     assert(table.read().count() == rows * 2)
     // predicate partitioning survives compaction (pruned per-pred reads)
     assert(table.read().columns.contains("pred_part"))
+
+    // maintenance sweep: expire everything but the compacted snapshot and
+    // reclaim the superseded append dirs
+    graft.run.Main.run(Map(
+      "--snapshot-table" -> s"$dir/graph", "--expire-snapshots" -> "1"), spark)
+    assert(table.snapshots().map(_.snapshotId) == Seq(sid + 2))
+    assert(table.read().count() == rows * 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$dir/graph"), spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/graph/data")).length == 1)
   }
 }

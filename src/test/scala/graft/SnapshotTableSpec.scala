@@ -128,6 +128,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.currentSnapshotId() == sid)
   }
 
+  test("expireSnapshots reclaims dirs superseded by compaction, keeps the live tail") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    (1 to 4).foreach(i => t.append(Seq((s"k$i", i)).toDF("k", "v"), commitKey = Some(s"stage-$i")))
+    val compactId = t.compact(targetFiles = 1) // snapshot 4, supersedes the 4 append dirs
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def dataDirCount = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data")).length
+    assert(dataDirCount == 5) // nothing reclaimed yet: old snapshots stay readable
+
+    val (expired, reclaimed) = t.expireSnapshots(keepLast = 1)
+    assert(expired == Seq(0L, 1L, 2L, 3L))
+    assert(reclaimed.size == 4 && dataDirCount == 1) // only the compacted dir survives
+    assert(t.currentSnapshotId() == compactId)
+    assert(t.read().select("k").as[String].collect().sorted.toSeq == Seq("k1", "k2", "k3", "k4"))
+    intercept[Exception] { t.read(0L).count() } // time travel to expired id is gone, by design
+
+    // appends (and idempotent replays against LIVE keys) still work across the
+    // expired boundary
+    assert(t.appendIdempotent(Seq(("k5", 5)).toDF("k", "v"), "stage-5") == compactId + 1)
+    assert(t.appendIdempotent(Seq(("k5", 5)).toDF("k", "v"), "stage-5") == compactId + 1)
+    assert(t.read().count() == 5)
+  }
+
+  test("expire on an append-only chain reclaims nothing (manifests are self-contained)") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    (1 to 3).foreach(i => t.append(Seq((s"k$i", i)).toDF("k", "v")))
+    val (expired, reclaimed) = t.expireSnapshots(keepLast = 1)
+    assert(expired == Seq(0L, 1L))
+    assert(reclaimed.isEmpty) // the kept append manifest still references every dir
+    assert(t.read().count() == 3)
+  }
+
   test("partitioned compact keeps hive partition dirs and read-side pruning") {
     val t = new SnapshotTable(spark, freshRoot())
     t.append(Seq(("links_to", "a", "b")).toDF("pred", "subj", "obj"), partitionBy = Seq("pred"))

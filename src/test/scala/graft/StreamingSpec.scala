@@ -139,6 +139,52 @@ class StreamingSpec extends AnyFunSuite {
       Set(("12", "11", 1.0)))
   }
 
+  test("streaming triples -> snapshot table: one snapshot per batch, exactly-once on replay") {
+    val gen = CorpusGen.generate(40)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(CorpusGen.gazetteer))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_snap")
+    val tablePath = s"$dir/graph"
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[graft.core.DocRow]
+    val triples = StreamingJobs.streamingTriples(stream.toDF(), bc)
+    val query = StreamingJobs.triplesToSnapshotTable(
+      triples, tablePath, queryKey = "kg-stream", checkpointLocation = s"$dir/ckpt")
+
+    stream.addData(gen.take(20).map(_.row))
+    query.processAllAvailable()
+    stream.addData(gen.drop(20).map(_.row))
+    query.processAllAvailable()
+    query.stop()
+
+    val table = new graft.graph.SnapshotTable(spark, tablePath)
+    val committed = table.snapshots()
+    assert(committed.size == 2, committed.map(_.commitKey).toString) // one snapshot per non-empty batch
+    assert(committed.map(_.commitKey.get).toSet == Set("kg-stream#batch-0", "kg-stream#batch-1"))
+
+    // table contents == the batch pipeline over the same docs
+    val batchDocs = graft.run.Stages.ingest(spark.createDataset(gen.map(_.row)).toDF())(spark)
+    val batch = KgPipeline.triples(batchDocs, bc).toDF()
+      .select("subj", "pred", "obj").collect().map(_.toString).sorted
+    val streamed = table.read()
+      .select("subj", "pred", "obj").collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+
+    // crash-recovery contract: a re-delivered micro-batch (same batchId)
+    // commits nothing new
+    val redelivered = KgPipeline.triples(
+      graft.run.Stages.ingest(spark.createDataset(gen.take(20).map(_.row)).toDF())(spark), bc)
+    StreamingJobs.commitTriplesBatch(redelivered, tablePath, "kg-stream", batchId = 0L)
+    assert(table.snapshots().size == 2)
+    assert(table.read().count() == streamed.length)
+
+    // maintenance: compaction folds the per-batch dirs into one
+    table.compact(targetFiles = 2, partitionBy = Seq("pred_part"))
+    assert(table.snapshots().last.dataDirs.size == 1)
+    assert(table.read().select("subj", "pred", "obj")
+      .collect().map(_.toString).sorted.sameElements(batch))
+  }
+
   test("stateful sessionization closes sessions on gap (batch-mode state fn)") {
     // flatMapGroupsWithState also runs on static Datasets — exercises the
     // session state machine without the streaming runtime
