@@ -247,6 +247,31 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Incremental read: only the rows appended AFTER `fromSnapshotId`, up
+    * to the current snapshot — Iceberg's incremental (appends-only) scan.
+    * Because manifests are self-contained dir lists and appends only ever
+    * extend the parent's list, the delta is exactly the current dirs minus
+    * the `from` snapshot's dirs: the reader pays for the NEW data, not a
+    * diff of row sets. Pairs with [[appendIdempotent]] on the write side
+    * to chain exactly-once incremental pipelines: stage k+1 consumes
+    * `readIncremental(lastProcessedId)` and records its own commit key.
+    * Throws if `fromSnapshotId` is not on the current chain (expired, or
+    * cut off by an overwrite/compaction) — an overwrite rewrites history,
+    * so "what changed since" has no appends-only answer and the caller
+    * must fall back to a full read, exactly Iceberg's contract. */
+  def readIncremental(fromSnapshotId: Long): DataFrame = {
+    val chain = chainManifests()
+    val from = chain.find(_.snapshotId == fromSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId is not on the current append chain of $root " +
+          "(expired or superseded by an overwrite); re-read the full table"))
+    val newDirs = chain.last.dataDirs.drop(from.dataDirs.size)
+    if (newDirs.isEmpty) read().limit(0)
+    else newDirs
+      .map(d => spark.read.option("basePath", d).parquet(d))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Expire history: drop all committed snapshots except the most recent
     * `keepLast`, then delete data dirs that only expired snapshots
     * referenced — the Iceberg expire-snapshots analog, and the reclamation

@@ -148,11 +148,20 @@ object Similarity {
     // The final assignment below is a single re-read of the source.
     ds.unpersist(blocking = false)
 
+    (centroids, assignCells(ds.toDF("id", "embedding"), centroids))
+  }
+
+  /** Cell assignment under a FROZEN quantizer: broadcast the centroids,
+    * one narrow map over the vectors. Shared by [[ivfAssign]]'s final
+    * pass and [[appendToIvfIndex]]'s incremental path. */
+  def assignCells(corpus: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignments = ds.map { case (id, emb) =>
-      (id, nearestCell(emb, bc.value.toIndexedSeq))
-    }.toDF("id", "cell")
-    (centroids, assignments)
+    corpus.select(col("id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, nearestCell(emb, bc.value.toIndexedSeq)) }
+      .toDF("id", "cell")
   }
 
   /** IVF probe-limited search: only rows in the nProbe nearest cells are
@@ -522,6 +531,25 @@ object Similarity {
   /** Partition-pruned read of the probed cells. */
   def probeIvfIndex(spark: SparkSession, table: String, cells: Seq[Int]): DataFrame =
     spark.table(table).filter(col("cell").isin(cells: _*))
+
+  /** Incremental index maintenance: assign NEW vectors under the frozen
+    * quantizer and append them into the existing cell partitions — no
+    * rebuild, no touch of existing files (dynamic-partition append). This
+    * is how production IVF grows at target scale: retraining the coarse
+    * quantizer is a rare offline event; the steady state is appends into
+    * frozen cells, at the cost of gradually less-balanced cells (monitor
+    * and re-train when probe-cost skew warrants it). Probing is unchanged
+    * — new rows land in the same partition dirs the pruned read scans. */
+  def appendToIvfIndex(
+      newVectors: DataFrame, // (id, embedding)
+      centroids: Seq[Array[Float]],
+      table: String
+  ): Unit =
+    newVectors.join(assignCells(newVectors, centroids), "id")
+      .write.format("parquet")
+      .partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(table)
 
   /** Embedding near-duplicate pairs above a cosine threshold, via random
     * hyperplane LSH banding (signature bits from sign(dot(v, plane))),

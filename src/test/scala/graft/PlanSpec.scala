@@ -118,6 +118,38 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS t_ivf_index")
   }
 
+  test("IVF incremental append: frozen-quantizer appends keep parity and pruning") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val firstHalf = emb.filter(col("id") % 2 === 0)
+    val secondHalf = emb.filter(col("id") % 2 =!= 0)
+    val (centroids, halfAssign) = graft.ops.Similarity.ivfAssign(firstHalf, numCells = 8)
+    spark.sql("DROP TABLE IF EXISTS t_ivf_inc")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/t_ivf_inc"))
+    graft.ops.Similarity.writeIvfIndex(firstHalf, halfAssign, "t_ivf_inc")
+    graft.ops.Similarity.appendToIvfIndex(secondHalf, centroids, "t_ivf_inc")
+
+    // parity: the incrementally-grown index holds exactly what a full
+    // build under the same frozen quantizer would
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id").cast("long"), col("cell").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = pairs(spark.table("t_ivf_inc"))
+    val want = pairs(graft.ops.Similarity.assignCells(emb, centroids)
+      .join(emb, "id").select(col("id"), col("cell")))
+    assert(got == want && got.size == emb.count())
+
+    // partition pruning unaffected by the appended files
+    val probed = graft.ops.Similarity.probeIvfIndex(spark, "t_ivf_inc", Seq(2, 5))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.isDefined && scan.get.selectedPartitions.partitionCount == 2, plan(probed))
+    spark.sql("DROP TABLE IF EXISTS t_ivf_inc")
+  }
+
   test("aggregation has a map-side partial phase") {
     val p = plan(SparkEntry.q1Agg(spark, sfDir))
     // HashAggregate (partial) ... Exchange ... HashAggregate (final)

@@ -152,6 +152,26 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 5)
   }
 
+  test("readIncremental returns exactly the rows appended since a snapshot") {
+    val t = new SnapshotTable(spark, freshRoot())
+    val s0 = t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    val s1 = t.append(Seq(("c", 3)).toDF("k", "v"))
+    val s2 = t.append(Seq(("d", 4)).toDF("k", "v"))
+    assert(t.readIncremental(s0).select("k").as[String].collect().sorted.toSeq == Seq("c", "d"))
+    assert(t.readIncremental(s1).select("k").as[String].collect().toSeq == Seq("d"))
+    // caught up: empty delta, schema preserved for downstream plan reuse
+    val delta = t.readIncremental(s2)
+    assert(delta.isEmpty && delta.columns.toSeq == Seq("k", "v"))
+    // an overwrite (compaction) rewrites history: appends-only semantics
+    // are gone for pre-overwrite snapshots, so the call must refuse
+    t.compact(targetFiles = 1)
+    intercept[IllegalArgumentException] { t.readIncremental(s0) }
+    // but the post-overwrite chain supports increments again
+    val s3 = t.currentSnapshotId()
+    t.append(Seq(("e", 5)).toDF("k", "v"))
+    assert(t.readIncremental(s3).select("k").as[String].collect().toSeq == Seq("e"))
+  }
+
   test("expire on an append-only chain reclaims nothing (manifests are self-contained)") {
     val root = freshRoot()
     val t = new SnapshotTable(spark, root)
