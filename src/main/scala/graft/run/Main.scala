@@ -12,6 +12,9 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Usage:
   *   spark-submit --class graft.run.Main <jar> \
   *     --corpus <parquet path with (repo,path,commit,lang,content)> \
+  *       (or --corpus-table <SnapshotTable of that shape> for incremental
+  *        delta-only processing via IncrementalKg — requires
+  *        --snapshot-table; each invocation is one catch-up tick) \
   *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|ot-target \
   *     --entity-class <class> --out <output dir> \
   *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>] \
@@ -95,7 +98,16 @@ object Main {
       return
     }
 
-    val corpusPath = opts.getOrElse("--corpus", sys.error("--corpus required"))
+    // incremental mode: the corpus is a SnapshotTable; process only the
+    // rows appended since the last committed kg-increment-to-* snapshot of
+    // the graph table (IncrementalKg), then exit. Artifacts are built the
+    // same way as a batch run, so the two modes share every option below.
+    val corpusTablePath = opts.get("--corpus-table")
+    if (corpusTablePath.isDefined)
+      require(snapshotTablePath.isDefined, "--corpus-table requires --snapshot-table")
+
+    val corpusPath = corpusTablePath.getOrElse(
+      opts.getOrElse("--corpus", sys.error("--corpus or --corpus-table required")))
     val outPath = opts.get("--out")
     require(outPath.nonEmpty || snapshotTablePath.nonEmpty,
       "--out or --snapshot-table required")
@@ -146,6 +158,16 @@ object Main {
         graft.datagen.CorpusGen.xrefSourceToParser))
     else None
     val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(gaz, xref))
+
+    corpusTablePath.foreach { ct =>
+      IncrementalKg.processIncrement(spark, ct, snapshotTablePath.get, bc) match {
+        case Some((from, to)) =>
+          println(s"[graft] processed corpus increment ($from -> $to] into ${snapshotTablePath.get}")
+        case None =>
+          println("[graft] corpus table caught up; nothing to process")
+      }
+      return
+    }
 
     val corpus = spark.read.parquet(corpusPath)
 

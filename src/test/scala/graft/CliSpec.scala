@@ -104,4 +104,40 @@ class CliSpec extends AnyFunSuite {
       new java.net.URI(s"$dir/graph"), spark.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/graph/data")).length == 1)
   }
+
+  test("Main CLI: --corpus-table runs one incremental tick per invocation") {
+    val dir = Files.createTempDirectory("graft_cli_inc")
+    val corpus = new graft.graph.SnapshotTable(spark, s"$dir/corpus")
+    corpus.append(Seq(
+      ("org/r1", "src/a.txt", "c1", "txt", "this pulmonary cancer cohort is large"))
+      .toDF("repo", "path", "commit", "lang", "content"))
+    Files.writeString(dir.resolve("onto.tsv"),
+      "idx\tdefault_label\tsyn\tmapping_type\n" +
+        "MONDO:0000001\tlung cancer\tpulmonary cancer\tname\n")
+
+    val opts = Map(
+      "--corpus-table" -> s"$dir/corpus",
+      "--ontology" -> s"$dir/onto.tsv",
+      "--ontology-format" -> "tsv",
+      "--entity-class" -> "disease",
+      "--snapshot-table" -> s"$dir/graph")
+    graft.run.Main.run(opts, spark)
+    val graph = new graft.graph.SnapshotTable(spark, s"$dir/graph")
+    val firstRows = graph.read().count()
+    assert(firstRows >= 1)
+    assert(graph.snapshots().last.commitKey.contains("kg-increment-to-0"))
+
+    // caught up: rerunning the same command commits nothing
+    graft.run.Main.run(opts, spark)
+    assert(graph.snapshots().size == 1)
+
+    // new corpus batch: the next tick processes only the delta
+    corpus.append(Seq(
+      ("org/r2", "src/b.txt", "c2", "txt", "pulmonary cancer appears here too"))
+      .toDF("repo", "path", "commit", "lang", "content"))
+    graft.run.Main.run(opts, spark)
+    assert(graph.snapshots().size == 2)
+    assert(graph.read().count() > firstRows)
+    assert(graph.read().select("subj").distinct().count() == 2) // one doc per tick
+  }
 }
