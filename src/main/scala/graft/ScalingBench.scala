@@ -531,7 +531,63 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** Incremental-KG tier: evidence that a tick's cost rides the DELTA, not
+    * the accumulated table. Lands a base corpus snapshot and processes it,
+    * then appends a much smaller delta and processes that — end to end
+    * through IncrementalKg (delta scan → full pipeline → atomic snapshot
+    * commit, parquet writes included). The claim holds when per-doc cost
+    * of the delta tick is in the same band as the base tick (the delta
+    * tick re-pays fixed job overheads, so at small deltas its per-doc rate
+    * can only be WORSE — equality or better means nothing scans the
+    * accumulated table). */
+  def incrementalStress(baseDocs: Int, deltaDocs: Int, cores: Int): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.graph.SnapshotTable
+    import graft.run.IncrementalKg
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_bench")
+    val corpusPath = s"$dir/corpus"
+    val graphPath = s"$dir/graph"
+    val corpusTable = new SnapshotTable(spark, corpusPath)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(
+      CorpusGen.gazetteer,
+      Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser))))
+
+    def gen(from: Long, n: Long) = spark.range(from, from + n).repartition(cores * 4)
+      .as[Long].mapPartitions(_.map(i => CorpusGen.generateOne(i.toInt).row)).toDF()
+
+    // JIT/codegen warm-up outside the timed ticks
+    KgPipeline.triples(Stages.ingest(gen(0, 20000))(spark), bc).count()
+
+    def tick(label: String, docs: Long): Unit = {
+      val t0 = System.nanoTime()
+      val res = IncrementalKg.processIncrement(spark, corpusPath, graphPath, bc)
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(res.isDefined, s"$label tick found nothing to process")
+      println(s"""{"metric":"incremental_kg","tick":"$label","docs":$docs,"cores":$cores,""" +
+        s""""sec":$dt,"docs_per_sec":${(docs / dt).toLong}}""")
+    }
+
+    corpusTable.append(gen(0, baseDocs))
+    tick("base", baseDocs)
+    corpusTable.append(gen(baseDocs, deltaDocs))
+    tick("delta", deltaDocs)
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("incremental")) {
+      incrementalStress(
+        args.lift(1).map(_.toInt).getOrElse(1000000),
+        args.lift(2).map(_.toInt).getOrElse(100000),
+        args.lift(3).map(_.toInt).getOrElse(32))
+      return
+    }
     if (args.headOption.contains("dedup")) {
       dedupStress(
         args.lift(1).map(_.toInt).getOrElse(1000000),

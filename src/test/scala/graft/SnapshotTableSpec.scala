@@ -162,6 +162,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     // caught up: empty delta, schema preserved for downstream plan reuse
     val delta = t.readIncremental(s2)
     assert(delta.isEmpty && delta.columns.toSeq == Seq("k", "v"))
+    // the delta SCAN lists only the new data dirs — the reader never even
+    // enumerates old files, which is the whole point at 100 TB
+    val roots = t.readIncremental(s1).queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths
+    }.flatten
+    assert(roots.size == 1, roots.toString)
     // an overwrite (compaction) rewrites history: appends-only semantics
     // are gone for pre-overwrite snapshots, so the call must refuse
     t.compact(targetFiles = 1)
