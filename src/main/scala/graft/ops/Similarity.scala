@@ -551,6 +551,31 @@ object Similarity {
       .mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(table)
 
+  /** IVF index on a snapshot-committed table ([[graft.graph.SnapshotTable]])
+    * instead of a catalog table: each append is one ATOMIC snapshot with an
+    * idempotent commit key, cell-partitioned inside its data dir, so the
+    * index gains the whole table contract for free — exactly-once appends
+    * under at-least-once delivery (the streaming ingestion path), time
+    * travel, small-files `compact`, history expiry — while probes still
+    * prune: every per-commit dir is hive-partitioned by cell, so the cell
+    * filter becomes a PartitionFilter on every scan in the union. Returns
+    * the owning snapshot id. */
+  def appendToIvfIndexTable(
+      newVectors: DataFrame, // (id, embedding)
+      centroids: Seq[Array[Float]],
+      tablePath: String,
+      commitKey: String
+  ): Long = {
+    val assigned = newVectors.join(assignCells(newVectors, centroids), "id")
+    new graft.graph.SnapshotTable(newVectors.sparkSession, tablePath)
+      .appendIdempotent(assigned, commitKey, partitionBy = Seq("cell"))
+  }
+
+  /** Partition-pruned probe of a snapshot-table IVF index. */
+  def probeIvfIndexTable(spark: SparkSession, tablePath: String, cells: Seq[Int]): DataFrame =
+    new graft.graph.SnapshotTable(spark, tablePath).read()
+      .filter(col("cell").isin(cells: _*))
+
   /** Embedding near-duplicate pairs above a cosine threshold, via random
     * hyperplane LSH banding (signature bits from sign(dot(v, plane))),
     * verified exactly. Deterministic planes from splitmix. Oversized

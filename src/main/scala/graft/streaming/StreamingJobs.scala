@@ -215,6 +215,31 @@ object StreamingJobs {
         commitTriplesBatch(batch, tablePath, queryKey, batchId))
       .start()
 
+  /** Continuous ANN-index maintenance: stream (id, embedding) rows into a
+    * snapshot-committed IVF index under a FROZEN quantizer — one atomic
+    * cell-partitioned snapshot per micro-batch, commit key (query, batchId)
+    * so crash-redelivered batches replay as no-ops (the same exactly-once
+    * construction as [[triplesToSnapshotTable]]). Probes via
+    * [[graft.ops.Similarity.probeIvfIndexTable]] prune to the probed
+    * cells throughout; the table's `compact` folds per-batch small dirs. */
+  def vectorsToIvfIndex(
+      vectors: DataFrame, // streaming (id, embedding)
+      centroids: Seq[Array[Float]],
+      tablePath: String,
+      queryKey: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Similarity.appendToIvfIndexTable(
+            batch.toDF(), centroids, tablePath, s"$queryKey#batch-$batchId")
+          ()
+        }
+      }
+      .start()
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(userId: Long, nEvents: Long, totalValue: Double, endedByTimeout: Boolean)

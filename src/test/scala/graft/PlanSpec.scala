@@ -150,6 +150,39 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS t_ivf_inc")
   }
 
+  test("snapshot-table IVF index: probes prune inside every per-commit dir") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val (centroids, _) = graft.ops.Similarity.ivfAssign(emb, numCells = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf_snap").toString + "/index"
+    graft.ops.Similarity.appendToIvfIndexTable(
+      emb.filter(col("id") % 2 === 0), centroids, path, "batch-0")
+    graft.ops.Similarity.appendToIvfIndexTable(
+      emb.filter(col("id") % 2 =!= 0), centroids, path, "batch-1")
+
+    // idempotent replay: the re-delivered batch commits nothing
+    graft.ops.Similarity.appendToIvfIndexTable(
+      emb.filter(col("id") % 2 === 0), centroids, path, "batch-0")
+    val table = new graft.graph.SnapshotTable(spark, path)
+    assert(table.snapshots().size == 2)
+
+    // parity with a frozen-quantizer assignment over everything
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id").cast("long"), col("cell").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pairs(table.read()) == pairs(graft.ops.Similarity.assignCells(emb, centroids)))
+
+    // the cell filter prunes EVERY scan in the per-commit union
+    val probed = graft.ops.Similarity.probeIvfIndexTable(spark, path, Seq(2, 5))
+    val scans = probed.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 2, plan(probed)) // one per committed dir
+    scans.foreach(s => assert(s.selectedPartitions.partitionCount <= 2,
+      s"selected ${s.selectedPartitions.partitionCount}\n${plan(probed)}"))
+    assert(probed.select("cell").distinct().collect().map(_.getInt(0)).toSet.subsetOf(Set(2, 5)))
+  }
+
   test("aggregation has a map-side partial phase") {
     val p = plan(SparkEntry.q1Agg(spark, sfDir))
     // HashAggregate (partial) ... Exchange ... HashAggregate (final)

@@ -185,6 +185,48 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.sameElements(batch))
   }
 
+  test("streaming vectors -> snapshot IVF index: exactly-once maintenance under a frozen quantizer") {
+    import org.apache.spark.sql.functions.col
+    val all = spark.range(0, 64).selectExpr("id",
+      "transform(sequence(0, 15), d -> cast(sin(id * 0.37 + d) as float)) as embedding")
+    val (centroids, _) = graft.ops.Similarity.ivfAssign(all, numCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ivf")
+    val path = s"$dir/index"
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecRows = all.select(col("id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Array[Float])]
+    val query = StreamingJobs.vectorsToIvfIndex(
+      stream.toDF().toDF("id", "embedding"), centroids, path,
+      queryKey = "ivf-stream", checkpointLocation = s"$dir/ckpt")
+    stream.addData(vecRows.take(32))
+    query.processAllAvailable()
+    stream.addData(vecRows.drop(32))
+    query.processAllAvailable()
+    query.stop()
+
+    val table = new graft.graph.SnapshotTable(spark, path)
+    assert(table.snapshots().map(_.commitKey.get).toSet ==
+      Set("ivf-stream#batch-0", "ivf-stream#batch-1"))
+
+    // crash-recovery: a redelivered micro-batch (same batchId) is a no-op
+    graft.ops.Similarity.appendToIvfIndexTable(
+      spark.createDataset(vecRows.take(32)).toDF("id", "embedding"),
+      centroids, path, "ivf-stream#batch-0")
+    assert(table.snapshots().size == 2)
+
+    // the streamed index equals a batch build under the same quantizer
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id").cast("long"), col("cell").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pairs(table.read()) == pairs(graft.ops.Similarity.assignCells(all, centroids)))
+
+    // probes prune to the probed cells' rows
+    val probed = graft.ops.Similarity.probeIvfIndexTable(spark, path, Seq(1))
+    assert(probed.select("cell").distinct().collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
   test("stateful sessionization closes sessions on gap (batch-mode state fn)") {
     // flatMapGroupsWithState also runs on static Datasets — exercises the
     // session state machine without the streaming runtime
