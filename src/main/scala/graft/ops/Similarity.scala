@@ -154,14 +154,20 @@ object Similarity {
   /** Cell assignment under a FROZEN quantizer: broadcast the centroids,
     * one narrow map over the vectors. Shared by [[ivfAssign]]'s final
     * pass and [[appendToIvfIndex]]'s incremental path. */
-  def assignCells(corpus: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+  def assignCells(corpus: DataFrame, centroids: Seq[Array[Float]]): DataFrame =
+    assignCellsWithVectors(corpus, centroids).select("id", "cell")
+
+  /** (id, embedding, cell) in ONE narrow pass — the index-append shape.
+    * Joining vectors back to their own assignments would shuffle N rows
+    * against N rows for no reason; the cell rides the same map. */
+  def assignCellsWithVectors(corpus: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
     corpus.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, emb) => (id, nearestCell(emb, bc.value.toIndexedSeq)) }
-      .toDF("id", "cell")
+      .map { case (id, emb) => (id, emb, nearestCell(emb, bc.value.toIndexedSeq)) }
+      .toDF("id", "embedding", "cell")
   }
 
   /** IVF probe-limited search: only rows in the nProbe nearest cells are
@@ -545,7 +551,7 @@ object Similarity {
       centroids: Seq[Array[Float]],
       table: String
   ): Unit =
-    newVectors.join(assignCells(newVectors, centroids), "id")
+    assignCellsWithVectors(newVectors, centroids)
       .write.format("parquet")
       .partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Append)
@@ -565,11 +571,10 @@ object Similarity {
       centroids: Seq[Array[Float]],
       tablePath: String,
       commitKey: String
-  ): Long = {
-    val assigned = newVectors.join(assignCells(newVectors, centroids), "id")
+  ): Long =
     new graft.graph.SnapshotTable(newVectors.sparkSession, tablePath)
-      .appendIdempotent(assigned, commitKey, partitionBy = Seq("cell"))
-  }
+      .appendIdempotent(assignCellsWithVectors(newVectors, centroids),
+        commitKey, partitionBy = Seq("cell"))
 
   /** Partition-pruned probe of a snapshot-table IVF index. */
   def probeIvfIndexTable(spark: SparkSession, tablePath: String, cells: Seq[Int]): DataFrame =

@@ -48,9 +48,11 @@ object IncrementalKg {
     * Scans ALL committed manifests, not just the current chain, so graph
     * compaction (an overwrite) does not reset the consumer. */
   def lastProcessedSourceId(graph: SnapshotTable): Long =
-    graph.snapshots().flatMap(_.commitKey).collect {
-      case k if k.startsWith(KeyPrefix) => k.stripPrefix(KeyPrefix).toLong
-    }.foldLeft(-1L)(math.max)
+    graph.snapshots().flatMap(_.commitKey)
+      .filter(_.startsWith(KeyPrefix))
+      .flatMap(k => k.stripPrefix(KeyPrefix).toLongOption) // a foreign key that
+      // merely shares the prefix (hand-chosen batch keys) is not a watermark
+      .foldLeft(-1L)(math.max)
 
   /** Process everything appended to the corpus table since the last tick.
     * Returns Some((fromCorpusSnapshot, toCorpusSnapshot)) when an increment

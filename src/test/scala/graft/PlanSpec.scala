@@ -172,6 +172,12 @@ class PlanSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(pairs(table.read()) == pairs(graft.ops.Similarity.assignCells(emb, centroids)))
 
+    // the append itself is shuffle-free: cell assignment rides the scan,
+    // no self-join of vectors against their own assignments
+    val appendPlan = graft.ops.Similarity.assignCellsWithVectors(emb, centroids)
+      .queryExecution.executedPlan.toString
+    assert(!appendPlan.contains("Exchange"), appendPlan)
+
     // the cell filter prunes EVERY scan in the per-commit union
     val probed = graft.ops.Similarity.probeIvfIndexTable(spark, path, Seq(2, 5))
     val scans = probed.queryExecution.executedPlan.collectLeaves().collect {
