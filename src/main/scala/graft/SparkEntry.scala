@@ -118,7 +118,9 @@ object SparkEntry {
     * from the sf tables: order->customer stars (co-purchase components) +
     * event-id chains of length 100 (forces multi-hop contraction). ~26k
     * nodes / ~25k edges at sf0.01, 10x that at sf0.1. */
-  def graphCc(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Derived graph shared by the graph queries: order→customer stars plus
+    * event chains (directed). */
+  private def derivedEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val stars = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(concat(lit("o"), col("o_orderkey")).as("src"),
         concat(lit("c"), col("o_custkey")).as("dst"))
@@ -126,7 +128,23 @@ object SparkEntry {
       .filter(col("event_id") % 100 =!= 99)
       .select(concat(lit("e"), col("event_id")).as("src"),
         concat(lit("e"), col("event_id") + 1).as("dst"))
-    ConnectedComponents.runUnionFind(stars.union(chains))
+    stars.union(chains)
+  }
+
+  def graphCc(spark: SparkSession, sfDir: String): DataFrame =
+    ConnectedComponents.runUnionFind(derivedEdges(spark, sfDir))
+
+  /** Bounded k-hop reachability (dist = min hops, seeds at 0) over the
+    * derived directed graph — the neighborhood-expansion consumption
+    * pattern on a materialized KG. */
+  def graphKhop(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") <= 40)
+      .select(concat(lit("o"), col("o_orderkey")).as("node"))
+      .union(spark.read.parquet(s"$sfDir/events.parquet")
+        .filter(col("event_id") % 500 === 0)
+        .select(concat(lit("e"), col("event_id")).as("node")))
+    graph.Traversal.kHopDistances(derivedEdges(spark, sfDir), seeds, k = 3)
   }
 
   // ------------------------------------------------------------- dedup ----
@@ -434,6 +452,7 @@ object SparkEntry {
     "kg_full_triples" -> kgFullTriples,
     "kg_section_mentions" -> kgSectionMentions,
     "graph_cc" -> graphCc,
+    "graph_khop" -> graphKhop,
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -545,6 +564,21 @@ object SparkEntry {
         |  UNION
         |  SELECT bi.dst, reach.r FROM reach JOIN bi ON bi.src = reach.id)
         |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "graph_khop" ->
+      """WITH RECURSIVE e(src, dst) AS (
+        |  SELECT 'o' || CAST(o_orderkey AS VARCHAR), 'c' || CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'e' || CAST(event_id AS VARCHAR), 'e' || CAST(event_id + 1 AS VARCHAR)
+        |  FROM events WHERE event_id % 100 <> 99),
+        |seeds(node) AS (
+        |  SELECT 'o' || CAST(o_orderkey AS VARCHAR) FROM orders WHERE o_orderkey <= 40
+        |  UNION
+        |  SELECT 'e' || CAST(event_id AS VARCHAR) FROM events WHERE event_id % 500 = 0),
+        |reach(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node WHERE r.dist < 3)
+        |SELECT node, CAST(min(dist) AS INT) AS dist FROM reach GROUP BY node""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,

@@ -1,0 +1,57 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded graph traversal over the (src, dst) edge relation — the
+  * KG-consumption twin of [[ConnectedComponents]]: where CC answers "which
+  * nodes are together", k-hop answers "what is reachable from HERE and how
+  * far" (neighborhood expansion around an entity, impact analysis along
+  * xref/denotes edges). Reference precedent: KAZU consumers walk mapping
+  * cross-references one hop at a time (kazu/ontology_preprocessing/
+  * xref_manager.py); this generalizes that walk to k hops as a distributed
+  * plan.
+  */
+object Traversal {
+
+  /** Min-hop BFS distances from `seeds` over DIRECTED edges, bounded at
+    * `k` hops. Returns (node, dist) for every node within k hops of a seed
+    * (seeds at dist 0); a node's distance is its FIRST discovery round, so
+    * min-dist holds by construction and cycles terminate (the visited
+    * anti-join never re-admits a node).
+    *
+    * Scale shape: each round is one join of the FRONTIER (small, shrinking
+    * in most real expansions) against the edge relation plus one anti-join
+    * against the visited set — k is a small constant, so this is k
+    * bounded shuffles, never an unbounded fixpoint. The frontier and
+    * visited sets are eagerly `localCheckpoint`ed each round (the CC house
+    * pattern) so lineage stays flat and the loop's plans don't compound;
+    * the edge relation is re-scanned per round rather than pinned —
+    * unbounded inputs stay out of storage memory, and a columnar source
+    * makes the re-scan a pruned (src, dst) read. At broadcast-sized
+    * frontiers AQE plans the join as a broadcast of the frontier side. */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val edgePairs = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var h = 1
+    var done = k == 0
+    while (!done) {
+      val next = frontier.join(edgePairs, frontier("node") === edgePairs("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select("node")
+        done = h == k
+      }
+      h += 1
+    }
+    visited
+  }
+}

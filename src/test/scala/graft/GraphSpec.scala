@@ -76,4 +76,30 @@ class GraphSpec extends AnyFunSuite {
     // contract: a node must be incident to >=1 non-self edge to be emitted
     assertComponents(Seq("a" -> "a", "a" -> "b", "b" -> "a", "a" -> "b", "c" -> "d", "d" -> "c"))
   }
+
+  private def khop(edges: Seq[(String, String)], seeds: Seq[String], k: Int): Map[String, Int] =
+    graft.graph.Traversal.kHopDistances(
+      edges.toDF("src", "dst"), seeds.toDF("node"), k)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  test("k-hop: min distance wins over a diamond, bound k respected") {
+    // a -> b -> d, a -> c -> d -> e: d reachable at 2 via both arms
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d", "d" -> "e")
+    assert(khop(edges, Seq("a"), 2) == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    assert(khop(edges, Seq("a"), 3)("e") == 3)
+    assert(khop(edges, Seq("a"), 0) == Map("a" -> 0))
+  }
+
+  test("k-hop: cycles terminate; multiple seeds take the nearer one") {
+    val cyc = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "x")
+    assert(khop(cyc, Seq("a"), 10) == Map("a" -> 0, "b" -> 1, "c" -> 2, "x" -> 3))
+    // a path seeded at both ends: each node gets its nearer seed's distance
+    val path = Seq("p1" -> "p2", "p2" -> "p3", "p3" -> "p4", "p4" -> "p5")
+    assert(khop(path, Seq("p1", "p5"), 4) ==
+      Map("p1" -> 0, "p2" -> 1, "p3" -> 2, "p4" -> 3, "p5" -> 0))
+  }
+
+  test("k-hop: early exit when the frontier drains before k") {
+    assert(khop(Seq("a" -> "b"), Seq("a"), 100) == Map("a" -> 0, "b" -> 1))
+  }
 }
