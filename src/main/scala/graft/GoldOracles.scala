@@ -50,6 +50,19 @@ object GoldOracles {
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
     }
 
+  private def readDerivedEdges(sfDir: String): Seq[(String, String)] =
+    memoized(("derived_edges", sfDir)) {
+      val spark = SparkSession.active
+      import spark.implicits._
+      val stars = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+        .map { case (o, c) => (s"o$o", s"c$c") }
+      val chains = spark.read.parquet(s"$sfDir/events.parquet")
+        .select("event_id").as[Long].collect()
+        .filter(_ % 100 != 99).map(e => (s"e$e", s"e${e + 1}"))
+      (stars ++ chains).toSeq.sorted
+    }
+
   /** Spark round(x, 6) semantics (HALF_UP on the shortest representation),
     * emitted as a plain decimal literal DuckDB parses to the same double. */
   private def round6(x: Double): String =
@@ -63,6 +76,30 @@ object GoldOracles {
       s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(${cols.mkString(", ")})"
     else
       s"SELECT * FROM (VALUES $emptyRow) AS t(${cols.mkString(", ")}) WHERE 1=0"
+
+  /** Local replay of [[graft.graph.Traversal.pageRank]]: same derived
+    * edges, same pure decimal kernels (PrInit/prContrib/prNext), plain
+    * hash maps instead of joins — the decimal arithmetic makes the
+    * distributed sums bit-equal to this single-threaded loop. */
+  def graphPagerank(sfDir: String, iters: Int): String = {
+    import graft.graph.Traversal
+    val edges = readDerivedEdges(sfDir).distinct
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var rank = nodes.map(_ -> Traversal.PrInit).toMap
+    for (_ <- 0 until iters) {
+      val sums = scala.collection.mutable.HashMap.empty[String, java.math.BigDecimal]
+      for ((s, d) <- edges) {
+        val c = Traversal.prContrib(rank(s), outDeg(s))
+        sums(d) = sums.getOrElse(d, java.math.BigDecimal.ZERO).add(c)
+      }
+      rank = nodes.map(n =>
+        n -> Traversal.prNext(sums.getOrElse(n, java.math.BigDecimal.ZERO))).toMap
+    }
+    valuesSql(Seq("node", "rank"),
+      nodes.map(n => s"('$n', CAST(${round6(rank(n).doubleValue)} AS DOUBLE))"),
+      "('x', CAST(0.0 AS DOUBLE))")
+  }
 
   /** (band, key)-bucketed candidate pairs via the same pure
     * [[Dedup.splitBucketPairs]] the Spark operators call per shuffle

@@ -134,6 +134,14 @@ object SparkEntry {
   def graphCc(spark: SparkSession, sfDir: String): DataFrame =
     ConnectedComponents.runUnionFind(derivedEdges(spark, sfDir))
 
+  /** Fixed-iteration deterministic PageRank over the derived directed
+    * graph (decimal-exact sums → bit-identical across partitionings,
+    * checked against a single-threaded gold replay). */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    graph.Traversal.pageRank(derivedEdges(spark, sfDir), iters = PrIters)
+
+  private val PrIters = 10
+
   /** Bounded k-hop reachability (dist = min hops, seeds at 0) over the
     * derived directed graph — the neighborhood-expansion consumption
     * pattern on a materialized KG. */
@@ -453,6 +461,7 @@ object SparkEntry {
     "kg_section_mentions" -> kgSectionMentions,
     "graph_cc" -> graphCc,
     "graph_khop" -> graphKhop,
+    "graph_pagerank" -> graphPagerank,
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -530,6 +539,7 @@ object SparkEntry {
     "dedup_clusters" -> GoldOracles.dedupClusters(
       sfDir, MhNumHashes, MhBands, MhShingle, MhThreshold, LshCap),
     "dedup_simhash" -> GoldOracles.dedupSimhash(sfDir, ShMaxHamming, LshCap),
+    "graph_pagerank" -> GoldOracles.graphPagerank(sfDir, PrIters),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(
       sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
     "embed_clusters" -> GoldOracles.embedClusters(

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 /** Bounded graph traversal over the (src, dst) edge relation — the
   * KG-consumption twin of [[ConnectedComponents]]: where CC answers "which
@@ -53,5 +54,67 @@ object Traversal {
       h += 1
     }
     visited
+  }
+
+  // ---- PageRank kernels: pure, shared with the gold-oracle evaluator ----
+  // Decimal arithmetic throughout (the IVF Lloyd-mean house pattern,
+  // ops/Similarity.decimalMean): decimal addition is associative, so the
+  // shuffle's combine order cannot move the result by an ulp — ranks come
+  // out bit-identical across partitionings, which is what lets a local
+  // single-threaded replay serve as an exact oracle.
+
+  /** Initial rank, GraphX staticPageRank convention (unnormalized, 1.0). */
+  val PrInit: JBigDecimal = JBigDecimal.ONE.setScale(18)
+
+  /** Contribution one node sends along each out-edge. */
+  def prContrib(rank: JBigDecimal, outDeg: Long): JBigDecimal =
+    rank.divide(JBigDecimal.valueOf(outDeg), 18, RoundingMode.HALF_UP)
+
+  /** Rank update from the exact in-sum: 0.15 + 0.85 * inSum. */
+  def prNext(inSum: JBigDecimal): JBigDecimal =
+    new JBigDecimal("0.15")
+      .add(new JBigDecimal("0.85").multiply(inSum))
+      .setScale(18, RoundingMode.HALF_UP)
+
+  /** Fixed-iteration PageRank over DIRECTED edges (deduplicated), GraphX
+    * staticPageRank convention: init 1.0, rank' = 0.15 + 0.85 * Σ in-contrib
+    * (dangling mass dropped, the GraphX behavior). Returns (node, rank)
+    * with rank a double rounded to 6 places.
+    *
+    * Scale shape: per iteration, one join of ranks to out-degrees (narrow
+    * after co-keying), one join of per-src contributions to the edge
+    * relation, one decimal-sum aggregation — `iters` bounded shuffles.
+    * Ranks are eagerly localCheckpoint'ed per round so the loop's lineage
+    * stays flat (the CC house pattern); edges and degrees are checkpointed
+    * once up front and re-read per round. Contribution division and the
+    * damping update run in typed maps calling the same pure kernels the
+    * gold oracle replays, with exact decimal(38,18) sums in between —
+    * deterministic end to end. */
+  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+
+    var rank = nodes.as[String].map(n => (n, PrInit)).toDF("node", "r")
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contribs = rank.join(outDeg, rank("node") === outDeg("src"))
+        .select(col("node"), col("r"), col("deg"))
+        .as[(String, JBigDecimal, Long)]
+        .map { case (n, r, deg) => (n, prContrib(r, deg)) }
+        .toDF("csrc", "c")
+      val inSums = e.join(contribs, e("src") === col("csrc"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = nodes.join(inSums, nodes("node") === inSums("dst"), "left")
+        .select(col("node"), col("s").cast("decimal(38,18)"))
+        .as[(String, JBigDecimal)]
+        .map { case (n, s) => (n, prNext(if (s == null) JBigDecimal.ZERO else s)) }
+        .toDF("node", "r")
+        .localCheckpoint(true)
+    }
+    rank.select(col("node"), round(col("r").cast("double"), 6).as("rank"))
   }
 }

@@ -102,4 +102,37 @@ class GraphSpec extends AnyFunSuite {
   test("k-hop: early exit when the frontier drains before k") {
     assert(khop(Seq("a" -> "b"), Seq("a"), 100) == Map("a" -> 0, "b" -> 1))
   }
+
+  test("pagerank: bit-deterministic across partitionings; matches the local decimal replay") {
+    import graft.graph.Traversal
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "c", "d" -> "b")
+
+    // single-threaded replay with the same pure kernels (the gold-oracle shape)
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var rank = nodes.map(_ -> Traversal.PrInit).toMap
+    for (_ <- 0 until 10) {
+      val sums = scala.collection.mutable.HashMap.empty[String, java.math.BigDecimal]
+      for ((s, d) <- edges) {
+        val c = Traversal.prContrib(rank(s), outDeg(s))
+        sums(d) = sums.getOrElse(d, java.math.BigDecimal.ZERO).add(c)
+      }
+      rank = nodes.map(n =>
+        n -> Traversal.prNext(sums.getOrElse(n, java.math.BigDecimal.ZERO))).toMap
+    }
+    val expected = rank.map { case (n, r) =>
+      n -> java.math.BigDecimal.valueOf(r.doubleValue)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Traversal.pageRank(df, iters = 10).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val one = run(edges.toDF("src", "dst"))
+    assert(one == expected)
+    // exact decimal sums: a different partitioning must give BIT-equal ranks
+    assert(run(edges.toDF("src", "dst").repartition(7)) == one)
+    // sink c holds the most rank; source d keeps the floor
+    assert(one("c") > one("a") && one("d") == 0.15)
+  }
 }
