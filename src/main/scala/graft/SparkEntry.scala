@@ -140,7 +140,10 @@ object SparkEntry {
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame =
     graph.Traversal.pageRank(derivedEdges(spark, sfDir), iters = PrIters)
 
-  private val PrIters = 10
+  // 5 iterations for the driver query: the oracle replays the same
+  // constant, and each iteration is an edge-sized shuffle — the op's
+  // default stays 10 (Traversal.pageRank)
+  private val PrIters = 5
 
   /** Bounded k-hop reachability (dist = min hops, seeds at 0) over the
     * derived directed graph — the neighborhood-expansion consumption

@@ -81,38 +81,51 @@ object Traversal {
     * (dangling mass dropped, the GraphX behavior). Returns (node, rank)
     * with rank a double rounded to 6 places.
     *
-    * Scale shape: per iteration, one join of ranks to out-degrees (narrow
-    * after co-keying), one join of per-src contributions to the edge
-    * relation, one decimal-sum aggregation — `iters` bounded shuffles.
-    * Ranks are eagerly localCheckpoint'ed per round so the loop's lineage
-    * stays flat (the CC house pattern); edges and degrees are checkpointed
-    * once up front and re-read per round. Contribution division and the
-    * damping update run in typed maps calling the same pure kernels the
-    * gold oracle replays, with exact decimal(38,18) sums in between —
-    * deterministic end to end. */
-  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    * Scale shape: the static out-degree rides the rank relation, so each
+    * round's contribution is a NARROW map over nodes; per iteration that
+    * leaves one join of the (node-sized) contributions to the edge
+    * relation — AQE broadcasts it while ranks fit, degrading to a hash
+    * join beyond — and one decimal-sum aggregation: `iters` bounded
+    * shuffles of edge-sized data, the PageRank floor. Ranks are eagerly
+    * localCheckpoint'ed per round so the loop's lineage stays flat (the
+    * CC house pattern); edges are checkpointed once up front and re-read
+    * per round. Contribution division and the damping update run in typed
+    * maps calling the same pure kernels the gold oracle replays, with
+    * exact decimal(38,18) sums in between — deterministic end to end. */
+  def pageRank(edges: DataFrame, iters: Int = 10, broadcastNodesMax: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("node"))).distinct()
 
-    var rank = nodes.as[String].map(n => (n, PrInit)).toDF("node", "r")
+    var rank = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .as[(String, Long)]
+      .map { case (n, d) => (n, d, PrInit) }
+      .toDF("node", "deg", "r")
       .localCheckpoint(true)
+    // node-sized contributions vs edge-sized relation: while the rank
+    // table fits an executor, broadcasting it makes the per-round join
+    // NARROW over the edges (one edge-sized shuffle per round — the agg —
+    // instead of two); past the threshold the same plan degrades to a
+    // partitioned hash/merge join. The adaptiveBlocks house pattern: one
+    // cheap count decides, the relational form is identical either way.
+    val broadcastable = rank.count() <= broadcastNodesMax
     for (_ <- 0 until iters) {
-      val contribs = rank.join(outDeg, rank("node") === outDeg("src"))
-        .select(col("node"), col("r"), col("deg"))
-        .as[(String, JBigDecimal, Long)]
-        .map { case (n, r, deg) => (n, prContrib(r, deg)) }
+      val contribs = rank.as[(String, Long, JBigDecimal)]
+        .flatMap { case (n, d, r) => if (d > 0) Iterator.single((n, prContrib(r, d))) else Iterator.empty }
         .toDF("csrc", "c")
-      val inSums = e.join(contribs, e("src") === col("csrc"))
+      val inSums = e
+        .join(if (broadcastable) broadcast(contribs) else contribs, e("src") === col("csrc"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      rank = nodes.join(inSums, nodes("node") === inSums("dst"), "left")
-        .select(col("node"), col("s").cast("decimal(38,18)"))
-        .as[(String, JBigDecimal)]
-        .map { case (n, s) => (n, prNext(if (s == null) JBigDecimal.ZERO else s)) }
-        .toDF("node", "r")
+      rank = rank.select(col("node"), col("deg"))
+        .join(inSums, col("node") === inSums("dst"), "left")
+        .select(col("node"), col("deg"), col("s").cast("decimal(38,18)"))
+        .as[(String, Long, JBigDecimal)]
+        .map { case (n, d, s) => (n, d, prNext(if (s == null) JBigDecimal.ZERO else s)) }
+        .toDF("node", "deg", "r")
         .localCheckpoint(true)
     }
     rank.select(col("node"), round(col("r").cast("double"), 6).as("rank"))
