@@ -247,6 +247,40 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** PageRank pressure tier: same random-graph generator as [[ccStress]],
+    * fixed 5 iterations (the driver-query constant), reporting
+    * edge-updates/s (edges × iters / wall) — the iterative-workload
+    * throughput figure. */
+  def pagerankStress(nNodes: Int, nEdges: Int, cores: Int): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val edges = spark.range(nEdges).repartition(cores * 2).as[Long].map { i =>
+      val r = new CorpusGen.Rng(i * 31 + 7)
+      if (i % 10 == 0)
+        (f"n${i % nNodes}%09d", f"n${(i % nNodes) + 1}%09d")
+      else
+        (f"n${r.nextInt(nNodes)}%09d", f"n${r.nextInt(nNodes)}%09d")
+    }.toDF("src", "dst").cache()
+    edges.count()
+    val iters = 5
+    val t0 = System.nanoTime()
+    val ranked = graft.graph.Traversal.pageRank(edges, iters)
+    val n = ranked.count()
+    val top = ranked.orderBy(org.apache.spark.sql.functions.desc("rank")).limit(1)
+      .collect().head
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"pagerank_stress","n_nodes":$nNodes,"n_edges":$nEdges,"iters":$iters,""" +
+      s""""cores":$cores,"sec":$dt,"ranked_nodes":$n,""" +
+      s""""edge_updates_per_sec":${(nEdges.toLong * iters / dt).toLong},""" +
+      s""""top":["${top.getString(0)}",${top.getDouble(1)}]}""")
+    edges.unpersist()
+    spark.stop()
+  }
+
   /** Measured LSH recall under bucket-cap pressure — hard numbers for the
     * one residual weakness the round-2 verdict flagged (recall relaxation
     * in oversized buckets). Plants two cluster tiers in one corpus:
@@ -599,6 +633,13 @@ object ScalingBench {
       recallStress(
         args.lift(1).map(_.toInt).getOrElse(200000),
         args.lift(2).map(_.toInt).getOrElse(32))
+      return
+    }
+    if (args.headOption.contains("pagerank")) {
+      pagerankStress(
+        args.lift(1).map(_.toInt).getOrElse(500000),
+        args.lift(2).map(_.toInt).getOrElse(1000000),
+        args.lift(3).map(_.toInt).getOrElse(32))
       return
     }
     if (args.headOption.contains("cc")) {

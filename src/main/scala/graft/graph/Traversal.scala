@@ -92,7 +92,7 @@ object Traversal {
     * per round. Contribution division and the damping update run in typed
     * maps calling the same pure kernels the gold oracle replays, with
     * exact decimal(38,18) sums in between — deterministic end to end. */
-  def pageRank(edges: DataFrame, iters: Int = 10, broadcastNodesMax: Long = 2000000L): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, broadcastNodesMax: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
@@ -107,11 +107,14 @@ object Traversal {
       .toDF("node", "deg", "r")
       .localCheckpoint(true)
     // node-sized contributions vs edge-sized relation: while the rank
-    // table fits an executor, broadcasting it makes the per-round join
-    // NARROW over the edges (one edge-sized shuffle per round — the agg —
-    // instead of two); past the threshold the same plan degrades to a
-    // partitioned hash/merge join. The adaptiveBlocks house pattern: one
-    // cheap count decides, the relational form is identical either way.
+    // table is SMALL, broadcasting it makes the per-round join NARROW over
+    // the edges (one edge-sized shuffle per round — the agg — instead of
+    // two); past the threshold the same plan runs as a partitioned join.
+    // The threshold is measured, not guessed: at 265k nodes / 3.6M edges
+    // broadcast wins 6.4s vs 8.8s, at 2M nodes / 8M edges it LOSES 103s vs
+    // 26s (rebuilding + shipping a 2M-row broadcast every round dwarfs the
+    // shuffle it saves) — BENCH.md pagerank tier. One cheap count decides;
+    // the relational form is identical either way.
     val broadcastable = rank.count() <= broadcastNodesMax
     for (_ <- 0 until iters) {
       val contribs = rank.as[(String, Long, JBigDecimal)]
