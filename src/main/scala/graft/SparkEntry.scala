@@ -114,12 +114,10 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_mentions"))
   }
 
-  /** Connected components (filtering union-find) over a real graph derived
-    * from the sf tables: order->customer stars (co-purchase components) +
-    * event-id chains of length 100 (forces multi-hop contraction). ~26k
+  /** Derived graph shared by the graph queries: order→customer stars
+    * (co-purchase components) plus event-id chains of length 100
+    * (directed; the chains force multi-hop contraction/traversal). ~26k
     * nodes / ~25k edges at sf0.01, 10x that at sf0.1. */
-  /** Derived graph shared by the graph queries: order→customer stars plus
-    * event chains (directed). */
   private def derivedEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val stars = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(concat(lit("o"), col("o_orderkey")).as("src"),
@@ -131,6 +129,7 @@ object SparkEntry {
     stars.union(chains)
   }
 
+  /** Connected components (filtering union-find) over the derived graph. */
   def graphCc(spark: SparkSession, sfDir: String): DataFrame =
     ConnectedComponents.runUnionFind(derivedEdges(spark, sfDir))
 

@@ -193,7 +193,7 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       targetFiles: Int,
       partitionBy: Seq[String] = Nil,
       commitKey: Option[String] = None): Long = {
-    commitKey.flatMap(k => chainManifests().find(_.commitKey.contains(k))) match {
+    commitKey.flatMap(k => snapshots().find(_.commitKey.contains(k))) match {
       case Some(m) => m.snapshotId
       case None =>
         val cur = read()
@@ -205,21 +205,27 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     }
   }
 
-  /** Append unless a committed snapshot in the CURRENT chain already
-    * carries `commitKey` — the stage-resume primitive: a restarted job
-    * re-issues all its appends and only the uncommitted ones land.
+  /** Append unless ANY committed snapshot already carries `commitKey` —
+    * the stage-resume primitive: a restarted job re-issues all its appends
+    * and only the uncommitted ones land. The key lookup scans every
+    * committed manifest, not just the current chain: an overwrite
+    * (compaction) preserves the table's CONTENTS, so a key that landed
+    * before the compaction must still replay as a no-op afterwards —
+    * otherwise the routine `compact` maintenance would silently break the
+    * exactly-once contract of every streaming/incremental writer. Only
+    * [[expireSnapshots]] narrows the replay horizon (documented there).
     * Returns the owning snapshot id either way. */
   def appendIdempotent(df: DataFrame, commitKey: String, partitionBy: Seq[String] = Nil): Long =
-    chainManifests().find(_.commitKey.contains(commitKey)) match {
+    snapshots().find(_.commitKey.contains(commitKey)) match {
       case Some(m) => m.snapshotId
       case None => append(df, partitionBy, Some(commitKey))
     }
 
-  /** Manifests on the current snapshot's parent chain (overwrites cut the
+  /** Manifests on the given snapshot's parent chain (overwrites cut the
     * chain), oldest first. */
-  private def chainManifests(): Seq[Manifest] = {
+  private def chainManifests(tip: Long = currentSnapshotId()): Seq[Manifest] = {
     val out = List.newBuilder[Manifest]
-    var id = currentSnapshotId()
+    var id = tip
     var done = id < 0
     while (!done) {
       if (!fs.exists(manifestPath(id))) done = true // chain tail expired
@@ -259,14 +265,23 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     * cut off by an overwrite/compaction) — an overwrite rewrites history,
     * so "what changed since" has no appends-only answer and the caller
     * must fall back to a full read, exactly Iceberg's contract. */
-  def readIncremental(fromSnapshotId: Long): DataFrame = {
-    val chain = chainManifests()
+  def readIncremental(fromSnapshotId: Long): DataFrame =
+    readIncremental(fromSnapshotId, currentSnapshotId())
+
+  /** Bounded variant: the rows appended after `fromSnapshotId` up to and
+    * including `toSnapshotId`. Pinning the upper bound makes the delta a
+    * pure function of two ids — a consumer that records `toSnapshotId` as
+    * its watermark BEFORE reading is immune to concurrent appends landing
+    * between "resolve the tip" and "scan the data" (they belong to the
+    * next tick). */
+  def readIncremental(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val chain = chainManifests(toSnapshotId)
     val from = chain.find(_.snapshotId == fromSnapshotId).getOrElse(
       throw new IllegalArgumentException(
-        s"snapshot $fromSnapshotId is not on the current append chain of $root " +
+        s"snapshot $fromSnapshotId is not on snapshot $toSnapshotId's append chain of $root " +
           "(expired or superseded by an overwrite); re-read the full table"))
     val newDirs = chain.last.dataDirs.drop(from.dataDirs.size)
-    if (newDirs.isEmpty) read().limit(0)
+    if (newDirs.isEmpty) read(toSnapshotId).limit(0)
     else newDirs
       .map(d => spark.read.option("basePath", d).parquet(d))
       .reduce(_.unionByName(_, allowMissingColumns = true))

@@ -160,13 +160,21 @@ object Similarity {
   /** (id, embedding, cell) in ONE narrow pass — the index-append shape.
     * Joining vectors back to their own assignments would shuffle N rows
     * against N rows for no reason; the cell rides the same map. */
-  def assignCellsWithVectors(corpus: DataFrame, centroids: Seq[Array[Float]]): DataFrame = {
+  def assignCellsWithVectors(corpus: DataFrame, centroids: Seq[Array[Float]]): DataFrame =
+    assignCellsWithVectors(corpus,
+      corpus.sparkSession.sparkContext.broadcast(centroids))
+
+  /** Variant taking an already-broadcast quantizer — long-lived callers
+    * (a streaming sink appending every micro-batch) broadcast the frozen
+    * centroids ONCE instead of re-shipping them per batch. */
+  def assignCellsWithVectors(
+      corpus: DataFrame,
+      bcCentroids: org.apache.spark.broadcast.Broadcast[Seq[Array[Float]]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
     corpus.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, emb) => (id, emb, nearestCell(emb, bc.value.toIndexedSeq)) }
+      .map { case (id, emb) => (id, emb, nearestCell(emb, bcCentroids.value.toIndexedSeq)) }
       .toDF("id", "embedding", "cell")
   }
 
@@ -574,6 +582,17 @@ object Similarity {
   ): Long =
     new graft.graph.SnapshotTable(newVectors.sparkSession, tablePath)
       .appendIdempotent(assignCellsWithVectors(newVectors, centroids),
+        commitKey, partitionBy = Seq("cell"))
+
+  /** Broadcast-quantizer variant for per-batch callers (streaming). */
+  def appendToIvfIndexTable(
+      newVectors: DataFrame,
+      bcCentroids: org.apache.spark.broadcast.Broadcast[Seq[Array[Float]]],
+      tablePath: String,
+      commitKey: String
+  ): Long =
+    new graft.graph.SnapshotTable(newVectors.sparkSession, tablePath)
+      .appendIdempotent(assignCellsWithVectors(newVectors, bcCentroids),
         commitKey, partitionBy = Seq("cell"))
 
   /** Partition-pruned probe of a snapshot-table IVF index. */

@@ -30,9 +30,10 @@ import org.apache.spark.sql.SparkSession
   * Caveats, both inherited from the underlying contracts: compacting or
   * expiring the CORPUS table past an unprocessed snapshot makes the delta
   * unanswerable (readIncremental throws rather than reprocessing the
-  * world), and expiring GRAPH history past the last `kg-increment-to-*`
-  * key forgets the high-water mark — run table maintenance only behind
-  * the consumer, never across it.
+  * world — [[rebuild]] is the explicit recovery), and expiring GRAPH
+  * history past the last `kg-increment-to-*` key forgets the high-water
+  * mark — run table maintenance only behind the consumer, never across
+  * it.
   *
   * Reference precedent: KAZU reprocesses full document batches and relies
   * on its disk cache keyed by step config (kazu/utils/caching.py); here
@@ -72,11 +73,42 @@ object IncrementalKg {
     val fromId = lastProcessedSourceId(graph)
     if (toId < 0 || toId <= fromId) None
     else {
-      val delta = if (fromId < 0) corpus.read() else corpus.readIncremental(fromId)
+      // the delta is BOUNDED at the captured toId: appends landing after
+      // the capture belong to the next tick — without the bound, a
+      // concurrent ingest between "capture watermark" and "scan" would be
+      // processed now but not recorded, and reprocessed (duplicated) later
+      val delta = if (fromId < 0) corpus.read(toId) else corpus.readIncremental(fromId, toId)
       val docs = Stages.ingest(delta)(spark)
       TripleSink.appendSnapshot(
         KgPipeline.triples(docs, bc, cfg), graphTablePath, s"$KeyPrefix$toId")
       Some(fromId -> toId)
     }
+  }
+
+  /** Operator escape hatch for a WEDGED consumer (corpus history was
+    * compacted/expired past the watermark, so the pending delta is
+    * unanswerable and every tick throws): reprocess the corpus's current
+    * snapshot in full and commit it as an OVERWRITE of the graph table,
+    * stamping the new watermark — contents replaced, not duplicated, and
+    * subsequent ticks resume incrementally from here. Returns the corpus
+    * snapshot id the rebuild caught up to. */
+  def rebuild(
+      spark: SparkSession,
+      corpusTablePath: String,
+      graphTablePath: String,
+      bc: Broadcast[Artifacts],
+      cfg: KgPipeline.Config = KgPipeline.Config()
+  ): Long = {
+    val corpus = new SnapshotTable(spark, corpusTablePath)
+    val graph = new SnapshotTable(spark, graphTablePath)
+    val toId = corpus.currentSnapshotId()
+    require(toId >= 0, s"empty corpus table $corpusTablePath — nothing to rebuild from")
+    val docs = Stages.ingest(corpus.read(toId))(spark)
+    val triples = KgPipeline.triples(docs, bc, cfg).toDF()
+      .withColumn("pred_part",
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("pred"), "[^A-Za-z0-9_]", "_"))
+    graph.overwrite(triples, partitionBy = Seq("pred_part"), commitKey = Some(s"$KeyPrefix$toId"))
+    toId
   }
 }

@@ -14,7 +14,9 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *     --corpus <parquet path with (repo,path,commit,lang,content)> \
   *       (or --corpus-table <SnapshotTable of that shape> for incremental
   *        delta-only processing via IncrementalKg — requires
-  *        --snapshot-table; each invocation is one catch-up tick) \
+  *        --snapshot-table; each invocation is one catch-up tick;
+  *        add --rebuild true to recover a wedged consumer by full
+  *        reprocess-as-overwrite) \
   *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|ot-target \
   *     --entity-class <class> --out <output dir> \
   *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>] \
@@ -103,8 +105,16 @@ object Main {
     // the graph table (IncrementalKg), then exit. Artifacts are built the
     // same way as a batch run, so the two modes share every option below.
     val corpusTablePath = opts.get("--corpus-table")
-    if (corpusTablePath.isDefined)
+    if (corpusTablePath.isDefined) {
       require(snapshotTablePath.isDefined, "--corpus-table requires --snapshot-table")
+      // fail loudly instead of silently ignoring batch-mode sinks: an
+      // incremental tick's only output is the snapshot table
+      val unsupported = Seq("--out", "--checkpoint", "--quarantine", "--failed", "--commit-key")
+        .filter(opts.contains)
+      require(unsupported.isEmpty,
+        s"${unsupported.mkString(", ")} not supported with --corpus-table " +
+          "(the snapshot table is the only sink of an incremental tick)")
+    }
 
     val corpusPath = corpusTablePath.getOrElse(
       opts.getOrElse("--corpus", sys.error("--corpus or --corpus-table required")))
@@ -160,7 +170,13 @@ object Main {
     val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(gaz, xref))
 
     corpusTablePath.foreach { ct =>
-      IncrementalKg.processIncrement(spark, ct, snapshotTablePath.get, bc) match {
+      if (opts.get("--rebuild").contains("true")) {
+        // operator escape hatch for a wedged consumer (corpus history
+        // compacted/expired past the watermark): full reprocess as an
+        // overwrite, stamping the new watermark
+        val toId = IncrementalKg.rebuild(spark, ct, snapshotTablePath.get, bc)
+        println(s"[graft] rebuilt ${snapshotTablePath.get} from corpus snapshot $toId")
+      } else IncrementalKg.processIncrement(spark, ct, snapshotTablePath.get, bc) match {
         case Some((from, to)) =>
           println(s"[graft] processed corpus increment ($from -> $to] into ${snapshotTablePath.get}")
         case None =>

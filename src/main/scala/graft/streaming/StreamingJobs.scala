@@ -186,7 +186,13 @@ object StreamingJobs {
     * a no-op when the snapshot already landed — at-least-once delivery +
     * idempotent commit = exactly-once table contents, without any
     * transactional sink support. Empty batches (idle stream ticks) are
-    * skipped rather than committed as empty snapshots. */
+    * skipped rather than committed as empty snapshots.
+    *
+    * CONTRACT: `queryKey` must be 1:1 with `checkpointLocation`. batchIds
+    * are checkpoint-scoped — restarting from a FRESH checkpoint restarts
+    * them at 0, and a reused queryKey would collide with the historical
+    * `key#batch-0` and silently drop the new batch (the dedup cannot tell
+    * a redelivery from a new run). New checkpoint ⇒ new queryKey. */
   def commitTriplesBatch(
       batch: Dataset[Triple],
       tablePath: String,
@@ -219,7 +225,9 @@ object StreamingJobs {
     * snapshot-committed IVF index under a FROZEN quantizer — one atomic
     * cell-partitioned snapshot per micro-batch, commit key (query, batchId)
     * so crash-redelivered batches replay as no-ops (the same exactly-once
-    * construction as [[triplesToSnapshotTable]]). Probes via
+    * construction as [[triplesToSnapshotTable]], including the
+    * queryKey↔checkpoint contract documented there). The frozen quantizer
+    * is broadcast ONCE here and reused by every micro-batch. Probes via
     * [[graft.ops.Similarity.probeIvfIndexTable]] prune to the probed
     * cells throughout; the table's `compact` folds per-batch small dirs. */
   def vectorsToIvfIndex(
@@ -227,18 +235,20 @@ object StreamingJobs {
       centroids: Seq[Array[Float]],
       tablePath: String,
       queryKey: String,
-      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val bcCentroids = vectors.sparkSession.sparkContext.broadcast(centroids)
     vectors.writeStream
       .option("checkpointLocation", checkpointLocation)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ops.Similarity.appendToIvfIndexTable(
-            batch.toDF(), centroids, tablePath, s"$queryKey#batch-$batchId")
+            batch.toDF(), bcCentroids, tablePath, s"$queryKey#batch-$batchId")
           ()
         }
       }
       .start()
+  }
 
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)

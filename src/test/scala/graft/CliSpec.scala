@@ -139,5 +139,22 @@ class CliSpec extends AnyFunSuite {
     assert(graph.snapshots().size == 2)
     assert(graph.read().count() > firstRows)
     assert(graph.read().select("subj").distinct().count() == 2) // one doc per tick
+
+    // batch-mode sinks would be silently dead on the incremental path:
+    // refuse them loudly instead
+    intercept[IllegalArgumentException] {
+      graft.run.Main.run(opts + ("--out" -> s"$dir/out"), spark)
+    }
+
+    // --rebuild true: full reprocess-as-overwrite, same contents, and the
+    // watermark is stamped so the next tick is a no-op
+    val before = graph.read().select("subj", "pred", "obj")
+      .collect().map(_.toString).sorted
+    graft.run.Main.run(opts + ("--rebuild" -> "true"), spark)
+    assert(graph.snapshots().last.operation == "overwrite")
+    assert(graph.read().select("subj", "pred", "obj")
+      .collect().map(_.toString).sorted.sameElements(before))
+    graft.run.Main.run(opts, spark)
+    assert(graph.read().count() == before.length) // caught up, no duplication
   }
 }

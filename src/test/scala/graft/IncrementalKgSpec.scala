@@ -70,5 +70,20 @@ class IncrementalKgSpec extends AnyFunSuite {
     corpusTable.compact(targetFiles = 1)
     corpusTable.append(spark.createDataset(gen.take(5).map(_.row)).toDF())
     intercept[IllegalArgumentException] { tick() }
+
+    // operator recovery: rebuild reprocesses the current corpus snapshot
+    // as an OVERWRITE (contents replaced, not duplicated) and stamps the
+    // new watermark, after which incremental ticks resume
+    val toId = IncrementalKg.rebuild(spark, corpusPath, graphPath, bc)
+    assert(toId == corpusTable.currentSnapshotId())
+    val expected = KgPipeline.triples(
+      Stages.ingest(corpusTable.read())(spark), bc).toDF()
+      .select("subj", "pred", "obj").collect().map(_.toString).sorted
+    val rebuilt = graph.read()
+      .select("subj", "pred", "obj").collect().map(_.toString).sorted
+    assert(rebuilt.sameElements(expected))
+    assert(tick().isEmpty) // caught up at the rebuild watermark
+    corpusTable.append(spark.createDataset(gen.slice(5, 9).map(_.row)).toDF())
+    assert(tick().contains((toId, toId + 1))) // incremental again
   }
 }

@@ -152,6 +152,29 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 5)
   }
 
+  test("appendIdempotent keys survive compaction (exactly-once across maintenance)") {
+    val t = new SnapshotTable(spark, freshRoot())
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val owner = t.appendIdempotent(df, "stream#batch-0")
+    t.compact(targetFiles = 1) // routine maintenance between commit and replay
+    // crash-redelivery AFTER the compaction must still be a no-op: the key
+    // lives on a pre-overwrite manifest, but the contents were preserved
+    assert(t.appendIdempotent(df, "stream#batch-0") == owner)
+    assert(t.read().count() == 2)
+    // a genuinely new batch still lands
+    t.appendIdempotent(Seq(("c", 3)).toDF("k", "v"), "stream#batch-1")
+    assert(t.read().count() == 3)
+  }
+
+  test("readIncremental bounded at toSnapshotId ignores later appends") {
+    val t = new SnapshotTable(spark, freshRoot())
+    val s0 = t.append(Seq(("a", 1)).toDF("k", "v"))
+    val s1 = t.append(Seq(("b", 2)).toDF("k", "v"))
+    t.append(Seq(("c", 3)).toDF("k", "v")) // lands after the consumer's watermark capture
+    assert(t.readIncremental(s0, s1).select("k").as[String].collect().toSeq == Seq("b"))
+    assert(t.readIncremental(s0, s0).isEmpty)
+  }
+
   test("readIncremental returns exactly the rows appended since a snapshot") {
     val t = new SnapshotTable(spark, freshRoot())
     val s0 = t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
