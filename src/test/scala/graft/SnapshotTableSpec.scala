@@ -212,6 +212,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("random op sequences preserve the table invariants (model-based)") {
+    // ops: plain append / idempotent append from a small key pool (replays
+    // must dedup globally) / compact. After each sequence: contents equal
+    // the model, expiry preserves the current view, no orphans.
+    val rnd = new scala.util.Random(20260817L)
+    for (round <- 1 to 6) {
+      val t = new SnapshotTable(spark, freshRoot())
+      val model = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val seenKeys = scala.collection.mutable.HashSet.empty[String]
+      var v = 0
+      for (_ <- 1 to 2 + rnd.nextInt(5)) {
+        v += 1
+        rnd.nextInt(4) match {
+          case 0 | 1 => // plain append always lands
+            t.append(Seq((s"r$round", v)).toDF("k", "v")); model += v
+          case 2 => // idempotent append from a 3-key pool
+            val key = s"key-${rnd.nextInt(3)}"
+            t.appendIdempotent(Seq((s"r$round", v)).toDF("k", "v"), key)
+            if (seenKeys.add(key)) model += v
+          case 3 => if (t.currentSnapshotId() >= 0) t.compact(targetFiles = 1)
+        }
+      }
+      def vals = t.read().select("v").as[Int].collect().sorted.toSeq
+      if (model.nonEmpty) {
+        assert(vals == model.sorted.toSeq, s"round $round: $vals vs $model")
+        val before = vals
+        t.expireSnapshots(keepLast = 1)
+        assert(vals == before, s"round $round post-expire")
+        assert(t.orphanDataDirs().isEmpty, s"round $round orphans")
+      }
+    }
+  }
+
   test("partitioned compact keeps hive partition dirs and read-side pruning") {
     val t = new SnapshotTable(spark, freshRoot())
     t.append(Seq(("links_to", "a", "b")).toDF("pred", "subj", "obj"), partitionBy = Seq("pred"))
