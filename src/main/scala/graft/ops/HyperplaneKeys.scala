@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native Catalyst expression computing an embedding's hyperplane-LSH band
+  * keys (`array<bigint>`, one bucket key per band) straight off the
+  * `array<float>` column — the embedding twin of [[MinhashKeys]]: sign
+  * bits against the deterministic orthonormal planes and the per-band
+  * folds run through the same static JVM kernels as the gold oracle, but
+  * inside WholeStageCodegen with no Dataset object round-trip. The planes
+  * are a pure function of (dim, bits) (splitmix init + block Gram-Schmidt,
+  * [[Similarity.hyperplanes]]), so instead of a broadcast each JVM derives
+  * them once into a static cache — cheaper than shipping dim x bits floats
+  * with every task, and identical by construction.
+  */
+case class HyperplaneKeys(child: Expression, dim: Int, bits: Int, bands: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_keys requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_keys"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HyperplaneKeys.compute(input.asInstanceOf[ArrayData], dim, bits, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.HyperplaneKeys.compute($c, $dim, $bits, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneKeys =
+    copy(child = newChild)
+}
+
+object HyperplaneKeys {
+  // per-JVM plane cache: planes are deterministic in (dim, bits), so every
+  // executor derives bit-identical ones on first use
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Float]]]()
+  def planes(dim: Int, bits: Int): Array[Array[Float]] =
+    planeCache.computeIfAbsent(
+      (dim.toLong << 32) | (bits.toLong & 0xffffffffL),
+      _ => Similarity.hyperplanes(dim, bits))
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, dim: Int, bits: Int, bands: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Similarity.hyperplaneBandKeys(arr.toFloatArray(), planes(dim, bits), bands, bits / bands))
+
+  /** Column wrapper. */
+  def col(embedding: Column, dim: Int, bits: Int, bands: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      HyperplaneKeys(org.apache.spark.sql.graft.GraftSqlBridge.expression(embedding),
+        dim, bits, bands))
+}

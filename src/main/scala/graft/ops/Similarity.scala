@@ -621,18 +621,17 @@ object Similarity {
     // (cf. adaptiveBlocks); callers that know their scale pass bits > 0
     val effBits =
       if (bits > 0) bits else bands * adaptiveHyperplaneRows(corpus.count())
-    val rowsPerBand = effBits / bands
-    val planes = hyperplanes(dim, effBits)
-    val bcPlanes = spark.sparkContext.broadcast(planes)
 
     // deliberately NOT persisted: the corpus is unbounded at target scale,
     // so banding + the two verify joins each re-scan the (columnar,
     // pruned) source instead of pinning an embedding table in storage
     val ds = corpus.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-    val docsKeys = ds.map { case (id, emb) =>
-      (id.toString, hyperplaneBandKeys(emb, bcPlanes.value, bands, rowsPerBand))
-    }.toDF("id", "keys")
+    // band keys via the native hyperplane_keys expression: the signature
+    // stage stays inside WholeStageCodegen (no Dataset object round-trip),
+    // planes derive once per JVM from (dim, bits) instead of broadcasting
+    val docsKeys = corpus.select(col("id").cast("string").as("id"),
+      HyperplaneKeys.col(col("embedding"), dim, effBits, bands).as("keys"))
 
     // oversized buckets re-band recursively on the other bands' keys
     // (numeric ids sort identically under the zero-padding-free string sort

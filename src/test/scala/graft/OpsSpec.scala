@@ -366,6 +366,27 @@ class OpsSpec extends AnyFunSuite {
       Dedup.minhashSignature(Hashing.wordShingles(docs.head._2, 3), 64), 16, 4)))
   }
 
+  test("hyperplane_keys native expression matches the JVM kernel (codegen + interpreted)") {
+    import graft.ops.{HyperplaneKeys, Similarity}
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 0.7 + d).toFloat)))
+    val out = spark.createDataFrame(vecs.map { case (i, v) => (i, v) }).toDF("id", "embedding")
+      .select(col("id"), HyperplaneKeys.col(col("embedding"), 16, 32, 8).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val planes = Similarity.hyperplanes(16, 32)
+    for ((id, v) <- vecs) {
+      val expected = Similarity.hyperplaneBandKeys(v, planes, 8, 4)
+      assert(out(id).sameElements(expected), s"vec $id")
+    }
+    // interpreted path (eval without codegen)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      vecs.head._2, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    val interp = HyperplaneKeys(lit, 16, 32, 8).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(interp.sameElements(Similarity.hyperplaneBandKeys(vecs.head._2, planes, 8, 4)))
+  }
+
   test("splitBucketPairs: all pairs within cap, star + re-band beyond it") {
     // within cap: plain all-pairs, no oversized callback
     val small = Array.tabulate(10)(i => (f"id$i%03d", Array(7L, i.toLong, 0L, 0L)))
