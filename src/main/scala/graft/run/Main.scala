@@ -17,7 +17,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *        --snapshot-table; each invocation is one catch-up tick;
   *        add --rebuild true to recover a wedged consumer by full
   *        reprocess-as-overwrite) \
-  *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|ot-target \
+  *     --ontology <kb path> --ontology-format tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|ot-target|ot-molecule|atc|cellosaurus \
   *     --entity-class <class> --out <output dir> \
   *     [--checkpoint <dir>] [--quarantine <dir>] [--failed <dir>] \
   *     [--snapshot-table <dir> [--commit-key <key>]]
@@ -148,8 +148,13 @@ object Main {
           case "hgnc-json" => OntologySources.readHgncJson(spark, path, "main_onto", entityClass)
           case "hgnc-families" => OntologySources.readHgncGeneFamilies(spark, path, "main_onto", entityClass)
           case "ot-target" => OntologySources.readOpenTargetsTarget(spark, path, "main_onto", entityClass)
+          case "ot-molecule" => OntologySources.readJsonl(spark, path, "main_onto", entityClass,
+            extraSynonymFields = Seq("tradeNames" -> "tradeNames"))
+          case "atc" => OntologySources.readAtc(spark, path, "main_onto", entityClass)
+          case "cellosaurus" => OntologySources.readCellosaurus(spark, path, "main_onto", entityClass)
           case other => sys.error(s"unknown --ontology-format $other " +
-            "(tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|ot-target)")
+            "(tsv|jsonl|obo|nt|skosxl|owl|meddra|chembl|mondo-json|hgnc-json|hgnc-families|" +
+            "ot-target|ot-molecule|atc|cellosaurus)")
         }
         // distinct pushed into Spark: only the distinct (syn, parser) pairs
         // ship to the driver, not every synonym row of a large KB

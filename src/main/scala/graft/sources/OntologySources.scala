@@ -40,6 +40,42 @@ object OntologySources {
       .as[OntologyRow]
   }
 
+  /** ATC drug-classification source — ref parsers.py:1509-1572
+    * (ATCDrugClassificationParser). The WHO dump is headerless with a
+    * 5-space separator and the level digit fused onto the description
+    * ("A01AA01     5sodium fluoride"), so the tabular reader can't express
+    * it: split on the separator, peel the level char into mapping_type,
+    * drop levels 1-3 (anatomical/therapeutic groups too coarse to link
+    * against), and use the description as both label and synonym. Pure
+    * column program over a line-oriented text read — splittable like any
+    * CSV. */
+  def readAtc(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String,
+      dataOrigin: String = "atc",
+      levelsToIgnore: Seq[String] = Seq("1", "2", "3")
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    // first run of >=5 spaces separates code from the merged field; codes
+    // are padded to a fixed width, so the run length varies per row
+    spark.read.text(path)
+      .select(trim(regexp_extract(col("value"), "^(\\S+) {5,}", 1)).as("idx"),
+        trim(regexp_extract(col("value"), "^\\S+ {5,}(.*)$", 1)).as("merged"))
+      .where(length(col("merged")) > 0)
+      .select(col("idx"),
+        substring(col("merged"), 1, 1).as("mappingType"),
+        trim(substring(col("merged"), 2, Int.MaxValue)).as("defaultLabel"))
+      .where(!col("mappingType").isin(levelsToIgnore: _*) &&
+        length(col("defaultLabel")) > 0 && length(col("idx")) > 0)
+      .select(
+        lit(parserName).as("parserName"), lit(entityClass).as("entityClass"),
+        col("idx"), col("defaultLabel"), col("defaultLabel").as("syn"),
+        col("mappingType"), lit(dataOrigin).as("dataOrigin"))
+      .as[OntologyRow]
+  }
+
   /** JSON-lines source (OpenTargets-style: one record per line with id,
     * label and a synonyms array) — ref parsers.py:56-443. */
   def readJsonl(
@@ -249,6 +285,42 @@ object OntologySources {
               (Seq((label, "name")) ++ syns).map { case (syn, mt) =>
                 OntologyRow(parserName, entityClass, idx, label, syn, mt, dataOrigin)
               }
+            case _ => Seq.empty
+          }
+        }
+      }
+  }
+
+  /** Cellosaurus source — ref CellosaurusOntologyParser
+    * (parsers.py:1115-1201). Cellosaurus ships an OBO-flavored dump but the
+    * reference deliberately uses only the `name:` line per stanza (its
+    * synonym field is "a bit of a mess") and strips the phrase "cell line"
+    * from every label because every entry is one — leaving it in confuses
+    * the linker. Obsolete stanzas are kept (the reference has no obsolete
+    * filter here). Grouping-wise each synonym is its own cell line: pair
+    * with the AllIdsSeparate id-grouper (reference score_and_group_ids,
+    * parsers.py:1124-1146). */
+  def readCellosaurus(
+      spark: SparkSession,
+      path: String,
+      parserName: String,
+      entityClass: String = "cell_line",
+      dataOrigin: String = "cellosaurus"
+  ): Dataset[OntologyRow] = {
+    import spark.implicits._
+    val cellLineRe = "(?i)cell line".r
+    spark.read.option("wholetext", "true").text(path)
+      .as[String]
+      .flatMap { content =>
+        content.split("\\n\\s*\\n").iterator.filter(_.trim.startsWith("[Term]")).flatMap { stanza =>
+          val lines = stanza.split("\n").map(_.trim)
+          val id = lines.collectFirst { case l if l.startsWith("id:") => l.drop(3).trim }
+          val name = lines.collectFirst { case l if l.startsWith("name:") => l.drop(5).trim }
+          (id, name) match {
+            case (Some(idx), Some(rawLabel)) =>
+              val label = cellLineRe.replaceAllIn(rawLabel, "").trim
+              if (label.isEmpty) Seq.empty
+              else Seq(OntologyRow(parserName, entityClass, idx, label, label, "name", dataOrigin))
             case _ => Seq.empty
           }
         }

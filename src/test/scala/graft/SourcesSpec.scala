@@ -387,6 +387,60 @@ class SourcesSpec extends AnyFunSuite {
 
   // ------------------------------------- gazetteer round-trip (e2e link) --
 
+  test("ATC reader: fused level digit peeled, levels 1-3 dropped, variable padding") {
+    val dir = Files.createTempDirectory("atc")
+    // codes pad to a fixed column, so the space run between code and the
+    // merged level+description field varies per row (ref parsers.py:1509)
+    Files.writeString(dir.resolve("atc.txt"),
+      "A              1ALIMENTARY TRACT AND METABOLISM\n" +
+        "A01            2STOMATOLOGICAL PREPARATIONS\n" +
+        "A01A           3STOMATOLOGICAL PREPARATIONS\n" +
+        "A01AA          4Caries prophylactic agents\n" +
+        "A01AA01        5sodium fluoride\n" +
+        "A01AA30        5combinations\n")
+    val rows = OntologySources.readAtc(spark, dir.toString + "/atc.txt", "atc_p", "drug").collect()
+    // levels 1-3 dropped; 4 and 5 kept with the level char as mapping_type
+    assert(rows.map(_.idx).toSet == Set("A01AA", "A01AA01", "A01AA30"))
+    val fluoride = rows.find(_.idx == "A01AA01").get
+    assert(fluoride.defaultLabel == "sodium fluoride" && fluoride.syn == "sodium fluoride"
+      && fluoride.mappingType == "5")
+    assert(rows.find(_.idx == "A01AA").get.mappingType == "4")
+  }
+
+  test("Cellosaurus reader: name-only rows with 'cell line' stripped; AllIdsSeparate grouping") {
+    val dir = Files.createTempDirectory("cello")
+    Files.writeString(dir.resolve("cellosaurus.obo"),
+      """[Term]
+        |id: CVCL_0030
+        |name: HeLa
+        |subset: Female
+        |synonym: "Hela" RELATED []
+        |
+        |[Term]
+        |id: CVCL_0045
+        |name: HEK293 Cell Line
+        |
+        |[Term]
+        |id: CVCL_9999
+        |name: cell line
+        |""".stripMargin)
+    val rows = OntologySources.readCellosaurus(
+      spark, dir.toString + "/cellosaurus.obo", "cello_p").collect()
+    // name-only: the RELATED synonym line is ignored (ref skips synonyms,
+    // parsers.py:1171-1186); the all-"cell line" label collapses to empty
+    // and is dropped
+    assert(rows.map(r => (r.idx, r.syn)).toSet ==
+      Set(("CVCL_0030", "HeLa"), ("CVCL_0045", "HEK293")))
+    assert(rows.forall(_.mappingType == "name"))
+    // two ids sharing one (case-normalized) synonym stay separate id sets
+    // under AllIdsSeparate — the reference's custom score_and_group_ids
+    val shared = rows.toSeq :+ rows.find(_.idx == "CVCL_0030").get.copy(idx = "CVCL_0777")
+    val gaz = GazetteerBuilder.buildLocal(shared, Seq.empty,
+      grouperByParser = Map("cello_p" -> graft.gazetteer.IdGrouper.AllIdsSeparate))
+    val term = gaz.term("cello_p", graft.text.StringNormalizer.normalize("HeLa", "cell_line")).get
+    assert(term.idSets.size == 2 && term.idSets.forall(_.ids.size == 1))
+  }
+
   test("new sources feed the gazetteer + dictionary NER end to end") {
     val dir = Files.createTempDirectory("src_e2e")
     Files.writeString(dir.resolve("kb.nt"),
