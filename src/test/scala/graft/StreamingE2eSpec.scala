@@ -1,0 +1,131 @@
+package graft
+
+import graft.datagen.CorpusGen
+import graft.run.{Artifacts, KgPipeline}
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production continuous-ingestion lifecycle end to end, on the real
+  * FILE stream source rather than MemoryStream: corpus parquet lands in a
+  * directory (the north-rule (repo,path,commit,lang,content) shape), a
+  * streaming query annotates it into the snapshot-committed graph table,
+  * the query is stopped and RESTARTED from its checkpoint while new files
+  * arrive (delta-only catch-up — the file source's seen-files log plays
+  * the role the corpus snapshot table plays for IncrementalKg), and the
+  * resulting graph is consumed by the traversal operators before and
+  * after a compaction sweep. Each unit here has its own spec; this one
+  * pins the composition, which is what a user actually deploys.
+  */
+class StreamingE2eSpec extends AnyFunSuite {
+
+  implicit val spark: SparkSession = SparkTestBase.spark
+  import spark.implicits._
+
+  test("file-arrival lifecycle: landing dir -> streaming KG -> restart from checkpoint -> graph consumption") {
+    val gen = CorpusGen.generate(60)
+    val bc = KgPipeline.broadcastArtifacts(spark, Artifacts.build(CorpusGen.gazetteer))
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e")
+    val landing = s"$dir/landing"
+    val tablePath = s"$dir/graph"
+    val ckpt = s"$dir/ckpt"
+    val docSchema = Encoders.product[graft.core.DocRow].schema
+
+    def wire() = StreamingJobs.triplesToSnapshotTable(
+      StreamingJobs.streamingTriples(
+        spark.readStream.schema(docSchema).parquet(landing), bc),
+      tablePath, queryKey = "kg-files", checkpointLocation = ckpt)
+
+    // wave 1 lands, first deployment of the query drains it
+    spark.createDataset(gen.take(30).map(_.row)).toDF()
+      .write.mode("append").parquet(landing)
+    val q1 = wire()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // waves 2a+2b land while the query is down; the restart resumes from
+    // the checkpoint and processes ONLY the new files, in one micro-batch
+    spark.createDataset(gen.slice(30, 45).map(_.row)).toDF()
+      .write.mode("append").parquet(landing)
+    spark.createDataset(gen.drop(45).map(_.row)).toDF()
+      .write.mode("append").parquet(landing)
+    val q2 = wire()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // batchIds continued from the checkpoint: batch-0 (wave 1) was not
+    // re-committed on restart, the delta landed as batch-1
+    val table = new graft.graph.SnapshotTable(spark, tablePath)
+    assert(table.snapshots().map(_.commitKey.get) ==
+      Seq("kg-files#batch-0", "kg-files#batch-1"))
+
+    // table contents == the batch pipeline over the full corpus
+    val batch = KgPipeline.triples(
+      graft.run.Stages.ingest(spark.createDataset(gen.map(_.row)).toDF())(spark), bc)
+      .toDF().select("subj", "pred", "obj").collect().map(_.toString).sorted
+    def tableTriples() = table.read()
+      .select("subj", "pred", "obj").collect().map(_.toString).sorted
+    assert(batch.nonEmpty && tableTriples().sameElements(batch))
+
+    // an idle restart (no new files) commits nothing
+    val q3 = wire()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(table.snapshots().size == 2)
+
+    // downstream consumption: k-hop traversal over the streamed graph
+    val edges = table.read().select(col("subj").as("src"), col("obj").as("dst"))
+    val seed = table.read().select(col("subj")).limit(1)
+      .collect().head.getString(0)
+    val seeds = Seq(seed).toDF("node")
+    def khop() = graft.graph.Traversal.kHopDistances(edges, seeds, k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val before = khop()
+    assert(before.exists(_._2 == 1), "seed should reach at least one neighbor")
+
+    // maintenance compaction preserves both contents and query results
+    table.compact(targetFiles = 2, partitionBy = Seq("pred_part"))
+    assert(table.snapshots().last.dataDirs.size == 1)
+    assert(tableTriples().sameElements(batch))
+    assert(khop() == before)
+  }
+
+  test("file-arrival lifecycle: embeddings landing dir -> streaming IVF index -> restart -> pruned probe") {
+    val all = spark.range(0, 96).selectExpr("id",
+      "transform(sequence(0, 15), d -> cast(sin(id * 0.37 + d) as float)) as embedding")
+    val (centroids, _) = graft.ops.Similarity.ivfAssign(all, numCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_ivf")
+    val landing = s"$dir/landing"
+    val path = s"$dir/index"
+    val vecSchema = all.schema
+
+    def wire() = StreamingJobs.vectorsToIvfIndex(
+      spark.readStream.schema(vecSchema).parquet(landing),
+      centroids, path, queryKey = "ivf-files", checkpointLocation = s"$dir/ckpt")
+
+    all.where(col("id") < 48).write.mode("append").parquet(landing)
+    val q1 = wire()
+    q1.processAllAvailable()
+    q1.stop()
+    // delta arrives while down; restart appends exactly the delta
+    all.where(col("id") >= 48).write.mode("append").parquet(landing)
+    val q2 = wire()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val table = new graft.graph.SnapshotTable(spark, path)
+    assert(table.snapshots().map(_.commitKey.get) ==
+      Seq("ivf-files#batch-0", "ivf-files#batch-1"))
+
+    // streamed index == batch assignment under the same frozen quantizer
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id").cast("long"), col("cell").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pairs(table.read()) == pairs(graft.ops.Similarity.assignCells(all, centroids)))
+
+    // probes stay pruned to the probed cells after the streamed appends
+    val probed = graft.ops.Similarity.probeIvfIndexTable(spark, path, Seq(0, 2))
+    assert(probed.select("cell").distinct().collect().map(_.getInt(0)).toSet == Set(0, 2))
+  }
+}
