@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, LongType}
+
+/** Native Catalyst expressions for the PageRank decimal kernels — the
+  * extension-ladder rung (b) applied to [[Traversal.pageRank]]'s per-round
+  * arithmetic: the generated code calls the SAME static [[Traversal]]
+  * kernels the gold oracle replays (prContrib / prNext), so the bit-exact
+  * contract is untouched, but the per-iteration contribution and damping
+  * projections stay inside WholeStageCodegen instead of paying a
+  * DeserializeToObject/SerializeFromObject object round-trip over the full
+  * node relation every round.
+  */
+case class PrContrib(rank: Expression, deg: Expression) extends BinaryExpression {
+  override def left: Expression = rank
+  override def right: Expression = deg
+
+  override def checkInputDataTypes(): TypeCheckResult = (rank.dataType, deg.dataType) match {
+    case (Traversal.PrDecimal, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pr_contrib requires (decimal(38,18), bigint), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def dataType: DataType = Traversal.PrDecimal
+  override def prettyName: String = "pr_contrib"
+
+  protected override def nullSafeEval(r: Any, d: Any): Any =
+    Traversal.prContribDec(r.asInstanceOf[Decimal], d.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, d) => s"graft.graph.Traversal.prContribDec($r, $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PrContrib =
+    copy(rank = newLeft, deg = newRight)
+}
+
+case class PrNext(inSum: Expression) extends UnaryExpression {
+  override def child: Expression = inSum
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (inSum.dataType == Traversal.PrDecimal) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pr_next requires decimal(38,18), got ${inSum.dataType.catalogString}")
+  override def dataType: DataType = Traversal.PrDecimal
+  override def prettyName: String = "pr_next"
+
+  protected override def nullSafeEval(s: Any): Any =
+    Traversal.prNextDec(s.asInstanceOf[Decimal])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.graph.Traversal.prNextDec($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): PrNext =
+    copy(inSum = newChild)
+}
+
+object PageRankExprs {
+  private val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+  def contrib(rank: Column, deg: Column): Column =
+    bridge.column(PrContrib(bridge.expression(rank), bridge.expression(deg)))
+  def next(inSum: Column): Column =
+    bridge.column(PrNext(bridge.expression(inSum)))
+}

@@ -76,35 +76,49 @@ object Traversal {
       .add(new JBigDecimal("0.85").multiply(inSum))
       .setScale(18, RoundingMode.HALF_UP)
 
+  /** The rank column's SQL type. */
+  val PrDecimal: org.apache.spark.sql.types.DecimalType =
+    org.apache.spark.sql.types.DecimalType(38, 18)
+
+  /** [[prContrib]] over Spark's Decimal wrapper — the static kernel the
+    * [[PrContrib]] expression calls from both eval modes. */
+  def prContribDec(rank: org.apache.spark.sql.types.Decimal, outDeg: Long): org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(prContrib(rank.toJavaBigDecimal, outDeg), 38, 18)
+
+  /** [[prNext]] over Spark's Decimal wrapper ([[PrNext]] kernel). */
+  def prNextDec(inSum: org.apache.spark.sql.types.Decimal): org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(prNext(inSum.toJavaBigDecimal), 38, 18)
+
   /** Fixed-iteration PageRank over DIRECTED edges (deduplicated), GraphX
     * staticPageRank convention: init 1.0, rank' = 0.15 + 0.85 * Σ in-contrib
     * (dangling mass dropped, the GraphX behavior). Returns (node, rank)
     * with rank a double rounded to 6 places.
     *
     * Scale shape: the static out-degree rides the rank relation, so each
-    * round's contribution is a NARROW map over nodes; per iteration that
-    * leaves one join of the (node-sized) contributions to the edge
-    * relation — AQE broadcasts it while ranks fit, degrading to a hash
-    * join beyond — and one decimal-sum aggregation: `iters` bounded
-    * shuffles of edge-sized data, the PageRank floor. Ranks are eagerly
+    * round's contribution is a NARROW projection over nodes (the
+    * [[PrContrib]] native expression — no object round-trip); per
+    * iteration that leaves one join of the (node-sized) contributions to
+    * the edge relation and one decimal-sum aggregation: `iters` bounded
+    * shuffles of edge-sized data, the PageRank floor. While the node
+    * relation is broadcast-sized, BOTH node-sized joins broadcast — the
+    * contributions into the edge join and the in-sums into the damping
+    * update — so the rank table never shuffles at all; past the threshold
+    * the same plans run as partitioned joins. Ranks are eagerly
     * localCheckpoint'ed per round so the loop's lineage stays flat (the
     * CC house pattern); edges are checkpointed once up front and re-read
-    * per round. Contribution division and the damping update run in typed
-    * maps calling the same pure kernels the gold oracle replays, with
-    * exact decimal(38,18) sums in between — deterministic end to end. */
+    * per round. The contribution division and damping update call the
+    * same pure kernels the gold oracle replays, with exact decimal(38,18)
+    * sums in between — deterministic end to end. */
   def pageRank(edges: DataFrame, iters: Int = 10, broadcastNodesMax: Long = 500000L): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
 
+    val decZero = lit(JBigDecimal.ZERO).cast(PrDecimal)
     var rank = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .as[(String, Long)]
-      .map { case (n, d) => (n, d, PrInit) }
-      .toDF("node", "deg", "r")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        lit(PrInit).cast(PrDecimal).as("r"))
       .localCheckpoint(true)
     // node-sized contributions vs edge-sized relation: while the rank
     // table is SMALL, broadcasting it makes the per-round join NARROW over
@@ -116,19 +130,18 @@ object Traversal {
     // shuffle it saves) — BENCH.md pagerank tier. One cheap count decides;
     // the relational form is identical either way.
     val broadcastable = rank.count() <= broadcastNodesMax
+    def bc(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
     for (_ <- 0 until iters) {
-      val contribs = rank.as[(String, Long, JBigDecimal)]
-        .flatMap { case (n, d, r) => if (d > 0) Iterator.single((n, prContrib(r, d))) else Iterator.empty }
-        .toDF("csrc", "c")
+      val contribs = rank.where(col("deg") > 0)
+        .select(col("node").as("csrc"),
+          PageRankExprs.contrib(col("r"), col("deg")).as("c"))
       val inSums = e
-        .join(if (broadcastable) broadcast(contribs) else contribs, e("src") === col("csrc"))
+        .join(bc(contribs), e("src") === col("csrc"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       rank = rank.select(col("node"), col("deg"))
-        .join(inSums, col("node") === inSums("dst"), "left")
-        .select(col("node"), col("deg"), col("s").cast("decimal(38,18)"))
-        .as[(String, Long, JBigDecimal)]
-        .map { case (n, d, s) => (n, d, prNext(if (s == null) JBigDecimal.ZERO else s)) }
-        .toDF("node", "deg", "r")
+        .join(bc(inSums), col("node") === inSums("dst"), "left")
+        .select(col("node"), col("deg"),
+          PageRankExprs.next(coalesce(col("s").cast(PrDecimal), decZero)).as("r"))
         .localCheckpoint(true)
     }
     rank.select(col("node"), round(col("r").cast("double"), 6).as("rank"))
