@@ -116,9 +116,18 @@ object Traversal {
       .union(e.select(col("dst").as("node"))).distinct()
 
     val decZero = lit(JBigDecimal.ZERO).cast(PrDecimal)
-    var rank = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
-        lit(PrInit).cast(PrDecimal).as("r"))
+    val allNodes = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(true)
+    // active-set iteration: a node with out-degree 0 (a leaf — in a
+    // (subj,obj) KG, every object that is never a subject) influences no
+    // other node's rank, so only the CONTRIBUTING subset rides the loop;
+    // leaves get their final rank from the closing full-relation round
+    // below. Same math round for round — what shrinks is the relation the
+    // per-round joins and checkpoints materialize, which is what matters
+    // in the partitioned (non-broadcastable) regime at scale.
+    var rank = allNodes.where(col("deg") > 0)
+      .withColumn("r", lit(PrInit).cast(PrDecimal))
       .localCheckpoint(true)
     // node-sized contributions vs edge-sized relation: while the rank
     // table is SMALL, broadcasting it makes the per-round join NARROW over
@@ -129,21 +138,34 @@ object Traversal {
     // 26s (rebuilding + shipping a 2M-row broadcast every round dwarfs the
     // shuffle it saves) — BENCH.md pagerank tier. One cheap count decides;
     // the relational form is identical either way.
-    val broadcastable = rank.count() <= broadcastNodesMax
+    // decided on the TOTAL node count: the broadcast in-sum relation is
+    // bounded by all in-linked nodes, not by the contributing subset (a
+    // few hubs fanning out to millions of leaves must not broadcast)
+    val broadcastable = allNodes.count() <= broadcastNodesMax
     def bc(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
-    for (_ <- 0 until iters) {
-      val contribs = rank.where(col("deg") > 0)
-        .select(col("node").as("csrc"),
-          PageRankExprs.contrib(col("r"), col("deg")).as("c"))
-      val inSums = e
-        .join(bc(contribs), e("src") === col("csrc"))
+    def inSumsOf(r: DataFrame): DataFrame = {
+      val contribs = r.select(col("node").as("csrc"),
+        PageRankExprs.contrib(col("r"), col("deg")).as("c"))
+      e.join(bc(contribs), e("src") === col("csrc"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    }
+    require(iters >= 1, "iters must be >= 1")
+    for (_ <- 0 until iters - 1) {
+      val inSums = inSumsOf(rank)
       rank = rank.select(col("node"), col("deg"))
         .join(bc(inSums), col("node") === inSums("dst"), "left")
         .select(col("node"), col("deg"),
           PageRankExprs.next(coalesce(col("s").cast(PrDecimal), decZero)).as("r"))
         .localCheckpoint(true)
     }
-    rank.select(col("node"), round(col("r").cast("double"), 6).as("rank"))
+    // the closing round runs over the FULL node relation, folding leaves
+    // back in: a leaf's rank after every round is prNext(its in-sum), and
+    // only the final round's value is observable
+    val lastSums = inSumsOf(rank)
+    allNodes
+      .join(bc(lastSums), col("node") === lastSums("dst"), "left")
+      .select(col("node"),
+        round(PageRankExprs.next(coalesce(col("s").cast(PrDecimal), decZero))
+          .cast("double"), 6).as("rank"))
   }
 }
