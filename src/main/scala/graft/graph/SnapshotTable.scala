@@ -49,13 +49,7 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
   private def metaDir = s"$root/meta"
   private def dataDir = s"$root/data"
 
-  final case class Manifest(
-      snapshotId: Long,
-      parentId: Long, // -1 for the first snapshot
-      operation: String, // append | overwrite
-      commitKey: Option[String],
-      dataDirs: Seq[String], // full visible set, newest last
-      rows: Long)
+  import SnapshotTable.Manifest
 
   // ---- commit protocol ----
 
@@ -95,29 +89,56 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       node.get("rows").asLong())
   }
 
-  /** Highest committed snapshot id, or -1 for an empty table. Resolved by
-    * listing committed manifests — the commit point is the existence of
-    * snap-N.json, so this never sees a half-finished commit. */
-  def currentSnapshotId(): Long = {
+  /** Published manifest ids under meta/, one listStatus RPC. */
+  private def committedIds(): Seq[Long] = {
     val p = new Path(metaDir)
-    if (!fs.exists(p)) -1L
+    if (!fs.exists(p)) Nil
     else
       fs.listStatus(p).iterator.map(_.getPath.getName).collect {
         case n if n.startsWith("snap-") && n.endsWith(".json") =>
           n.stripPrefix("snap-").stripSuffix(".json").toLong
-      }.foldLeft(-1L)(math.max)
+      }.toSeq.sorted
   }
 
-  /** All committed snapshots, oldest first. */
-  def snapshots(): Seq[Manifest] =
-    (0L to currentSnapshotId()).filter(id => fs.exists(manifestPath(id))).map(readManifest)
+  /** Highest committed snapshot id, or -1 for an empty table. Resolved by
+    * listing committed manifests — the commit point is the existence of
+    * snap-N.json, so this never sees a half-finished commit. */
+  def currentSnapshotId(): Long = committedIds().foldLeft(-1L)(math.max)
+
+  /** [[readManifest]] through the JVM-wide parse cache — manifests are
+    * immutable once published, so a parsed one never goes stale. Callers
+    * must have established existence first (a listStatus hit or an
+    * fs.exists check): the cache may outlive [[expireSnapshots]] deletions,
+    * and skipping the existence check would resurrect expired history. */
+  private def cachedManifest(id: Long): Manifest =
+    SnapshotTable.cached(root, id)(readManifest(id))
+
+  /** All committed snapshots, oldest first. One metadata listing plus a
+    * parse per PREVIOUSLY UNSEEN manifest — a long-running streaming
+    * writer committing every micro-batch scans the key history in O(new)
+    * parses per commit, not O(all) (the manifest-per-snapshot layout's
+    * would-be O(n²) driver cost over the stream's lifetime). */
+  def snapshots(): Seq[Manifest] = committedIds().map(cachedManifest)
 
   /** Optimistic commit with a STRICT linear history: the new id is always
     * parent+1, serialized by the exclusive claim create, so a concurrent
     * commit can never be silently orphaned off the chain (the Iceberg
     * commit-conflict contract). A claim whose manifest never lands (writer
     * died in the claim→publish window) blocks appends until the operator
-    * runs [[recoverStaleClaims]] — fail-stop, never lost rows. */
+    * runs [[recoverStaleClaims]] — fail-stop, never lost rows.
+    *
+    * Keyed APPENDS re-check `commitKey` AFTER winning the claim: manifests
+    * publish strictly sequentially (id lands only after id-1 is visible),
+    * so once this writer holds the claim for `id`, the key history
+    * 0..id-1 is complete and immutable — if the key is already there, a
+    * concurrent twin (zombie driver + its restart racing the same
+    * micro-batch) beat us; release the claim, drop the just-written dir,
+    * and return the twin's snapshot. A pre-claim check alone is
+    * check-then-act and double-appends rows in exactly that scenario.
+    * Keyed OVERWRITES skip the re-check on purpose: an overwrite REPLACES
+    * the view, so a racing twin is benign (two identical snapshots, no row
+    * duplication), and rebuild-style writers legitimately re-stamp an
+    * existing watermark key as an overwrite. */
   private def commit(op: String, newDir: String, newRows: Long, commitKey: Option[String]): Long = {
     var attempt = 0
     while (attempt < maxClaimAttempts) {
@@ -127,10 +148,19 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
         try { fs.create(claimPath(id), false).close(); true }
         catch { case _: java.io.IOException => false }
       if (claimed) {
-        val parentDirs = if (parent < 0 || op == "overwrite") Seq.empty else readManifest(parent).dataDirs
-        val parentRows = if (parent < 0 || op == "overwrite") 0L else readManifest(parent).rows
-        writeManifest(Manifest(id, parent, op, commitKey, parentDirs :+ newDir, parentRows + newRows))
-        return id
+        (if (op == "append") commitKey.flatMap(k => snapshots().find(_.commitKey.contains(k)))
+         else None) match {
+          case Some(existing) =>
+            fs.delete(claimPath(id), false)
+            fs.delete(new Path(newDir), true)
+            return existing.snapshotId
+          case None =>
+            val pm = if (parent < 0 || op == "overwrite") None else Some(cachedManifest(parent))
+            writeManifest(Manifest(id, parent, op, commitKey,
+              pm.map(_.dataDirs).getOrElse(Seq.empty) :+ newDir,
+              pm.map(_.rows).getOrElse(0L) + newRows))
+            return id
+        }
       }
       // claim lost: either a live writer just committed id (retry moves to
       // id+1), or an in-flight/dead writer holds it (bounded wait)
@@ -214,7 +244,12 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     * otherwise the routine `compact` maintenance would silently break the
     * exactly-once contract of every streaming/incremental writer. Only
     * [[expireSnapshots]] narrows the replay horizon (documented there).
-    * Returns the owning snapshot id either way. */
+    * Returns the owning snapshot id either way.
+    *
+    * The scan here is a FAST PATH that skips writing the parquet at all;
+    * the authoritative duplicate check re-runs inside [[commit]] after the
+    * claim is won, so two concurrent writers racing the same key (zombie
+    * driver + its restart) still commit exactly once. */
   def appendIdempotent(df: DataFrame, commitKey: String, partitionBy: Seq[String] = Nil): Long =
     snapshots().find(_.commitKey.contains(commitKey)) match {
       case Some(m) => m.snapshotId
@@ -230,7 +265,7 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     while (!done) {
       if (!fs.exists(manifestPath(id))) done = true // chain tail expired
       else {
-        val m = readManifest(id)
+        val m = cachedManifest(id)
         out += m
         if (m.operation == "overwrite" || m.parentId < 0) done = true else id = m.parentId
       }
@@ -315,9 +350,12 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
   }
 
   /** Data dirs present on disk but referenced by NO committed manifest —
-    * the leavings of killed writers. Safe to delete at any time (they are
-    * invisible to every reader); surfaced rather than auto-deleted so the
-    * sweep is an explicit operator decision. */
+    * the leavings of killed writers. They are invisible to every reader,
+    * but deleting them is ONLY safe when no writer is live (the same
+    * operator-sweep contract as [[recoverStaleClaims]]): a LIVE writer's
+    * just-written dir sits unreferenced during its write→commit window,
+    * and deleting it there corrupts the imminent snapshot. Surfaced rather
+    * than auto-deleted so the sweep is an explicit operator decision. */
   def orphanDataDirs(): Seq[String] = {
     val p = new Path(dataDir)
     if (!fs.exists(p)) return Nil
@@ -325,5 +363,32 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     fs.listStatus(p).iterator.map(_.getPath.toUri.getPath)
       .filterNot(d => referenced.exists(r => new Path(r).toUri.getPath == d))
       .toSeq.sorted
+  }
+}
+
+object SnapshotTable {
+
+  final case class Manifest(
+      snapshotId: Long,
+      parentId: Long, // -1 for the first snapshot
+      operation: String, // append | overwrite
+      commitKey: Option[String],
+      dataDirs: Seq[String], // full visible set, newest last
+      rows: Long)
+
+  /** JVM-wide manifest parse cache, keyed by (table root, snapshot id).
+    * Sound because a published manifest is immutable: ids are claimed
+    * exclusively, never reused while the table's tip survives (commit ids
+    * are always tip+1 and `expireSnapshots` keeps >= 1), so a (root, id)
+    * pair identifies one manifest forever. Bounded by a crude
+    * clear-on-overflow: manifests are a few hundred bytes and the re-read
+    * cost after a clear amortizes over the next scan. */
+  private val manifestCacheMax = 100000
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+
+  private def cached(root: String, id: Long)(load: => Manifest): Manifest = {
+    if (manifestCache.size() > manifestCacheMax) manifestCache.clear()
+    manifestCache.computeIfAbsent((root, id), _ => load)
   }
 }

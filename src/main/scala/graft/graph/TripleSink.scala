@@ -14,9 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object TripleSink {
 
+  /** The ONE definition of the pred-derived partition column: predicate
+    * IRIs carry characters hive partition dirs can't, so the partition
+    * value is the sanitized form. Every writer of a graph table must
+    * derive it here — two drifting sanitizations would split one predicate
+    * across two partition dirs and break per-predicate pruning. */
+  def withPredPart(triples: DataFrame): DataFrame =
+    triples.withColumn("pred_part", regexp_replace(col("pred"), "[^A-Za-z0-9_]", "_"))
+
   def write(triples: Dataset[Triple], path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
-    triples.toDF()
-      .withColumn("pred_part", regexp_replace(col("pred"), "[^A-Za-z0-9_]", "_"))
+    withPredPart(triples.toDF())
       .write.mode(mode)
       .partitionBy("pred_part", "source")
       .parquet(path)
@@ -32,10 +39,7 @@ object TripleSink {
     * Partitioned by pred so per-predicate consumers prune. */
   def appendSnapshot(triples: Dataset[Triple], tablePath: String, commitKey: String): Long = {
     val table = new SnapshotTable(triples.sparkSession, tablePath)
-    table.appendIdempotent(
-      triples.toDF()
-        .withColumn("pred_part", regexp_replace(col("pred"), "[^A-Za-z0-9_]", "_")),
-      commitKey,
+    table.appendIdempotent(withPredPart(triples.toDF()), commitKey,
       partitionBy = Seq("pred_part"))
   }
 

@@ -188,7 +188,8 @@ object ConnectedComponents {
     * incident to at least one edge (same contract as [[run]]).
     */
   def runStars(edges: DataFrame, maxIter: Int = 50, verbose: Boolean = false): DataFrame = {
-    var e = edges.select(col("src"), col("dst"))
+    val raw = edges.select(col("src"), col("dst"))
+    var e = raw
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
@@ -249,9 +250,23 @@ object ConnectedComponents {
         s"connected components did not converge in $maxIter large/small-star rounds")
 
     // converged edge set is {(v, root) | v != root}: emit members + roots
-    e.select(col("src").as("id"), col("dst").as("component"))
-      .union(e.select(col("dst").as("id"), col("dst").as("component")))
-      .distinct()
+    withSelfLoopSingletons(raw,
+      e.select(col("src").as("id"), col("dst").as("component"))
+        .union(e.select(col("dst").as("id"), col("dst").as("component")))
+        .distinct())
+  }
+
+  /** Nodes whose ONLY edges are self-loops: invisible to the contraction
+    * loops (which drop src == dst up front) but emitted as singleton
+    * components by [[run]] — re-attached here so all three algorithms
+    * share one node-membership contract. One extra filter scan of the raw
+    * input, anti-joined against the (component-sized) converged output. */
+  private def withSelfLoopSingletons(rawEdges: DataFrame, comps: DataFrame): DataFrame = {
+    val selfNodes = rawEdges.filter(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
+    val singletons = selfNodes.join(comps.select("id"), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    comps.union(singletons)
   }
 
   /** Connected components via iterated partition-local union-find
@@ -385,9 +400,10 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter union-find rounds")
 
-    val comps = e.select(col("dst").as("id"), col("src").as("component"))
-      .union(e.select(col("src").as("id"), col("src").as("component")))
-      .distinct()
+    val comps = withSelfLoopSingletons(edges.select(col("src"), col("dst")),
+      e.select(col("dst").as("id"), col("src").as("component"))
+        .union(e.select(col("src").as("id"), col("src").as("component")))
+        .distinct())
     checkpoint.map(cp => cp.stageDf(s"${stagePrefix}_components")(comps))
       .getOrElse(comps)
   }

@@ -37,7 +37,8 @@ object Similarity {
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bcQ = spark.sparkContext.broadcast(queries.map { case (id, v) => (id, v, norm(v)) })
+    val qsDedup = dedupQueries(queries)
+    val bcQ = spark.sparkContext.broadcast(qsDedup.map { case (id, v) => (id, v, norm(v)) })
 
     corpus.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -123,6 +124,9 @@ object Similarity {
 
     var centroids: Seq[Array[Float]] =
       train.sort("id").limit(numCells).collect().map(_._2).toSeq
+    require(centroids.nonEmpty,
+      s"IVF training sample is empty (trainSampleMod=$trainSampleMod selected no ids " +
+        "— empty corpus, or a modulus with no multiples among the ids)")
 
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
@@ -191,8 +195,9 @@ object Similarity {
       nProbe: Int
   ): DataFrame = {
     val spark = corpus.sparkSession
+    val qsDedup = dedupQueries(queries)
     // query -> probed cells (driver-side, centroids are small)
-    val probes: Seq[(Long, Seq[Int])] = queries.map { case (qid, qv) =>
+    val probes: Seq[(Long, Seq[Int])] = qsDedup.map { case (qid, qv) =>
       qid -> centroids.indices.sortBy(c => -cosine(qv, centroids(c))).take(nProbe)
     }
     val probedCells = probes.flatMap(_._2).distinct
@@ -201,7 +206,7 @@ object Similarity {
     val cellByQuery = probes.toMap
     val bcCells = spark.sparkContext.broadcast(cellByQuery)
     import spark.implicits._
-    val bcQ = spark.sparkContext.broadcast(queries.map { case (id, v) => (id, v, norm(v)) })
+    val bcQ = spark.sparkContext.broadcast(qsDedup.map { case (id, v) => (id, v, norm(v)) })
 
     restricted.select(col("id").cast("long"), col("embedding"), col("cell"))
       .as[(Long, Array[Float], Int)]
@@ -228,6 +233,14 @@ object Similarity {
       .flatMapGroups { (qid, it) => it.toArray.sortBy(s => (-s.score, s.id)).take(k).iterator }
       .toDF("qid", "id", "score")
   }
+
+  /** First-wins qid dedupe for the driver-side query Seqs — the Seq twin
+    * of [[scanBlock]]'s in-block guard: a duplicated query row must not
+    * double-offer every corpus vector into one heap (the heaps are keyed
+    * by qid, so the duplicate would share its twin's heap and every
+    * neighbor would enter twice, halving the distinct top-k). */
+  private def dedupQueries(queries: Seq[(Long, Array[Float])]): Seq[(Long, Array[Float])] =
+    queries.distinctBy(_._1)
 
   /** Shared kernel for the relation-query paths: stream a corpus block
     * through per-query bounded heaps. Duplicate qids in the block are
@@ -629,8 +642,11 @@ object Similarity {
       .as[(Long, Array[Float])]
     // band keys via the native hyperplane_keys expression: the signature
     // stage stays inside WholeStageCodegen (no Dataset object round-trip),
-    // planes derive once per JVM from (dim, bits) instead of broadcasting
-    val docsKeys = corpus.select(col("id").cast("string").as("id"),
+    // planes derive once per JVM from (dim, bits) instead of broadcasting.
+    // cast to long FIRST (the contract every other path here applies): a
+    // non-integral id column stringified directly ("5.0") would fail the
+    // pair normalization's cast("long") below and silently drop every pair
+    val docsKeys = corpus.select(col("id").cast("long").cast("string").as("id"),
       HyperplaneKeys.col(col("embedding"), dim, effBits, bands).as("keys"))
 
     // oversized buckets re-band recursively on the other bands' keys

@@ -104,10 +104,7 @@ object IncrementalKg {
     val toId = corpus.currentSnapshotId()
     require(toId >= 0, s"empty corpus table $corpusTablePath — nothing to rebuild from")
     val docs = Stages.ingest(corpus.read(toId))(spark)
-    val triples = KgPipeline.triples(docs, bc, cfg).toDF()
-      .withColumn("pred_part",
-        org.apache.spark.sql.functions.regexp_replace(
-          org.apache.spark.sql.functions.col("pred"), "[^A-Za-z0-9_]", "_"))
+    val triples = graft.graph.TripleSink.withPredPart(KgPipeline.triples(docs, bc, cfg).toDF())
     graph.overwrite(triples, partitionBy = Seq("pred_part"), commitKey = Some(s"$KeyPrefix$toId"))
     toId
   }

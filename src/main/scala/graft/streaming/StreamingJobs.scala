@@ -94,6 +94,11 @@ object StreamingJobs {
     * analog), and whole buckets expire via event-time timeout once the
     * watermark passes their newest member by `horizon` — so a continuous
     * 100 TB ingest holds at most (active buckets x cap) signatures.
+    * Members also age out INDIVIDUALLY at match time: a doc only matches
+    * members within `horizon` of its own event time, so a continuously
+    * active bucket (which never hits the whole-bucket timeout — that
+    * clock restarts with every arrival) cannot attribute a dupOf to an
+    * arbitrarily old member, and its live state stays horizon-bounded.
     */
   def nearDupStream(
       docs: DataFrame, // streaming (ts: timestamp, doc_id, text)
@@ -142,6 +147,15 @@ object StreamingJobs {
             // arrival order within the micro-batch: event time, then id —
             // deterministic regardless of partition interleaving
             for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))) {
+              // member-level horizon: only members within `horizon` of THIS
+              // arrival are eligible matches; pruning them here (not just at
+              // the whole-bucket timeout, whose clock restarts with every
+              // arrival) keeps a continuously active bucket horizon-bounded
+              val cutoff = r.ts.getTime - horizonMs
+              if (ts.exists(_ < cutoff)) {
+                val keep = ts.indices.filter(i => ts(i) >= cutoff).toArray
+                ts = keep.map(ts(_)); ids = keep.map(ids(_)); sigs = keep.map(sigs(_))
+              }
               if (!ids.contains(r.docId)) {
                 // earliest in-horizon member whose signature estimate passes
                 var best = -1

@@ -73,8 +73,12 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("self loops and duplicate edges are tolerated") {
-    // contract: a node must be incident to >=1 non-self edge to be emitted
-    assertComponents(Seq("a" -> "a", "a" -> "b", "b" -> "a", "a" -> "b", "c" -> "d", "d" -> "c"))
+    // contract (all three algorithms): every node incident to ANY edge is
+    // emitted — including "z", whose only edge is a self-loop, which the
+    // contraction loops drop up front and must re-attach as a singleton
+    assertComponents(Seq(
+      "a" -> "a", "a" -> "b", "b" -> "a", "a" -> "b",
+      "c" -> "d", "d" -> "c", "z" -> "z"))
   }
 
   private def khop(edges: Seq[(String, String)], seeds: Seq[String], k: Int): Map[String, Int] =

@@ -231,6 +231,22 @@ class OpsSpec extends AnyFunSuite {
     for ((q, ids) <- viaSeq) assert(viaDf(q) == ids, s"query $q")
   }
 
+  test("duplicate qids in the query SEQ do not corrupt top-k (bruteForceTopK + ivfTopK)") {
+    // the Seq twins of the relation-path guard below: a duplicated query
+    // tuple must not double-offer every corpus vector into one heap
+    val all = embDf.as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 900L).getOrElse(all.head)
+    val qid = 50000L
+    val brute = Similarity.bruteForceTopK(embDf, Seq((qid, q._2), (qid, q._2)), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(brute.length == 5 && brute.map(_._2).distinct.length == 5, brute.mkString(","))
+    val (centroids, assignments) = Similarity.ivfAssign(embDf, numCells = 4)
+    val ivf = Similarity.ivfTopK(embDf, centroids, assignments,
+      Seq((qid, q._2), (qid, q._2)), k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.length == 5 && ivf.map(_._2).distinct.length == 5, ivf.mkString(","))
+  }
+
   test("duplicate qids in the query relation do not corrupt top-k") {
     val all = embDf.as[(Long, Array[Float])].collect()
     val q = all.find(_._1 == 900L).getOrElse(all.head)

@@ -212,6 +212,21 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("keyed commits dedup past the fast path: racing twins commit exactly once") {
+    // two writers that BOTH passed appendIdempotent's pre-check (zombie
+    // driver + its restart racing one micro-batch) reduce to two direct
+    // keyed appends: the post-claim re-check inside commit must turn the
+    // second into a no-op, clean up its data dir, and return the first id
+    val t = new SnapshotTable(spark, freshRoot())
+    val first = t.append(Seq(("a", 1)).toDF("k", "v"), commitKey = Some("batch-7"))
+    val second = t.append(Seq(("a", 1)).toDF("k", "v"), commitKey = Some("batch-7"))
+    assert(second == first)
+    assert(t.snapshots().size == 1)
+    assert(t.read().count() == 1)
+    // the loser's freshly-written dir was removed, not orphaned
+    assert(t.orphanDataDirs().isEmpty)
+  }
+
   test("random op sequences preserve the table invariants (model-based)") {
     // ops: plain append / idempotent append from a small key pool (replays
     // must dedup globally) / compact. After each sequence: contents equal

@@ -118,6 +118,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(dups() == Set(("2", "1"), ("4", "1")), dups().toString)
   }
 
+  test("streaming near-dup: dupOf attribution respects the horizon in a continuously active bucket") {
+    // identical docs every 20 min with a 25-min horizon: the bucket never
+    // hits its whole-bucket timeout (that clock restarts with each
+    // arrival), so member-level aging must do the work — doc 3 matches
+    // doc 2 (20 min old), NOT doc 1 (40 min old, earliest member)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingJobs.nearDupStream(
+      stream.toDF().toDF("ts", "doc_id", "text"),
+      watermarkDelay = "10 minutes", horizonMs = 25 * 60 * 1000L)
+    val query = out.writeStream
+      .format("memory").queryName("stream_neardup_age").outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    stream.addData(Seq((ts(10, 0), 1L, text)))
+    query.processAllAvailable()
+    stream.addData(Seq((ts(10, 20), 2L, text)))
+    query.processAllAvailable()
+    stream.addData(Seq((ts(10, 40), 3L, text)))
+    query.processAllAvailable()
+    query.stop()
+    val dups = spark.table("stream_neardup_age")
+      .select("docId", "dupOf").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dups == Set(("2", "1"), ("3", "2")), dups.toString)
+  }
+
   test("streaming near-dup estimate agrees with batch exact jaccard on identical text") {
     // identical docs share every minhash row -> the streaming estimate is
     // exactly 1.0, matching Dedup.minhashLsh's exact verification
