@@ -247,6 +247,43 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** Incremental-CC tier: full CC over a base graph, then
+    * [[graft.graph.ConnectedComponents.incremental]] folding a much
+    * smaller delta into the result — the 100 TB claim under test is that
+    * the tick pays for the DELTA (plus one broadcast remap over the
+    * node-sized mapping), never the accumulated edge set. */
+  def incrementalCcStress(nNodes: Int, nEdges: Int, deltaEdges: Int, cores: Int): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def gen(n: Long, seedBase: Long, hi: Int) =
+      spark.range(n).repartition(cores * 2).as[Long].map { i =>
+        val r = new CorpusGen.Rng(i * 31 + seedBase)
+        (f"n${r.nextInt(hi)}%09d", f"n${r.nextInt(hi)}%09d")
+      }.toDF("src", "dst").cache()
+    // delta touches a wider id range than the base: merges + new nodes
+    val base = gen(nEdges, 7, nNodes)
+    val delta = gen(deltaEdges, 104729, (nNodes * 1.2).toInt)
+    base.count(); delta.count()
+    val t0 = System.nanoTime()
+    val prev = graft.graph.ConnectedComponents.runUnionFind(base).localCheckpoint(true)
+    val nPrev = prev.count()
+    val tBase = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val inc = graft.graph.ConnectedComponents.incremental(prev, delta)
+    val nInc = inc.count()
+    val tDelta = (System.nanoTime() - t1) / 1e9
+    println(s"""{"metric":"incremental_cc","n_nodes":$nNodes,"base_edges":$nEdges,""" +
+      s""""delta_edges":$deltaEdges,"cores":$cores,"base_sec":$tBase,"delta_sec":$tDelta,""" +
+      s""""base_nodes":$nPrev,"final_nodes":$nInc,""" +
+      s""""delta_edges_per_sec":${(deltaEdges / tDelta).toLong}}""")
+    base.unpersist(); delta.unpersist()
+    spark.stop()
+  }
+
   /** PageRank pressure tier: same random-graph generator as [[ccStress]],
     * fixed 5 iterations (the driver-query constant), reporting
     * edge-updates/s (edges × iters / wall) — the iterative-workload
@@ -640,6 +677,14 @@ object ScalingBench {
         args.lift(1).map(_.toInt).getOrElse(500000),
         args.lift(2).map(_.toInt).getOrElse(1000000),
         args.lift(3).map(_.toInt).getOrElse(32))
+      return
+    }
+    if (args.headOption.contains("inccc")) {
+      incrementalCcStress(
+        args.lift(1).map(_.toInt).getOrElse(500000),
+        args.lift(2).map(_.toInt).getOrElse(2000000),
+        args.lift(3).map(_.toInt).getOrElse(100000),
+        args.lift(4).map(_.toInt).getOrElse(32))
       return
     }
     if (args.headOption.contains("cc")) {

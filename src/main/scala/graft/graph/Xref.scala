@@ -408,6 +408,59 @@ object ConnectedComponents {
       .getOrElse(comps)
   }
 
+  /** Incremental connected components: fold a DELTA edge set into an
+    * existing (id, component) mapping without re-running over the
+    * accumulated graph — the canonicalization twin of the snapshot tables'
+    * appends-only reads (a growing 10^9-edge xref graph must not pay a
+    * full CC per tick). Contraction argument: (1) both endpoints of every
+    * new edge map through `prevComps` (identity for unseen nodes), so each
+    * old component contracts to its representative; (2) a FULL CC runs on
+    * the contracted delta only ([[runUnionFind]] — delta-sized, the only
+    * iterative work); (3) old components whose representative merged remap
+    * through the delta result, composed with one broadcast join (the
+    * remap is bounded by the delta's node count, so the accumulated
+    * mapping never shuffles). Labels stay canonical: the delta CC's min
+    * over {merged representatives ∪ new node ids} IS the min member of the
+    * merged component, because each representative was already its
+    * component's min — so the result is row-identical to a full recompute
+    * over (old edges ∪ delta), which GraphSpec pins on random graphs.
+    * Cost: two delta-keyed hash joins + the delta CC + one broadcast
+    * remap; nothing scans the accumulated edges. */
+  def incremental(
+      prevComps: DataFrame, // (id, component), component = min member id
+      newEdges: DataFrame, // (src, dst)
+      targetEdgesPerTask: Int = 1000000
+  ): DataFrame = {
+    val prev = prevComps.select(col("id"), col("component"))
+    val e = newEdges.select(col("src"), col("dst")).localCheckpoint(true)
+    // the accumulated mapping is never shuffled: the delta's endpoint set
+    // broadcasts into a semi-join (one narrow, predicate-pruned scan of
+    // prev), and everything downstream of that is delta-sized
+    val endpoints = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val prevSub = prev.join(broadcast(endpoints), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val mapped = e
+      .join(broadcast(prevSub.select(col("id").as("src"), col("component").as("src_c"))),
+        Seq("src"), "left")
+      .join(broadcast(prevSub.select(col("id").as("dst"), col("component").as("dst_c"))),
+        Seq("dst"), "left")
+      .select(coalesce(col("src_c"), col("src")).as("src"),
+        coalesce(col("dst_c"), col("dst")).as("dst"))
+    val delta = runUnionFind(mapped, targetEdgesPerTask = targetEdgesPerTask)
+      .localCheckpoint(true) // consumed twice below (remap + new-node split)
+    // delta-node-sized remap of old representatives — broadcast, so the
+    // accumulated mapping is ONE narrow join away from its update
+    val remap = delta.select(col("id").as("component"), col("component").as("newc"))
+    val prevUpdated = prev
+      .join(broadcast(remap), Seq("component"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+    val newIds = endpoints.join(broadcast(prevSub.select("id")), Seq("id"), "left_anti")
+    val newNodes = delta.join(broadcast(newIds), Seq("id"), "left_semi")
+      .select(col("id"), col("component"))
+    prevUpdated.union(newNodes)
+  }
+
   /** Canonicalize triple objects: map each obj to its component
     * representative, given xref edges between (source-qualified) ids. */
   def canonicalizeTriples(triples: Dataset[Triple], edges: DataFrame): DataFrame = {

@@ -81,6 +81,36 @@ class GraphSpec extends AnyFunSuite {
       "c" -> "d", "d" -> "c", "z" -> "z"))
   }
 
+  private def incrementalParity(base: Seq[(String, String)], delta: Seq[(String, String)]): Unit = {
+    val prev = ConnectedComponents.runUnionFind(base.toDF("src", "dst"), targetEdgesPerTask = 64)
+    val inc = ConnectedComponents.incremental(prev, delta.toDF("src", "dst"), targetEdgesPerTask = 64)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inc == unionFind(base ++ delta), "incremental vs full recompute")
+  }
+
+  test("incremental CC: delta folds into existing components, parity with full recompute") {
+    // merge two old components through a delta edge; extend one with a new
+    // chain; a brand-new isolated pair; a new node SMALLER than every old
+    // member (the canonical label must flow through the remap)
+    val base = Seq("m1" -> "m2", "m2" -> "m3", "q1" -> "q2", "x8" -> "x9")
+    incrementalParity(base, Seq(
+      "m3" -> "q1", // merges comps m* and q*
+      "x9" -> "y1", "y1" -> "y2", // extends x* with new nodes
+      "w1" -> "w2", // brand-new component
+      "a0" -> "m1")) // new min member relabels the merged component
+  }
+
+  test("incremental CC: intra-component and self-loop deltas are no-ops; random parity") {
+    val base = Seq("m1" -> "m2", "m2" -> "m3", "q1" -> "q2")
+    incrementalParity(base, Seq("m1" -> "m3", "q2" -> "q2"))
+    val rnd = new scala.util.Random(7)
+    val baseR = (1 to 150).map(_ => (f"r${rnd.nextInt(80)}%03d", f"r${rnd.nextInt(80)}%03d"))
+      .filter(e => e._1 != e._2)
+    val deltaR = (1 to 60).map(_ => (f"r${rnd.nextInt(120)}%03d", f"r${rnd.nextInt(120)}%03d"))
+      .filter(e => e._1 != e._2)
+    incrementalParity(baseR, deltaR)
+  }
+
   private def khop(edges: Seq[(String, String)], seeds: Seq[String], k: Int): Map[String, Int] =
     graft.graph.Traversal.kHopDistances(
       edges.toDF("src", "dst"), seeds.toDF("node"), k)
