@@ -360,9 +360,14 @@ object SparkEntry {
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // decimal sums for the same reason as q8: double addition is not
+      // associative, so a hash-agg combine order can move the result by an
+      // ulp and flip the rounded digit vs the oracle; decimal addition is
+      // order-free (terms quantize from the same doubles in both engines)
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        sum(col("l_quantity").cast("decimal(20,6)")).cast("double").as("sum_qty"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(20,6)")), 4).cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
   def q2JoinTopK(spark: SparkSession, sfDir: String): DataFrame = {
@@ -450,7 +455,9 @@ object SparkEntry {
   def eventsWindowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      // decimal sum: order-free vs the oracle (same rationale as q8/q1)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
       .select(col("w.start").cast("timestamp").cast("long").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -600,9 +607,11 @@ object SparkEntry {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') ws FROM documents),
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) ws FROM documents),
         |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws)-1)) i FROM w WHERE len(ws) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+        |tri AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+        |short AS (SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS s FROM w WHERE len(ws) BETWEEN 1 AND 2),
+        |sh AS (SELECT * FROM tri UNION ALL SELECT * FROM short),
         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         |lowdf AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
         |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN lowdf USING (s)),
@@ -682,8 +691,9 @@ object SparkEntry {
         |       ELSE greatest(1, (n_chars * 10) // 1000) END AS frames
         |FROM documents""".stripMargin,
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 4) AS DOUBLE) AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_topk" ->
@@ -741,7 +751,8 @@ object SparkEntry {
         |FROM t GROUP BY 1, 2""".stripMargin,
     "events_windowed_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
-        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

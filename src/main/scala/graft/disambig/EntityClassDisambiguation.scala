@@ -25,14 +25,19 @@ final class EntityClassDisambiguation(
   def process(text: String, mentions: Seq[Mention]): Seq[Mention] = {
     if (classVectors.isEmpty) return mentions
     lazy val sentences = Tokenizer.sentenceSpans(text)
+    // one TF-IDF transform per sentence SPAN, not per mention — mentions
+    // of configured classes cluster in sentences, and the transform
+    // (tokenize + hash-count + normalize) is the per-partition hot cost
+    val ctxCache = scala.collection.mutable.Map.empty[Span, SparseVec]
     mentions.filter { m =>
       classVectors.get(m.entityClass) match {
         case None => true // class not configured: keep
         case Some(classVec) =>
           val sent = sentences.find(s => s.start <= m.start && m.start < s.end)
             .getOrElse(Span(0, text.length))
-          val ctx = vectorizer.transform(text.substring(sent.start, sent.end)
-            .toLowerCase(java.util.Locale.ROOT))
+          val ctx = ctxCache.getOrElseUpdate(sent,
+            vectorizer.transform(text.substring(sent.start, sent.end)
+              .toLowerCase(java.util.Locale.ROOT)))
           ctx.dot(classVec) >= threshold
       }
     }

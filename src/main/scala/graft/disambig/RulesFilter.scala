@@ -56,11 +56,16 @@ object RulesFilter {
     if (cfg.classRules.isEmpty && cfg.mentionRules.isEmpty) return mentions
     val sentences = Tokenizer.sentenceSpans(text)
 
+    // memoized per sentence span: mentions cluster in sentences, and
+    // re-tokenizing the same sentence per mention made the hot
+    // per-partition path O(mentions x sentence length) for no reason
+    val tokenCache = scala.collection.mutable.Map.empty[Span, IndexedSeq[String]]
     def sentenceTokens(m: Mention): IndexedSeq[String] = {
       val sent = sentences.find(s => s.start <= m.start && m.start < s.end)
         .getOrElse(Span(0, text.length))
-      Tokenizer.tokenSpans(text.substring(sent.start, sent.end))
-        .map(s => text.substring(sent.start + s.start, sent.start + s.end)).toIndexedSeq
+      tokenCache.getOrElseUpdate(sent,
+        Tokenizer.tokenSpans(text.substring(sent.start, sent.end))
+          .map(s => text.substring(sent.start + s.start, sent.start + s.end)).toIndexedSeq)
     }
 
     // doc-level voting per (match, class) key (ref :248-260)

@@ -172,7 +172,12 @@ final class StrategyRunner(
     gaz: Gazetteer,
     ctx: ContextScorer,
     cfg: RunnerConfig = RunnerConfig.default,
-    contextThreshold: Double = 0.7
+    contextThreshold: Double = 0.7,
+    // cross-reference manager (M14): expansion rides mapping CREATION, as
+    // in the reference (strategy_runner.py:323-330), so later strategies —
+    // DefinedElsewhereInDocument in particular — see xref-derived mappings
+    // in the document's accumulated state, not just the direct ones
+    xref: Option[graft.graph.XrefManager] = None
 ) extends Serializable {
 
   private type EntityKey = (String, String, String, String)
@@ -269,7 +274,11 @@ final class StrategyRunner(
               if (mappings.nonEmpty) {
                 unresolved -= parser
                 entityMapped(key) = true
-                for (i <- groupIdxs) accMappings(i) ++= mappings
+                val withXrefs = xref match {
+                  case Some(x) => mappings ++ mappings.flatMap(x.createXrefMappings(_, gaz))
+                  case None => mappings
+                }
+                for (i <- groupIdxs) accMappings(i) ++= withXrefs
               }
             }
           }

@@ -519,20 +519,22 @@ object GazetteerBuilder {
       extraMetaByParser: Map[String, Map[String, Map[String, String]]] = Map.empty
   ): Gazetteer = {
     import rows.sparkSession.implicits._
-    // two jobs read the same export: cache it so the KB scan+parse runs once
+    // two jobs read the same export: cache it so the KB scan+parse runs
+    // once; try/finally covers BOTH collects — a failure in either job
+    // must not leave the KB export pinned in storage for the session
     val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val resolved = try {
-      resolveSynonymsSpark(cached, scorer, mergeThreshold, grouperByParser).collect()
-    } catch { case e: Throwable => cached.unpersist(); throw e }
-    val meta = cached
-      .groupByKey(r => (r.parserName, r.idx))
-      .mapGroups { (key: (String, String), it: Iterator[OntologyRow]) =>
-        // min-wins over (label, origin): group iteration order is shuffle-
-        // dependent, and metadata must be identical run-to-run
-        val r = it.minBy(x => (x.defaultLabel, x.dataOrigin))
-        (key._1, key._2, r.defaultLabel, r.dataOrigin, r.entityClass)
-      }.collect()
-    cached.unpersist()
+    val (resolved, meta) = try {
+      val r = resolveSynonymsSpark(cached, scorer, mergeThreshold, grouperByParser).collect()
+      val m = cached
+        .groupByKey(r => (r.parserName, r.idx))
+        .mapGroups { (key: (String, String), it: Iterator[OntologyRow]) =>
+          // min-wins over (label, origin): group iteration order is shuffle-
+          // dependent, and metadata must be identical run-to-run
+          val row = it.minBy(x => (x.defaultLabel, x.dataOrigin))
+          (key._1, key._2, row.defaultLabel, row.dataOrigin, row.entityClass)
+        }.collect()
+      (r, m)
+    } finally cached.unpersist()
     val entityClassByParser = meta.map(m => m._1 -> m._5).toMap
     val metadata = meta.map(m => (m._1, m._2) -> IdMeta(m._3, m._4, None,
       extraMetaByParser.getOrElse(m._1, Map.empty).getOrElse(m._2, Map.empty))).toMap

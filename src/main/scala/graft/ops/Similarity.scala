@@ -643,9 +643,11 @@ object Similarity {
     // band keys via the native hyperplane_keys expression: the signature
     // stage stays inside WholeStageCodegen (no Dataset object round-trip),
     // planes derive once per JVM from (dim, bits) instead of broadcasting.
-    // cast to long FIRST (the contract every other path here applies): a
-    // non-integral id column stringified directly ("5.0") would fail the
-    // pair normalization's cast("long") below and silently drop every pair
+    // cast to long FIRST: this operator's pair normalization below casts
+    // the banded ids back to long, so a non-integral id column stringified
+    // directly ("5.0") would null out there and silently drop every pair.
+    // (Dedup.minhashLsh has no such normalization and deliberately keeps
+    // opaque string ids — sha-style doc ids — end to end.)
     val docsKeys = corpus.select(col("id").cast("long").cast("string").as("id"),
       HyperplaneKeys.col(col("embedding"), dim, effBits, bands).as("keys"))
 

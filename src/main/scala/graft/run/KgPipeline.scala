@@ -67,7 +67,7 @@ object KgPipeline {
       .filter((d: Doc) => d.error.isEmpty)
       .mapPartitions { rows =>
         val art = bcArtifacts.value
-        val runner = new StrategyRunner(art.gaz, art.ctx, cfg.runnerConfig)
+        val runner = new StrategyRunner(art.gaz, art.ctx, cfg.runnerConfig, xref = art.xref)
         val byClass = LinkingStep.indexesByClass(art.indexes)
         val linkMemo = scala.collection.mutable.HashMap.empty[(String, String), Seq[Candidate]]
         val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]
@@ -89,9 +89,11 @@ object KgPipeline {
 
   /** Steps 3-6 of the per-doc pipeline, shared verbatim by [[annotate]] and
     * [[annotateSections]] (which runs it in concatenated coordinates):
-    * 3. mapping cascade (M1-M13), 3b. cross-reference expansion (M14 —
-    * the reference runs this inside the mapping step, i.e. before cleanup
-    * strips URIs), 4. abbreviation expansion (P1), 5. cleanup (P3-P5),
+    * 3. mapping cascade (M1-M13) with cross-reference expansion (M14)
+    * riding each mapping's CREATION inside the runner — as the reference
+    * does (strategy_runner.py:323-330), so DefinedElsewhereInDocument sees
+    * xref-derived mappings, and expansion still precedes the cleanup that
+    * strips URIs — 4. abbreviation expansion (P1), 5. cleanup (P3-P5),
     * 6. overlap merge (P2). */
   private def docGlobalFold(
       dm0: DocMentions,
@@ -101,12 +103,6 @@ object KgPipeline {
       cfg: Config
   ): DocMentions = {
     var dm = runner.mapDoc(dm0)
-    art.xref.foreach { x =>
-      dm = dm.copy(mentions = dm.mentions.map { m =>
-        val extra = m.mappings.flatMap(mp => x.createXrefMappings(mp, art.gaz))
-        if (extra.isEmpty) m else m.copy(mappings = (m.mappings ++ extra).distinct)
-      })
-    }
     dm = dm.copy(mentions = Abbreviation.process(docText, dm.mentions, cfg.excludeAbbrvs))
     dm = dm.copy(mentions = Cleanup.defaultCleanup(dm.mentions, cfg.stripUris))
     if (cfg.mergeOverlaps)
@@ -155,7 +151,7 @@ object KgPipeline {
       .filter((d: DocSections) => d.error.isEmpty)
       .mapPartitions { rows =>
         val art = bcArtifacts.value
-        val runner = new StrategyRunner(art.gaz, art.ctx, cfg.runnerConfig)
+        val runner = new StrategyRunner(art.gaz, art.ctx, cfg.runnerConfig, xref = art.xref)
         val byClass = LinkingStep.indexesByClass(art.indexes)
         val linkMemo = scala.collection.mutable.HashMap.empty[(String, String), Seq[Candidate]]
         val normMemo = scala.collection.mutable.HashMap.empty[(String, String), String]

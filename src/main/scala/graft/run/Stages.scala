@@ -45,8 +45,13 @@ object Stages {
     */
   def ingestSections(corpus: DataFrame)(implicit spark: SparkSession): Dataset[DocSections] = {
     import spark.implicits._
+    // total length of the CONCATENATED coordinate space annotateSections
+    // actually processes: section texts plus the n-1 "\n" separators —
+    // guarding on the bare text sum would admit a doc the single-section
+    // path (and the skew defense) would have quarantined
     val totalLen = aggregate(col("sections"), lit(0),
       (acc, s) => acc.plus(length(s.getField("text"))))
+      .plus(greatest(size(col("sections")) - lit(1), lit(0)))
     corpus
       .select(
         sha2(concat_ws("|", col("repo"), col("path"), col("commit")), 256).as("docId"),

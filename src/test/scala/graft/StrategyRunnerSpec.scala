@@ -59,6 +59,39 @@ class StrategyRunnerSpec extends AnyFunSuite {
     assert(p27.mappings.head.disambiguationStrategy.contains("DefinedElsewhere"))
   }
 
+  test("xref-derived mappings are visible to DefinedElsewhereInDocument") {
+    // the reference attaches xref mappings at mapping CREATION inside the
+    // strategy loop (strategy_runner.py:323-330), so a later
+    // DefinedElsewhere pass can resolve an ambiguity through a mapping
+    // that only exists via cross-reference: parser g's unambiguous PAK2
+    // xref-expands into parser d's DIS_0001, and d's ambiguous 'q27'
+    // (DIS_0001 | DIS_0002) must resolve to DIS_0001
+    val rows2 = rows ++ Seq(
+      OntologyRow("d", "gene", "DIS_0001", "blight factor", "q27", "syn", "f"),
+      OntologyRow("d", "gene", "DIS_0001", "blight factor", "blight factor", "name", "f"),
+      OntologyRow("d", "gene", "DIS_0002", "rust factor", "q27", "syn", "f"),
+      OntologyRow("d", "gene", "DIS_0002", "rust factor", "rust factor", "name", "f"))
+    val gaz2 = GazetteerBuilder.buildLocal(rows2, Seq.empty)
+    val xref = graft.graph.XrefManager.fromEdges(
+      Seq(graft.graph.XrefEdge("ENSG", "ENSG_PAK2", "DIS", "DIS_0001")),
+      Map("DIS" -> "d", "ENSG" -> "g"))
+    val r2 = new StrategyRunner(gaz2, ContextScorer.build(gaz2), xref = Some(xref))
+    def m2(text: String, parser: String, start: Int): Mention = {
+      val norm = graft.text.StringNormalizer.normalize(text, "gene")
+      Mention("doc1", start, start + text.length, Seq(Span(start, start + text.length)),
+        text, norm, "gene", "DictionaryNerStep", MentionConfidence.HIGHLY_LIKELY,
+        Seq(Candidate(parser, norm, None, None, exactMatch = true)), Seq.empty)
+    }
+    val dm = r2.mapDoc(DocMentions("doc1", "sha",
+      Seq(m2("PAK2", "g", 0), m2("q27", "d", 20))))
+    val gm = dm.mentions.find(_.matchText == "PAK2").get
+    assert(gm.mappings.exists(mp => mp.parserName == "d" && mp.idx == "DIS_0001"
+      && mp.stringMatchStrategy == "CrossReferenceManager"))
+    val q27 = dm.mentions.find(_.matchText == "q27").get
+    assert(q27.mappings.map(_.idx).distinct == Seq("DIS_0001"), q27.mappings.toString)
+    assert(q27.mappings.head.disambiguationStrategy.contains("DefinedElsewhere"))
+  }
+
   test("ambiguous p27 alone resolved by TfIdf document context") {
     // other synonyms of CDKN1B in the doc provide context
     val dm = runner.mapDoc(DocMentions("doc1", "sha",
