@@ -49,16 +49,21 @@ final class Checkpointer(spark: SparkSession, baseDir: String) {
     spark.read.parquet(path)
   }
 
-  /** Per-partition lineage + counters, computed from the committed files
-    * (one parquet file per partition): rows per partition and, when a
-    * content_sha-like column exists, an order-insensitive crc aggregate for
-    * cheap integrity checks on resume.
+  /** Per-partition lineage + counters, computed from the committed files:
+    * rows per COMMITTED FILE and, when a content_sha-like column exists,
+    * an order-insensitive crc aggregate for cheap integrity checks on
+    * resume. Keyed by input_file_name(), not spark_partition_id(): read
+    * partitions reflect the reading session's file packing
+    * (maxPartitionBytes/openCost), so a resumed run with different read
+    * configs would group the identical committed bytes differently and
+    * report spurious mismatches — the committed file is the stable unit.
     */
   private def recordLineage(name: String, path: String): Unit = {
     val df = spark.read.parquet(path)
     val shaCol = df.columns.find(c => c == "contentSha" || c == "content_sha")
     val base = df
-      .withColumn("partition_id", spark_partition_id())
+      .withColumn("partition_id",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
       .groupBy("partition_id")
       .agg(
         count(lit(1)).as("rows"),
@@ -73,9 +78,19 @@ final class Checkpointer(spark: SparkSession, baseDir: String) {
 
   def lineage(): DataFrame = spark.read.parquet(lineagePath)
 
-  /** Invalidate a stage (and force recompute on next run). */
+  /** Invalidate a stage (and force recompute on next run). The stage's
+    * lineage rows go with it — otherwise the recompute appends a second
+    * generation and resume-time integrity checks see conflicting
+    * duplicates for one stage name. */
   def invalidate(name: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(stagePath(name))
     if (fs.exists(p)) fs.delete(p, true)
+    val lp = new org.apache.hadoop.fs.Path(lineagePath)
+    if (fs.exists(lp)) {
+      // materialize the surviving rows before overwriting the same path
+      val kept = spark.read.parquet(lineagePath)
+        .filter(col("stage") =!= name).localCheckpoint(true)
+      kept.write.mode(SaveMode.Overwrite).parquet(lineagePath)
+    }
   }
 }

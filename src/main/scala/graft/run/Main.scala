@@ -47,13 +47,22 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     // strict --key value parsing: every key must start with --, every value
-    // must not (catches forgotten values instead of silently mispairing)
+    // must not (catches forgotten values instead of silently mispairing),
+    // and the key must be KNOWN — a typo'd option must fail loudly, not
+    // silently fall back to a default and write a wrong KG with exit 0
+    val knownOpts = Set(
+      "--corpus", "--corpus-table", "--rebuild",
+      "--ontology", "--ontology-tsv", "--ontology-format", "--entity-class",
+      "--out", "--checkpoint", "--quarantine", "--failed",
+      "--snapshot-table", "--commit-key", "--compact", "--expire-snapshots")
     val opts: Map[String, String] = {
       val m = scala.collection.mutable.Map.empty[String, String]
       var i = 0
       while (i < args.length) {
         val k = args(i)
         require(k.startsWith("--"), s"expected an option, got '$k'")
+        require(knownOpts.contains(k),
+          s"unknown option $k (known: ${knownOpts.toSeq.sorted.mkString(" ")})")
         require(i + 1 < args.length && !args(i + 1).startsWith("--"),
           s"option $k is missing its value")
         m(k) = args(i + 1)

@@ -170,6 +170,11 @@ object OntologySources {
   ): Dataset[OntologyRow] = {
     import spark.implicits._
     val raw0 = spark.read.json(path)
+    // a dump whose records never carry id/approvedSymbol infers a schema
+    // without the column; every record would be skipped by the reference's
+    // rules, so degrade to an empty result instead of an AnalysisException
+    if (!raw0.columns.contains("id") || !raw0.columns.contains("approvedSymbol"))
+      return spark.emptyDataset[OntologyRow]
     val raw1 = raw0.where(col("id") =!= col("approvedSymbol"))
     val raw =
       if (excludedBiotypes.isEmpty || !raw0.columns.contains("biotype")) raw1
@@ -576,6 +581,47 @@ object OntologySources {
       .as[OntologyRow]
   }
 
+  /** N-Triples string-literal unescape (RDF 1.1 N-Triples ECHAR + UCHAR).
+    * Canonical N-Triples ASCII-escapes every non-ASCII character, so
+    * without \uXXXX/\UXXXXXXXX handling a label like "Behçet
+    * disease" would enter the gazetteer with the escape text verbatim,
+    * get a wrong term_norm, and silently never match real document text.
+    * Malformed escapes keep their backslash rather than failing the row. */
+  private[sources] def unescapeNt(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    def hex(from: Int, until: Int): Option[Int] =
+      if (until > s.length) None
+      else try Some(Integer.parseInt(s.substring(from, until), 16))
+      catch { case _: NumberFormatException => None }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b.append('\t'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case '"' => b.append('"'); i += 2
+          case '\'' => b.append('\''); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'u' => hex(i + 2, i + 6) match {
+            case Some(cp) => b.append(cp.toChar); i += 6
+            case None => b.append(c); i += 1
+          }
+          case 'U' => hex(i + 2, i + 10) match {
+            case Some(cp) => b.appendCodePoint(cp); i += 10
+            case None => b.append(c); i += 1
+          }
+          case _ => b.append(c); i += 1
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Line-level N-Triples parse: (subj, pred, obj, objIsIri). Literal
     * objects are unescaped; IRI and blank-node objects keep their
     * identifier text (needed for SKOS-XL label-node hops). */
@@ -592,12 +638,10 @@ object OntologySources {
       if (s.startsWith("<") && s.endsWith(">")) s.substring(1, s.length - 1) else s
     spark.read.text(path).as[String]
       .flatMap {
-        case litRe(s, p, o) =>
-          Some((s, p, o.replace("\\\"", "\"").replace("\\\\", "\\"), false))
+        case litRe(s, p, o) => Some((s, p, unescapeNt(o), false))
         case iriRe(s, p, o) => Some((s, p, o, true))
         case bnodeRe(s, p, o) => Some((stripAngles(s), p, o, true))
-        case bnodeSubjLitRe(s, p, o) =>
-          Some((s, p, o.replace("\\\"", "\"").replace("\\\\", "\\"), false))
+        case bnodeSubjLitRe(s, p, o) => Some((s, p, unescapeNt(o), false))
         case _ => None
       }
       .toDF("subj", "pred", "obj", "obj_is_iri")

@@ -39,36 +39,32 @@ object SqliteSource {
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
 
     /** (value, bytesConsumed) of a big-endian varint at off. */
-    def varint(off: Int): (Long, Int) = {
-      var v = 0L
-      var i = 0
-      while (i < 8) {
-        val b = bytes(off + i)
-        v = (v << 7) | (b & 0x7fL)
-        if ((b & 0x80) == 0) return (v, i + 1)
-        i += 1
-      }
-      ((v << 8) | (bytes(off + 8) & 0xffL), 9)
-    }
+    def varint(off: Int): (Long, Int) = varintIn(bytes, off)
 
     def pageOffset(page: Int): Int = (page - 1) * pageSize
   }
 
   // --------------------------------------------------------------- decode --
 
+  /** (value, bytesConsumed) of a big-endian SQLite varint at `off` in
+    * `buf` — the ONE decoder shared by the page walker and the record
+    * decoder (the 9th-byte case is subtle enough to keep in one place). */
+  private def varintIn(buf: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val b = buf(off + i)
+      v = (v << 7) | (b & 0x7fL)
+      if ((b & 0x80) == 0) return (v, i + 1)
+      i += 1
+    }
+    ((v << 8) | (buf(off + 8) & 0xffL), 9)
+  }
+
   /** Decode one record payload into column values (as Strings, null for
     * NULL). Serial types per the record format table. */
   private def decodeRecord(payload: Array[Byte]): IndexedSeq[Any] = {
-    def varintAt(off: Int): (Long, Int) = {
-      var v = 0L; var i = 0
-      while (i < 8) {
-        val b = payload(off + i)
-        v = (v << 7) | (b & 0x7fL)
-        if ((b & 0x80) == 0) return (v, i + 1)
-        i += 1
-      }
-      ((v << 8) | (payload(off + 8) & 0xffL), 9)
-    }
+    def varintAt(off: Int): (Long, Int) = varintIn(payload, off)
     val (headerLen, h0) = varintAt(0)
     var hOff = h0
     val serials = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -99,7 +99,9 @@ object Fuzz {
     if (lenRatio < 1.5) {
       Seq(base, tokenSortRatio(a, b) * unbaseScale, tokenSetRatio(a, b) * unbaseScale).max
     } else {
-      val partialScale = if (lenRatio < 8) 0.90 else 0.60
+      // fuzzywuzzy: `if len_ratio > 8: partial_scale = .6` — a ratio of
+      // EXACTLY 8 keeps the 0.90 scale
+      val partialScale = if (lenRatio <= 8) 0.90 else 0.60
       Seq(
         base,
         partialRatio(a, b) * partialScale,

@@ -69,6 +69,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(!rows.exists(_.idx.contains("ignored")))
   }
 
+  test("n-triples: ECHAR + UCHAR escapes decode (canonical dumps ASCII-escape non-ASCII)") {
+    val dir = Files.createTempDirectory("nt_esc")
+    Files.writeString(dir.resolve("kb.nt"),
+      "<http://x/C1> <http://www.w3.org/2000/01/rdf-schema#label> \"Beh\\u00E7et disease\" .\n" +
+        "<http://x/C1> <http://www.geneontology.org/formats/oboInOwl#hasExactSynonym> \"tab\\there \\U0001F9EC end\" .\n" +
+        "<http://x/C2> <http://www.w3.org/2000/01/rdf-schema#label> \"quote \\\" back \\\\ slash\" .\n")
+    val rows = OntologySources.readNTriples(spark, dir.toString + "/kb.nt", "p", "disease").collect()
+    assert(rows.exists(_.syn == "Behçet disease"), rows.map(_.syn).mkString("|"))
+    assert(rows.exists(_.syn == "tab\there 🧬 end"))
+    assert(rows.exists(_.syn == "quote \" back \\ slash"))
+  }
+
   test("n-triples: typed literals (datatype IRIs with dots) are not dropped") {
     val dir = Files.createTempDirectory("nt_typed")
     Files.writeString(dir.resolve("kb.nt"),
