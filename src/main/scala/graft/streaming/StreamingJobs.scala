@@ -264,6 +264,54 @@ object StreamingJobs {
       .start()
   }
 
+  /** Continuous near-dup CLUSTER maintenance — the streaming scale path of
+    * the batch `dedup_clusters` query: [[nearDupStream]]'s pair deltas fold
+    * into a snapshot-committed (id, component) table via
+    * [[graft.graph.ConnectedComponents.incremental]], so each micro-batch
+    * pays for its OWN pairs (delta CC + one broadcast remap), never a
+    * re-clustering of the accumulated pair set. Each batch lands as one
+    * keyed overwrite snapshot; the fold is idempotent (re-folding edges
+    * already reflected in the mapping is the identity), and the commit-key
+    * fast path skips redelivered batches outright, so crash-redelivery
+    * neither duplicates rows nor moves the mapping. */
+  def nearDupClustersToSnapshot(
+      nearDups: Dataset[NearDup],
+      compsTablePath: String,
+      queryKey: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    nearDups.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[NearDup], batchId: Long) =>
+        foldNearDupBatch(batch, compsTablePath, queryKey, batchId)
+      }
+      .start()
+
+  /** One micro-batch of the cluster fold (extracted for direct replay in
+    * crash-recovery tests). */
+  def foldNearDupBatch(
+      batch: Dataset[NearDup],
+      compsTablePath: String,
+      queryKey: String,
+      batchId: Long): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val table = new graft.graph.SnapshotTable(spark, compsTablePath)
+      val key = s"$queryKey#batch-$batchId"
+      if (!table.snapshots().exists(_.commitKey.contains(key))) {
+        import spark.implicits._
+        val prev =
+          if (table.currentSnapshotId() >= 0) table.read()
+          else Seq.empty[(String, String)].toDF("id", "component")
+        val edges = batch.toDF()
+          .select(col("docId").as("src"), col("dupOf").as("dst")).distinct()
+        val next = graft.graph.ConnectedComponents.incremental(prev, edges)
+          .localCheckpoint(true) // reads `prev` from the table it overwrites
+        table.overwrite(next, commitKey = Some(key))
+        ()
+      }
+    }
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(userId: Long, nEvents: Long, totalValue: Double, endedByTimeout: Boolean)

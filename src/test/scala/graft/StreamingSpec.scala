@@ -254,6 +254,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(probed.select("cell").distinct().collect().map(_.getInt(0)).toSet == Set(1))
   }
 
+  test("streaming near-dup clusters: pair deltas fold into a snapshot components table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_clusters")
+    val comps = s"$dir/comps"
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val pairs = StreamingJobs.nearDupStream(
+      stream.toDF().toDF("ts", "doc_id", "text"), watermarkDelay = "10 minutes")
+    val query = StreamingJobs.nearDupClustersToSnapshot(
+      pairs, comps, queryKey = "clusters", checkpointLocation = s"$dir/ckpt")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val textA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"b$i").mkString(" ")
+
+    def clusters() = new graft.graph.SnapshotTable(spark, comps).read()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // batch 0: docs 1,2 identical (one pair), doc 3 unrelated (no pair)
+    val textC = (1 to 40).map(i => s"c$i").mkString(" ")
+    stream.addData(Seq((ts(0), 1L, textA), (ts(1), 2L, textA), (ts(2), 3L, textC)))
+    query.processAllAvailable()
+    assert(clusters() == Map("1" -> "1", "2" -> "1"))
+
+    // batch 1: doc 4 joins cluster {1,2}; docs 5,6 form a new cluster
+    stream.addData(Seq((ts(3), 4L, textA), (ts(4), 5L, textB), (ts(5), 6L, textB)))
+    query.processAllAvailable()
+    query.stop()
+    assert(clusters() == Map("1" -> "1", "2" -> "1", "4" -> "1", "5" -> "5", "6" -> "5"))
+
+    // crash-redelivery: replaying a committed batch is a no-op (key fast
+    // path), and re-folding its pairs wouldn't move the mapping anyway
+    val table = new graft.graph.SnapshotTable(spark, comps)
+    val nBefore = table.snapshots().size
+    val replay = Seq(StreamingJobs.NearDup("2", "1", 1.0, ts(1))).toDS()
+    StreamingJobs.foldNearDupBatch(replay, comps, "clusters", batchId = 0L)
+    assert(table.snapshots().size == nBefore)
+    assert(clusters() == Map("1" -> "1", "2" -> "1", "4" -> "1", "5" -> "5", "6" -> "5"))
+  }
+
   test("stateful sessionization closes sessions on gap (batch-mode state fn)") {
     // flatMapGroupsWithState also runs on static Datasets — exercises the
     // session state machine without the streaming runtime
