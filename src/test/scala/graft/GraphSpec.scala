@@ -100,6 +100,26 @@ class GraphSpec extends AnyFunSuite {
       "a0" -> "m1")) // new min member relabels the merged component
   }
 
+  test("incremental CC: a chain of random deltas stays in lockstep with full recompute") {
+    // the production shape: one mapping maintained across MANY ticks —
+    // label canonicality must survive composition, not just one fold
+    val rnd = new scala.util.Random(20260818L)
+    def randEdges(n: Int, hi: Int) =
+      (1 to n).map(_ => (f"v${rnd.nextInt(hi)}%03d", f"v${rnd.nextInt(hi)}%03d"))
+        .filter(e => e._1 != e._2)
+    val base = randEdges(40, 60)
+    var comps = ConnectedComponents.runUnionFind(base.toDF("src", "dst"), targetEdgesPerTask = 64)
+    var all = base
+    for (tick <- 1 to 4) {
+      val delta = randEdges(25, 60 + tick * 15) // widening id range: merges + new nodes
+      comps = ConnectedComponents.incremental(comps, delta.toDF("src", "dst"),
+        targetEdgesPerTask = 64).localCheckpoint(true)
+      all = all ++ delta
+      val got = comps.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == unionFind(all), s"tick $tick diverged")
+    }
+  }
+
   test("incremental CC: intra-component and self-loop deltas are no-ops; random parity") {
     val base = Seq("m1" -> "m2", "m2" -> "m3", "q1" -> "q2")
     incrementalParity(base, Seq("m1" -> "m3", "q2" -> "q2"))
