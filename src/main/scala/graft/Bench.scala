@@ -27,18 +27,27 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // best-of-2 timing: the sandbox host's co-tenant load spikes can
-    // double individual query times; min-of-two is a steadier estimator
+    // double individual query times; min-of-two is a steadier estimator.
+    // A throwing query must NOT report its time-to-throw as a benchmark
+    // number (that silently understates the cost the 100 TB projection
+    // scales from) — failures land in a separate "errors" field instead.
     val results = ordered.map { case (name, fn) =>
+      var error: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, error)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,6 +16,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.ops.Simhash64].getName, "simhash64"),
-      (children: Seq[Expression]) => graft.ops.Simhash64(children.head)))
+      GraftExtensions.simhash64Builder))
+  }
+}
+
+object GraftExtensions {
+  /** Arity-checked builder shared with [[org.apache.spark.sql.graft.GraftSqlBridge]]:
+    * `simhash64(a, b)` must fail analysis, not silently hash only `a`. */
+  val simhash64Builder: Seq[Expression] => Expression = { children =>
+    if (children.size != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "simhash64", "expectedNum" -> "1",
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+    graft.ops.Simhash64(children.head)
   }
 }

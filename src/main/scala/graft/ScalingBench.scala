@@ -209,20 +209,27 @@ object ScalingBench {
 
   /** Connected-components at scale: random graph (nEdges over nNodes) plus
     * long chains (stress the iteration count), timed end to end. */
-  def ccStress(nNodes: Int, nEdges: Int, cores: Int): Unit = {
-    val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The chain+random edge generator shared by the CC and PageRank stress
+    * tiers — one definition so the two tiers measure the SAME graph shape
+    * (a tuning change cannot silently desynchronize them). */
+  private def stressEdges(spark: SparkSession, nNodes: Int, nEdges: Int, cores: Int) = {
     import spark.implicits._
-    val edges = spark.range(nEdges).repartition(cores * 2).as[Long].map { i =>
+    spark.range(nEdges).repartition(cores * 2).as[Long].map { i =>
       val r = new CorpusGen.Rng(i * 31 + 7)
       if (i % 10 == 0) // chain edges: node k -> k+1 (long components)
         (f"n${i % nNodes}%09d", f"n${(i % nNodes) + 1}%09d")
       else
         (f"n${r.nextInt(nNodes)}%09d", f"n${r.nextInt(nNodes)}%09d")
     }.toDF("src", "dst").cache()
+  }
+
+  def ccStress(nNodes: Int, nEdges: Int, cores: Int): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val edges = stressEdges(spark, nNodes, nEdges, cores)
     edges.count()
     // both CC variants, same input: filtering union-find (default; fastest
     // when components/hubs fit a task) and large-star/small-star (fully
@@ -230,7 +237,9 @@ object ScalingBench {
     // edges/s at 1M edges in r1 as the baseline.
     def time(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val comps = f
+      // materialize ONCE: the two counting actions below would otherwise
+      // re-run the whole contraction loop inside the timed window
+      val comps = f.localCheckpoint(true)
       val nComponents = comps.select("component").distinct().count()
       val nAssigned = comps.count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -294,18 +303,13 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val edges = spark.range(nEdges).repartition(cores * 2).as[Long].map { i =>
-      val r = new CorpusGen.Rng(i * 31 + 7)
-      if (i % 10 == 0)
-        (f"n${i % nNodes}%09d", f"n${(i % nNodes) + 1}%09d")
-      else
-        (f"n${r.nextInt(nNodes)}%09d", f"n${r.nextInt(nNodes)}%09d")
-    }.toDF("src", "dst").cache()
+    val edges = stressEdges(spark, nNodes, nEdges, cores)
     edges.count()
     val iters = 5
     val t0 = System.nanoTime()
-    val ranked = graft.graph.Traversal.pageRank(edges, iters)
+    // materialize once: pageRank's closing round is not checkpointed, so
+    // the count + top-1 actions below would re-run it inside the window
+    val ranked = graft.graph.Traversal.pageRank(edges, iters).localCheckpoint(true)
     val n = ranked.count()
     val top = ranked.orderBy(org.apache.spark.sql.functions.desc("rank")).limit(1)
       .collect().head
@@ -498,7 +502,10 @@ object ScalingBench {
         s""""cluster_recovery_small":${recovery("small")},""" +
         s""""cluster_recovery_giant":${recovery("giant")},""" +
         s""""cross_cluster_found":$cross,"sec":$dt}""")
-      matched.unpersist(); f.unpersist(); t.unpersist()
+      // the truth df is CALLER-owned (jaccardTruth serves two measure()
+      // calls; unpersisting it here forced a full all-pairs recompute for
+      // the second) — only the frames built in this scope release here
+      matched.unpersist(); f.unpersist()
     }
 
     def shingles(t: String): Array[Long] =
@@ -511,13 +518,17 @@ object ScalingBench {
       Dedup.minhashLsh(docs, "id", "text", threshold = 0.7))
     measure("ngram_jaccard_dfcap", jaccardTruth,
       Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.7, maxShingleDf = 200))
-    measure("simhash", truthPairs[String, Long](
+    val simhashTruth = truthPairs[String, Long](
       docs.as[(Long, String)], Dedup.simhash,
-      (a, b) => java.lang.Long.bitCount(a ^ b) <= 3),
+      (a, b) => java.lang.Long.bitCount(a ^ b) <= 3).cache()
+    measure("simhash", simhashTruth,
       Dedup.simhashPairs(docs, "id", "text", maxHamming = 3))
-    measure("embed_near_dup_lsh", truthPairs[Array[Float], Array[Float]](
-      vecs.as[(Long, Array[Float])], identity, Similarity.cosine(_, _) >= 0.9),
+    simhashTruth.unpersist()
+    val embedTruth = truthPairs[Array[Float], Array[Float]](
+      vecs.as[(Long, Array[Float])], identity, Similarity.cosine(_, _) >= 0.9).cache()
+    measure("embed_near_dup_lsh", embedTruth,
       Similarity.embeddingNearDup(vecs, dim = Dim, threshold = 0.9))
+    embedTruth.unpersist()
 
     jaccardTruth.unpersist(); docs.unpersist(); vecs.unpersist()
     spark.stop()

@@ -8,7 +8,14 @@ package graft.core
   * Dataset transforms and append columns instead.
   */
 
-/** Char-indexed half-open span [start, end). Ref: data.py:104-132. */
+/** Char-indexed half-open span [start, end). Ref: data.py:104-132.
+  * The two predicates are FAITHFUL ports of the reference's CharSpan,
+  * including its quirks under half-open semantics (adjacent spans count as
+  * partially overlapped because the checks are end-inclusive; a span
+  * strictly inside `this` is not "partially overlapped" unless an endpoint
+  * falls inside `other`). The engine's own overlap logic (MergeOverlaps,
+  * NonContiguousSplitter) does not use them — they exist for API parity
+  * with reference consumers, bug-for-bug. */
 final case class Span(start: Int, end: Int) {
   def isCompletelyOverlapped(other: Span): Boolean =
     other.start <= start && end <= other.end

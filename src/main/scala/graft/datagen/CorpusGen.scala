@@ -134,9 +134,12 @@ object CorpusGen {
   private def sourceOf(parser: String, idx: String): String =
     SourceResolver.resolve(parser, idx)
 
-  /** Generate `n` docs. Plant patterns round-robin + rng filler. */
+  /** Generate `n` docs. Plant patterns round-robin + rng filler. MUST stay
+    * seed-identical to [[generateOne]]: 7919L keeps the multiply in Long
+    * (the Int product wraps at i >= 271,182 and the two generators would
+    * silently produce different docs — and different gold). */
   def generate(n: Int, seed: Long = 42L): Seq[GenDoc] =
-    (0 until n).map(i => generateDoc(i, new Rng(seed + i * 7919)))
+    (0 until n).map(i => generateDoc(i, new Rng(seed + i * 7919L)))
 
   /** Per-index generation (pure, executor-side parallelizable). */
   def generateOne(i: Int, seed: Long = 42L): GenDoc =

@@ -25,9 +25,13 @@ object Hashing {
     z ^ (z >>> 31)
   }
 
+  // precompiled: words() runs once per document in every dedup kernel, and
+  // String.split("\\s+") would recompile the pattern per call
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   /** Whitespace word tokens, lowercased. */
   def words(text: String): Array[String] =
-    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    Whitespace.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   /** Hashed word n-gram shingles (the dedup unit). The hash of a shingle
     * is fnv1a64 of the space-joined words — computed char-by-char without

@@ -26,6 +26,6 @@ object GraftSqlBridge {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.ops.Simhash64].getName, "simhash64"),
-      (children: Seq[Expression]) => graft.ops.Simhash64(children.head))
+      graft.GraftExtensions.simhash64Builder)
   }
 }

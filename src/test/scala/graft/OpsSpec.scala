@@ -363,6 +363,11 @@ class OpsSpec extends AnyFunSuite {
     org.apache.spark.sql.graft.GraftSqlBridge.registerFunctions(spark)
     val viaSql = spark.sql(s"SELECT simhash64('${docs.head._2}') AS h").head().getLong(0)
     assert(viaSql == Dedup.simhash(docs.head._2))
+    // wrong arity fails analysis instead of silently hashing only arg 1
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64('a', 'b')").collect()
+    }
+    assert(wrongArity.getMessage.contains("simhash64"), wrongArity.getMessage)
   }
 
   test("minhash_keys native expression matches the JVM kernel (codegen + interpreted)") {
