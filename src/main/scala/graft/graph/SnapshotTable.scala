@@ -139,7 +139,8 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     * the view, so a racing twin is benign (two identical snapshots, no row
     * duplication), and rebuild-style writers legitimately re-stamp an
     * existing watermark key as an overwrite. */
-  private def commit(op: String, newDir: String, newRows: Long, commitKey: Option[String]): Long = {
+  private def commit(op: String, newDir: String, newRows: Long, commitKey: Option[String],
+      conflictsWith: Option[String => Boolean] = None): Long = {
     var attempt = 0
     while (attempt < maxClaimAttempts) {
       val parent = currentSnapshotId()
@@ -148,8 +149,11 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
         try { fs.create(claimPath(id), false).close(); true }
         catch { case _: java.io.IOException => false }
       if (claimed) {
-        (if (op == "append") commitKey.flatMap(k => snapshots().find(_.commitKey.contains(k)))
-         else None) match {
+        (if (op == "append") {
+          val conflict = conflictsWith.getOrElse((k: String) => commitKey.contains(k))
+          if (commitKey.isEmpty && conflictsWith.isEmpty) None
+          else snapshots().find(_.commitKey.exists(conflict))
+        } else None) match {
           case Some(existing) =>
             fs.delete(claimPath(id), false)
             fs.delete(new Path(newDir), true)
@@ -191,12 +195,16 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
   /** Append `df` as a new snapshot; returns the committed snapshot id.
     * `partitionBy` columns become hive-style partition dirs inside the
     * commit's data dir (pruned on read via basePath discovery). */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil, commitKey: Option[String] = None): Long = {
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil, commitKey: Option[String] = None): Long =
+    append(df, partitionBy, commitKey, conflict = None)
+
+  private def append(df: DataFrame, partitionBy: Seq[String], commitKey: Option[String],
+      conflict: Option[String => Boolean]): Long = {
     val dir = s"$dataDir/${java.util.UUID.randomUUID()}"
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
     val rows = spark.read.parquet(dir).count()
-    commit("append", dir, rows, commitKey)
+    commit("append", dir, rows, commitKey, conflict)
   }
 
   /** Replace the table contents as a new snapshot (old snapshots stay
@@ -249,12 +257,27 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     * The scan here is a FAST PATH that skips writing the parquet at all;
     * the authoritative duplicate check re-runs inside [[commit]] after the
     * claim is won, so two concurrent writers racing the same key (zombie
-    * driver + its restart) still commit exactly once. */
-  def appendIdempotent(df: DataFrame, commitKey: String, partitionBy: Seq[String] = Nil): Long =
-    snapshots().find(_.commitKey.contains(commitKey)) match {
+    * driver + its restart) still commit exactly once.
+    *
+    * `conflictsWith` generalizes the duplicate test beyond exact key
+    * equality (it always also covers the exact key): a writer whose twins
+    * may race under DIFFERENT keys — e.g. incremental ticks that captured
+    * different upper watermarks from the same lower one — passes a
+    * predicate over committed keys, and the same post-claim re-check
+    * turns the loser into a no-op. */
+  def appendIdempotent(
+      df: DataFrame,
+      commitKey: String,
+      partitionBy: Seq[String] = Nil,
+      conflictsWith: String => Boolean = null): Long = {
+    val conflict: String => Boolean =
+      if (conflictsWith == null) (k => k == commitKey)
+      else (k => k == commitKey || conflictsWith(k))
+    snapshots().find(_.commitKey.exists(conflict)) match {
       case Some(m) => m.snapshotId
-      case None => append(df, partitionBy, Some(commitKey))
+      case None => append(df, partitionBy, Some(commitKey), Some(conflict))
     }
+  }
 
   /** Manifests on the given snapshot's parent chain (overwrites cut the
     * chain), oldest first. */

@@ -37,10 +37,14 @@ object TripleSink {
     * commit key so a restarted job resumes idempotently from the last
     * committed snapshot — the north rule's materialization contract.
     * Partitioned by pred so per-predicate consumers prune. */
-  def appendSnapshot(triples: Dataset[Triple], tablePath: String, commitKey: String): Long = {
+  def appendSnapshot(
+      triples: Dataset[Triple],
+      tablePath: String,
+      commitKey: String,
+      conflictsWith: String => Boolean = null): Long = {
     val table = new SnapshotTable(triples.sparkSession, tablePath)
     table.appendIdempotent(withPredPart(triples.toDF()), commitKey,
-      partitionBy = Seq("pred_part"))
+      partitionBy = Seq("pred_part"), conflictsWith = conflictsWith)
   }
 
   /** Bucketed graph table: bucketBy(obj) + sortBy(obj) so downstream

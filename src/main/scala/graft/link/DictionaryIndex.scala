@@ -105,6 +105,9 @@ final class DictionaryIndex private (
     * every memo-missed query. Zero scores are dropped here (the caller
     * filters > 0 anyway). */
   private def topIndices(scores: Array[Double], topN: Int): Seq[Int] = {
+    // topN <= 0 means "no candidates", not an empty-heap peek() NPE on the
+    // first positive score
+    if (topN <= 0) return Seq.empty
     // head = worst retained: lowest score; among equal scores the later
     // index (we scan ascending, so an equal-score later row never replaces)
     val heap = new java.util.PriorityQueue[Integer](math.max(topN, 1),

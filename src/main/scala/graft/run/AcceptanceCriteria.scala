@@ -25,8 +25,10 @@ object AcceptanceCriteria {
       val e = it.next()
       val p = e.getValue.get("precision")
       val r = e.getValue.get("recall")
-      require(p != null && r != null,
-        s"acceptance_criteria entry '${e.getKey}' must define both precision and recall")
+      // must be NUMBERS: a JSON null or a typo'd string would asDouble()
+      // to 0.0 and silently disable the gate for that class
+      require(p != null && r != null && p.isNumber && r.isNumber,
+        s"acceptance_criteria entry '${e.getKey}' must define numeric precision and recall")
       b += e.getKey -> Gate(p.asDouble(), r.asDouble())
     }
     Criteria(b.result())

@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   *   - a crash between compute and commit just recomputes — the delta read
   *     is deterministic and nothing landed;
   *   - a crash after commit replays as a no-op (`appendIdempotent` sees
-  *     the key) and the next tick resumes past it.
+  *     the key) and the next tick resumes past it;
+  *   - CONCURRENT ticks (zombie + restart) cannot double-append even when
+  *     they captured different upper watermarks: the commit-time conflict
+  *     test treats ANY committed watermark above the tick's captured
+  *     lower bound as a duplicate (see [[processIncrement]]).
   *
   * At target scale this is the steady-state shape: a 100 TB corpus grows
   * by appends, and each tick pays for the NEW bytes only — the broadcast
@@ -79,8 +83,21 @@ object IncrementalKg {
       // processed now but not recorded, and reprocessed (duplicated) later
       val delta = if (fromId < 0) corpus.read(toId) else corpus.readIncremental(fromId, toId)
       val docs = Stages.ingest(delta)(spark)
+      // conflict test for the post-claim re-check: exact-key dedup alone
+      // misses twin ticks that captured DIFFERENT upper watermarks from
+      // the same lower one (zombie tick from=F->to=5 vs its restart
+      // from=F->to=6 after one more corpus append: different keys, same
+      // overlapping delta). Any committed watermark ABOVE our captured
+      // `fromId` means someone already advanced past our start — our delta
+      // overlaps theirs, so the tick aborts and the next tick re-derives
+      // its bounds from the new watermark. Commit-claim serialization
+      // makes the check race-safe (same argument as the exact-key case).
+      val overlaps: String => Boolean = k =>
+        k.startsWith(KeyPrefix) &&
+          k.stripPrefix(KeyPrefix).toLongOption.exists(_ > fromId)
       TripleSink.appendSnapshot(
-        KgPipeline.triples(docs, bc, cfg), graphTablePath, s"$KeyPrefix$toId")
+        KgPipeline.triples(docs, bc, cfg), graphTablePath, s"$KeyPrefix$toId",
+        conflictsWith = overlaps)
       Some(fromId -> toId)
     }
   }

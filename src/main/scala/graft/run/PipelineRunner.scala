@@ -21,19 +21,34 @@ final class PipelineRunner(
 
   def stageNames: Seq[String] = stages.map(_.name)
 
-  /** Run all stages, a named group, or an explicit subset. */
+  /** Run all stages, a named group, or an explicit subset. Reference
+    * contract (pipeline.py): nonexistent step names RAISE (a typo'd name
+    * silently skipping its stage would return wrong output with no error),
+    * `namespaces` customizes the RUNNING ORDER (steps execute in the
+    * caller's order, not pipeline order), and group+namespaces together is
+    * rejected as incompatible. */
   def run(
       input: Dataset[DocMentions],
       group: Option[String] = None,
       namespaces: Option[Seq[String]] = None,
       eager: Boolean = false
   ): (Dataset[DocMentions], Seq[PipelineRunner.StageMetric]) = {
+    val byName = stages.map(s => s.name -> s).toMap
+    def resolve(names: Seq[String]): Seq[PipelineRunner.Stage] = {
+      val missing = names.filterNot(byName.contains)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"nonexistent steps: ${missing.mkString(", ")}; have ${stageNames.mkString(", ")}")
+      names.map(byName)
+    }
     val selected: Seq[PipelineRunner.Stage] = (group, namespaces) match {
-      case (Some(g), _) =>
-        val names = stepGroups.getOrElse(g,
-          throw new IllegalArgumentException(s"unknown step group $g; have ${stepGroups.keys}"))
-        stages.filter(s => names.contains(s.name))
-      case (_, Some(ns)) => stages.filter(s => ns.contains(s.name))
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "pass either a step group or explicit namespaces, not both")
+      case (Some(g), None) =>
+        resolve(stepGroups.getOrElse(g,
+          throw new IllegalArgumentException(s"unknown step group $g; have ${stepGroups.keys}")))
+      case (None, Some(ns)) => resolve(ns)
       case _ => stages
     }
     val metrics = scala.collection.mutable.ArrayBuffer.empty[PipelineRunner.StageMetric]
@@ -41,7 +56,16 @@ final class PipelineRunner(
     for (stage <- selected) {
       val t0 = System.nanoTime()
       current = stage.fn(current)
-      val rows = if (eager) current.count() else -1L
+      val rows =
+        if (eager) {
+          // materialize THIS stage before counting: upstream stages are
+          // already checkpointed, so the measured seconds attribute to one
+          // stage (a bare count() would re-execute the whole cumulative
+          // lineage — later stages would report their predecessors' cost
+          // and the run would do O(n^2) total work)
+          current = current.localCheckpoint(true)
+          current.count()
+        } else -1L
       metrics += PipelineRunner.StageMetric(stage.name, (System.nanoTime() - t0) / 1e9, rows)
     }
     (current, metrics.toSeq)

@@ -59,6 +59,21 @@ class IncrementalKgSpec extends AnyFunSuite {
       graphPath, s"${IncrementalKg.KeyPrefix}2")
     assert(graph.snapshots().size == snapCount)
 
+    // zombie tick with a STALE upper watermark: a tick that captured
+    // (from=0 -> to=1) before corpus snapshot 2 landed, committing AFTER
+    // the (from=0 -> to=2) tick, carries a DIFFERENT key — exact-key dedup
+    // alone would double-append corpus snapshot 1's triples. The overlap
+    // conflict (any committed watermark above the tick's captured from)
+    // must turn it into a no-op.
+    val staleFrom = 0L
+    graft.graph.TripleSink.appendSnapshot(
+      KgPipeline.triples(Stages.ingest(corpusTable.readIncremental(0L, 1L))(spark), bc),
+      graphPath, s"${IncrementalKg.KeyPrefix}1",
+      conflictsWith = k => k.startsWith(IncrementalKg.KeyPrefix) &&
+        k.stripPrefix(IncrementalKg.KeyPrefix).toLongOption.exists(_ > staleFrom))
+    assert(graph.snapshots().size == snapCount)
+    assert(graph.read().count() == got.length)
+
     // graph-table compaction keeps the high-water mark (old manifests are
     // scanned, not just the current chain)
     graph.compact(targetFiles = 1, partitionBy = Seq("pred_part"))
