@@ -431,11 +431,31 @@ object ConnectedComponents {
       newEdges: DataFrame, // (src, dst)
       targetEdgesPerTask: Int = 1000000
   ): DataFrame = {
+    val d = deltaFold(prevComps, newEdges, targetEdgesPerTask)
+    // full remap of old representatives — broadcast, so the accumulated
+    // mapping is ONE narrow join away from its update
+    val remap = d.delta.select(col("id").as("component"), col("component").as("newc"))
+    val prevUpdated = d.prev
+      .join(broadcast(remap), Seq("component"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+    prevUpdated.union(d.newNodes)
+  }
+
+  private final case class DeltaFold(prev: DataFrame, delta: DataFrame, newNodes: DataFrame)
+
+  /** Shared head of [[incremental]]/[[incrementalChanges]]: contract the
+    * delta's endpoints through the previous mapping (the accumulated
+    * mapping is never shuffled — the delta's endpoint set broadcasts into
+    * a semi-join, one narrow predicate-pruned scan of prev; everything
+    * downstream is delta-sized), run the full CC on the contracted delta
+    * only, and split out the brand-new nodes. */
+  private def deltaFold(
+      prevComps: DataFrame,
+      newEdges: DataFrame,
+      targetEdgesPerTask: Int
+  ): DeltaFold = {
     val prev = prevComps.select(col("id"), col("component"))
     val e = newEdges.select(col("src"), col("dst")).localCheckpoint(true)
-    // the accumulated mapping is never shuffled: the delta's endpoint set
-    // broadcasts into a semi-join (one narrow, predicate-pruned scan of
-    // prev), and everything downstream of that is delta-sized
     val endpoints = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     val prevSub = prev.join(broadcast(endpoints), Seq("id"), "left_semi")
@@ -448,17 +468,37 @@ object ConnectedComponents {
       .select(coalesce(col("src_c"), col("src")).as("src"),
         coalesce(col("dst_c"), col("dst")).as("dst"))
     val delta = runUnionFind(mapped, targetEdgesPerTask = targetEdgesPerTask)
-      .localCheckpoint(true) // consumed twice below (remap + new-node split)
-    // delta-node-sized remap of old representatives — broadcast, so the
-    // accumulated mapping is ONE narrow join away from its update
-    val remap = delta.select(col("id").as("component"), col("component").as("newc"))
-    val prevUpdated = prev
-      .join(broadcast(remap), Seq("component"), "left")
-      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+      .localCheckpoint(true) // consumed twice (remap + new-node split)
     val newIds = endpoints.join(broadcast(prevSub.select("id")), Seq("id"), "left_anti")
     val newNodes = delta.join(broadcast(newIds), Seq("id"), "left_semi")
       .select(col("id"), col("component"))
-    prevUpdated.union(newNodes)
+    DeltaFold(prev, delta, newNodes)
+  }
+
+  /** The CHANGED-ROWS-ONLY twin of [[incremental]]: just the (id,
+    * component) rows the delta moved — previously-known nodes whose
+    * component representative changed, plus brand-new nodes. For an
+    * upsert-style consumer (a keyed table, a changelog stream) this drops
+    * [[incremental]]'s one remaining node-sized cost, the full-mapping
+    * output materialization: everything here is bounded by the delta (the
+    * moved set is at most the members of components the delta touched).
+    * `incremental(prev, e)` == `prev.where(id not in changed) UNION
+    * incrementalChanges(prev, e)` — pinned by GraphSpec. */
+  def incrementalChanges(
+      prevComps: DataFrame,
+      newEdges: DataFrame,
+      targetEdgesPerTask: Int = 1000000
+  ): DataFrame = {
+    val d = deltaFold(prevComps, newEdges, targetEdgesPerTask)
+    // moved old representatives only (rep -> new, different from itself)
+    val remap = d.delta.select(col("id").as("component"), col("component").as("newc"))
+      .where(col("component") =!= col("newc"))
+    // members of moved components: one narrow scan of prev against the
+    // broadcast moved-rep set — still no shuffle of the accumulated mapping
+    val movedMembers = d.prev
+      .join(broadcast(remap), Seq("component"))
+      .select(col("id"), col("newc").as("component"))
+    movedMembers.union(d.newNodes)
   }
 
   /** Canonicalize triple objects: map each obj to its component

@@ -100,6 +100,26 @@ class GraphSpec extends AnyFunSuite {
       "a0" -> "m1")) // new min member relabels the merged component
   }
 
+  test("incrementalChanges: exactly the moved + new rows, composes to the full mapping") {
+    val base = Seq("m1" -> "m2", "m2" -> "m3", "q1" -> "q2", "x8" -> "x9")
+    val delta = Seq("a0" -> "m1", "x9" -> "y1", "w1" -> "w2")
+    val prev = ConnectedComponents.runUnionFind(base.toDF("src", "dst"), targetEdgesPerTask = 64)
+      .localCheckpoint(true)
+    val changes = ConnectedComponents.incrementalChanges(prev, delta.toDF("src", "dst"),
+      targetEdgesPerTask = 64).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // moved: the whole m* component relabels to a0; new: a0, y1, w1, w2.
+    // untouched: q* and x8/x9 keep their rows OUT of the changes set
+    // (x9 gains a neighbor but its component representative is unchanged)
+    assert(changes == Map(
+      "m1" -> "a0", "m2" -> "a0", "m3" -> "a0", "a0" -> "a0",
+      "y1" -> "x8", "w1" -> "w1", "w2" -> "w1"), changes.toString)
+    // upsert composition == the full incremental mapping
+    val full = ConnectedComponents.incremental(prev, delta.toDF("src", "dst"),
+      targetEdgesPerTask = 64).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val prevMap = prev.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((prevMap.view.filterKeys(!changes.contains(_)).toMap ++ changes) == full)
+  }
+
   test("incremental CC: a chain of random deltas stays in lockstep with full recompute") {
     // the production shape: one mapping maintained across MANY ticks —
     // label canonicality must survive composition, not just one fold
