@@ -285,10 +285,16 @@ object ScalingBench {
     val inc = graft.graph.ConnectedComponents.incremental(prev, delta)
     val nInc = inc.count()
     val tDelta = (System.nanoTime() - t1) / 1e9
+    // changed-rows-only variant: same fold, but the output materializes
+    // only moved + new rows — the upsert-consumer floor
+    val t2 = System.nanoTime()
+    val nChanged = graft.graph.ConnectedComponents.incrementalChanges(prev, delta).count()
+    val tChanged = (System.nanoTime() - t2) / 1e9
     println(s"""{"metric":"incremental_cc","n_nodes":$nNodes,"base_edges":$nEdges,""" +
       s""""delta_edges":$deltaEdges,"cores":$cores,"base_sec":$tBase,"delta_sec":$tDelta,""" +
       s""""base_nodes":$nPrev,"final_nodes":$nInc,""" +
-      s""""delta_edges_per_sec":${(deltaEdges / tDelta).toLong}}""")
+      s""""delta_edges_per_sec":${(deltaEdges / tDelta).toLong},""" +
+      s""""changed_rows":$nChanged,"changed_only_sec":$tChanged}""")
     base.unpersist(); delta.unpersist()
     spark.stop()
   }
