@@ -656,7 +656,7 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val res = IncrementalKg.processIncrement(spark, corpusPath, graphPath, bc)
       val dt = (System.nanoTime() - t0) / 1e9
-      require(res.isDefined, s"$label tick found nothing to process")
+      require(res.isInstanceOf[IncrementalKg.Processed], s"$label tick found nothing to process")
       println(s"""{"metric":"incremental_kg","tick":"$label","docs":$docs,"cores":$cores,""" +
         s""""sec":$dt,"docs_per_sec":${(docs / dt).toLong}}""")
     }

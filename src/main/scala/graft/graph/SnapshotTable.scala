@@ -39,8 +39,20 @@ import scala.jdk.CollectionConverters._
   * Reference precedent for the resume contract: the disk cache in
   * /root/reference/kazu/utils/caching.py (cache key = step config) — here
   * the cache key is the commit key and the cache is the table itself.
+  *
+  * FILESYSTEM CONTRACT: both primitives the protocol rests on — exclusive
+  * `create(path, overwrite=false)` and atomic `rename` — hold on HDFS-
+  * semantics filesystems (HDFS, local, viewfs, ...). Object stores (S3A,
+  * GCS, ABFS, ...) emulate them (rename is copy+delete; create is not a
+  * mutual-exclusion point), so two racing writers could both win a claim
+  * and the strict-linear-history guarantee would silently break. The
+  * constructor FAILS FAST on known object-store schemes; running there
+  * needs a conditional-write commit service (e.g. an Iceberg catalog or a
+  * DynamoDB/ZooKeeper lock), not this layout.
   */
 final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: Int = 50) {
+
+  SnapshotTable.requireAtomicCommitScheme(root)
 
   private val fs: FileSystem =
     FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -63,6 +75,7 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     node.put("operation", m.operation)
     m.commitKey.foreach(node.put("commitKey", _))
     node.put("rows", m.rows)
+    m.schemaJson.foreach(node.put("schemaJson", _))
     val dirs = node.putArray("dataDirs")
     m.dataDirs.foreach(dirs.add)
     val tmp = new Path(s"$metaDir/.tmp-snap-${m.snapshotId}-${java.util.UUID.randomUUID()}")
@@ -86,7 +99,8 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       node.get("operation").asText(),
       Option(node.get("commitKey")).map(_.asText()),
       node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
-      node.get("rows").asLong())
+      node.get("rows").asLong(),
+      Option(node.get("schemaJson")).map(_.asText()))
   }
 
   /** Published manifest ids under meta/, one listStatus RPC. */
@@ -135,12 +149,31 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     * micro-batch) beat us; release the claim, drop the just-written dir,
     * and return the twin's snapshot. A pre-claim check alone is
     * check-then-act and double-appends rows in exactly that scenario.
-    * Keyed OVERWRITES skip the re-check on purpose: an overwrite REPLACES
-    * the view, so a racing twin is benign (two identical snapshots, no row
+    * Keyed OVERWRITES skip the plain re-check on purpose: an unconditional
+    * overwrite REPLACES the view, so a racing twin is benign when the new
+    * view is a pure function of the input (two identical snapshots, no row
     * duplication), and rebuild-style writers legitimately re-stamp an
-    * existing watermark key as an overwrite. */
-  private def commit(op: String, newDir: String, newRows: Long, commitKey: Option[String],
-      conflictsWith: Option[String => Boolean] = None): Long = {
+    * existing watermark key as an overwrite. Overwrites that FOLD the
+    * table's own tip into the new view (read-modify-write) are NOT pure in
+    * that sense — they must pass `requireParent` ([[overwriteIf]]) so a
+    * stale fold computed from an old tip becomes a rejected no-op instead
+    * of clobbering newer commits; the post-claim parent test is race-safe
+    * for the same reason the key re-check is (manifests publish strictly
+    * sequentially, so holding the claim for id pins history 0..id-1).
+    * When `requireParent` rejects, a committed `commitKey` twin is
+    * reported as success (the work landed), otherwise the caller retries
+    * its fold from the new tip.
+    *
+    * `newDir` is None for a DIRLESS commit (empty input): the manifest
+    * still lands — keyed appends of zero rows must record their key for
+    * the exactly-once/watermark contracts — but no data dir joins the
+    * view; `schemaJson` preserves the input schema so a view with zero
+    * data dirs still reads with its schema. */
+  private def commit(op: String, newDir: Option[String], newRows: Long,
+      commitKey: Option[String],
+      conflictsWith: Option[String => Boolean] = None,
+      requireParent: Option[Long] = None,
+      schemaJson: Option[String] = None): Option[Long] = {
     var attempt = 0
     while (attempt < maxClaimAttempts) {
       val parent = currentSnapshotId()
@@ -149,22 +182,27 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
         try { fs.create(claimPath(id), false).close(); true }
         catch { case _: java.io.IOException => false }
       if (claimed) {
-        (if (op == "append") {
-          val conflict = conflictsWith.getOrElse((k: String) => commitKey.contains(k))
-          if (commitKey.isEmpty && conflictsWith.isEmpty) None
-          else snapshots().find(_.commitKey.exists(conflict))
-        } else None) match {
-          case Some(existing) =>
-            fs.delete(claimPath(id), false)
-            fs.delete(new Path(newDir), true)
-            return existing.snapshotId
-          case None =>
-            val pm = if (parent < 0 || op == "overwrite") None else Some(cachedManifest(parent))
-            writeManifest(Manifest(id, parent, op, commitKey,
-              pm.map(_.dataDirs).getOrElse(Seq.empty) :+ newDir,
-              pm.map(_.rows).getOrElse(0L) + newRows))
-            return id
+        val keyedTwin =
+          if (op == "append") {
+            val conflict = conflictsWith.getOrElse((k: String) => commitKey.contains(k))
+            if (commitKey.isEmpty && conflictsWith.isEmpty) None
+            else snapshots().find(_.commitKey.exists(conflict))
+          } else if (requireParent.exists(_ != parent))
+            // stale read-modify-write: only a committed twin of OUR key
+            // makes the rejection a success; anything else is a retry
+            commitKey.flatMap(k => snapshots().find(_.commitKey.contains(k)))
+          else None
+        if (keyedTwin.isDefined || requireParent.exists(_ != parent)) {
+          fs.delete(claimPath(id), false)
+          newDir.foreach(d => fs.delete(new Path(d), true))
+          return keyedTwin.map(_.snapshotId)
         }
+        val pm = if (parent < 0 || op == "overwrite") None else Some(cachedManifest(parent))
+        val dirs = pm.map(_.dataDirs).getOrElse(Seq.empty) ++ newDir.toSeq
+        writeManifest(Manifest(id, parent, op, commitKey, dirs,
+          pm.map(_.rows).getOrElse(0L) + newRows,
+          if (dirs.isEmpty) schemaJson else None))
+        return Some(id)
       }
       // claim lost: either a live writer just committed id (retry moves to
       // id+1), or an in-flight/dead writer holds it (bounded wait)
@@ -192,29 +230,66 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
 
   // ---- public API ----
 
+  /** Write `df` under a fresh data dir and return (dir-if-nonempty, rows).
+    * A write that produced NO part files (an empty input — e.g. an
+    * incremental tick whose delta yields zero rows; a partitioned write of
+    * an empty frame emits nothing, so a read-back would die on schema
+    * inference) deletes the husk dir and reports None — the commit then
+    * lands DIRLESS, preserving the input schema in the manifest. */
+  private def writeData(df: DataFrame, partitionBy: Seq[String]): (Option[String], Long) = {
+    val dir = s"$dataDir/${java.util.UUID.randomUUID()}"
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
+    val files = fs.listFiles(new Path(dir), true)
+    var hasData = false
+    while (!hasData && files.hasNext) {
+      val n = files.next().getPath.getName
+      hasData = !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) (Some(dir), spark.read.parquet(dir).count())
+    else { fs.delete(new Path(dir), true); (None, 0L) }
+  }
+
   /** Append `df` as a new snapshot; returns the committed snapshot id.
     * `partitionBy` columns become hive-style partition dirs inside the
-    * commit's data dir (pruned on read via basePath discovery). */
+    * commit's data dir (pruned on read via basePath discovery). An EMPTY
+    * `df` commits a dirless snapshot (view unchanged, key recorded). */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil, commitKey: Option[String] = None): Long =
     append(df, partitionBy, commitKey, conflict = None)
 
   private def append(df: DataFrame, partitionBy: Seq[String], commitKey: Option[String],
       conflict: Option[String => Boolean]): Long = {
-    val dir = s"$dataDir/${java.util.UUID.randomUUID()}"
-    val w = df.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
-    val rows = spark.read.parquet(dir).count()
-    commit("append", dir, rows, commitKey, conflict)
+    val (dir, rows) = writeData(df, partitionBy)
+    commit("append", dir, rows, commitKey, conflict, schemaJson = Some(df.schema.json)).get
   }
 
   /** Replace the table contents as a new snapshot (old snapshots stay
-    * readable — no data files are deleted). */
+    * readable — no data files are deleted). An EMPTY `df` commits a
+    * dirless snapshot whose view is the empty frame with `df`'s schema. */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil, commitKey: Option[String] = None): Long = {
-    val dir = s"$dataDir/${java.util.UUID.randomUUID()}"
-    val w = df.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
-    val rows = spark.read.parquet(dir).count()
-    commit("overwrite", dir, rows, commitKey)
+    val (dir, rows) = writeData(df, partitionBy)
+    commit("overwrite", dir, rows, commitKey, schemaJson = Some(df.schema.json)).get
+  }
+
+  /** Conditional overwrite for READ-MODIFY-WRITE folds (read the tip,
+    * fold new rows in, publish the folded view): commits ONLY IF the
+    * table tip is still `expectedTip` at commit time. Returns the
+    * committed id — or the committed twin carrying `commitKey`, whose
+    * landing equally means the work is done — and None when the tip moved
+    * under the fold (a zombie writer racing its own restart, or any
+    * concurrent committer): the caller must re-read the tip, re-fold, and
+    * retry, so a stale fold can never clobber commits it never saw. The
+    * precondition is checked AFTER the claim is won (race-safe — see
+    * [[commit]]); a plain keyed [[overwrite]] has no such guard by design
+    * (documented there) and is wrong for folds. */
+  def overwriteIf(
+      df: DataFrame,
+      expectedTip: Long,
+      partitionBy: Seq[String] = Nil,
+      commitKey: Option[String] = None): Option[Long] = {
+    val (dir, rows) = writeData(df, partitionBy)
+    commit("overwrite", dir, rows, commitKey,
+      requireParent = Some(expectedTip), schemaJson = Some(df.schema.json))
   }
 
   /** Rewrite the CURRENT table view as one new snapshot with
@@ -306,7 +381,15 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
   def read(snapshotId: Long): DataFrame = {
     require(snapshotId >= 0, s"no committed snapshot in $root")
     val m = readManifest(snapshotId)
-    m.dataDirs
+    if (m.dataDirs.isEmpty)
+      // dirless view (an overwrite with zero rows): the manifest carries
+      // the writer's schema, so readers still see typed columns
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(m.schemaJson.getOrElse(
+          throw new IllegalStateException(
+            s"snapshot $snapshotId of $root has no data dirs and no recorded schema")))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else m.dataDirs
       .map(d => spark.read.option("basePath", d).parquet(d))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -397,7 +480,26 @@ object SnapshotTable {
       operation: String, // append | overwrite
       commitKey: Option[String],
       dataDirs: Seq[String], // full visible set, newest last
-      rows: Long)
+      rows: Long,
+      schemaJson: Option[String] = None) // recorded only for dirless views
+
+  /** Object-store schemes where exclusive-create and atomic-rename are
+    * emulated — the two primitives the commit protocol's atomicity rests
+    * on. See the class doc's FILESYSTEM CONTRACT. */
+  private val nonAtomicSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos", "swift")
+
+  /** Fail fast on filesystems that cannot honor the commit protocol. A
+    * scheme-less root resolves to the default FS (local/HDFS in every
+    * supported deployment). */
+  def requireAtomicCommitScheme(root: String): Unit = {
+    val scheme = Option(new java.net.URI(root).getScheme).map(_.toLowerCase)
+    require(!scheme.exists(nonAtomicSchemes.contains),
+      s"SnapshotTable at '$root': scheme '${scheme.getOrElse("")}' is an object store " +
+        "without atomic rename/exclusive create — the snapshot commit protocol's " +
+        "atomicity does not hold there; use an HDFS-semantics filesystem or an " +
+        "Iceberg/conditional-write commit service")
+  }
 
   /** JVM-wide manifest parse cache, keyed by (table root, snapshot id).
     * Sound because a published manifest is immutable: ids are claimed

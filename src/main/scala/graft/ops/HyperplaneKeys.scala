@@ -30,12 +30,23 @@ case class HyperplaneKeys(child: Expression, dim: Int, bits: Int, bands: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_keys"
 
+  // parquet embedding columns are typically declared with nullable
+  // elements even when none are null, so rejecting containsNull=true at
+  // analysis time would refuse every real input; instead the kernel
+  // null-checks elements (only when the declared type admits them) and
+  // fails with a NAMED error instead of an opaque executor NPE from
+  // ArrayData.toFloatArray
+  private lazy val elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
   protected override def nullSafeEval(input: Any): Any =
-    HyperplaneKeys.compute(input.asInstanceOf[ArrayData], dim, bits, bands)
+    HyperplaneKeys.compute(input.asInstanceOf[ArrayData], dim, bits, bands, elemsNullable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.ops.HyperplaneKeys.compute($c, $dim, $bits, $bands)")
+      s"graft.ops.HyperplaneKeys.compute($c, $dim, $bits, $bands, $elemsNullable)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneKeys =
     copy(child = newChild)
@@ -51,10 +62,22 @@ object HyperplaneKeys {
       (dim.toLong << 32) | (bits.toLong & 0xffffffffL),
       _ => Similarity.hyperplanes(dim, bits))
 
-  /** Static kernel shared by interpreted eval and generated code. */
-  def compute(arr: ArrayData, dim: Int, bits: Int, bands: Int): ArrayData =
+  /** Static kernel shared by interpreted eval and generated code.
+    * `checkNulls` is set when the input type declares nullable elements. */
+  def compute(arr: ArrayData, dim: Int, bits: Int, bands: Int, checkNulls: Boolean): ArrayData = {
+    if (checkNulls) {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"hyperplane_keys: embedding element $i is NULL — LSH keys need a " +
+            "fully-populated array<float>; filter or impute null elements upstream")
+        i += 1
+      }
+    }
     UnsafeArrayData.fromPrimitiveArray(
       Similarity.hyperplaneBandKeys(arr.toFloatArray(), planes(dim, bits), bands, bits / bands))
+  }
 
   /** Column wrapper. */
   def col(embedding: Column, dim: Int, bits: Int, bands: Int): Column =

@@ -48,6 +48,20 @@ object IncrementalKg {
 
   val KeyPrefix = "kg-increment-to-"
 
+  /** What one maintenance tick did. */
+  sealed trait TickOutcome
+  /** The delta (fromCorpusSnapshot, toCorpusSnapshot] was committed. */
+  final case class Processed(fromCorpusId: Long, toCorpusId: Long) extends TickOutcome
+  /** Nothing new to process (including an empty corpus table). */
+  case object CaughtUp extends TickOutcome
+  /** The commit-time conflict check found a concurrent tick already
+    * advanced past this tick's captured lower bound (`winnerKey` is its
+    * commit key) — NOTHING from this tick landed, and the winner's upper
+    * bound may be below this tick's, so the caller must tick again to
+    * re-derive bounds from the new watermark and cover any remainder. */
+  final case class Superseded(fromCorpusId: Long, toCorpusId: Long, winnerKey: String)
+      extends TickOutcome
+
   /** Highest corpus snapshot id any committed graph snapshot records
     * having processed, or -1 if the graph table has none (fresh consumer).
     * Scans ALL committed manifests, not just the current chain, so graph
@@ -60,22 +74,24 @@ object IncrementalKg {
       .foldLeft(-1L)(math.max)
 
   /** Process everything appended to the corpus table since the last tick.
-    * Returns Some((fromCorpusSnapshot, toCorpusSnapshot)) when an increment
-    * was committed, None when already caught up (including an empty corpus
-    * table). One tick may cover several corpus appends — the commit key
-    * records the snapshot it caught up to, not each batch. */
+    * Returns [[Processed]] when an increment was committed, [[CaughtUp]]
+    * when there is nothing new (including an empty corpus table), and
+    * [[Superseded]] when the commit's conflict check aborted this tick as
+    * the zombie twin of a concurrent one (nothing landed — tick again).
+    * One tick may cover several corpus appends — the commit key records
+    * the snapshot it caught up to, not each batch. */
   def processIncrement(
       spark: SparkSession,
       corpusTablePath: String,
       graphTablePath: String,
       bc: Broadcast[Artifacts],
       cfg: KgPipeline.Config = KgPipeline.Config()
-  ): Option[(Long, Long)] = {
+  ): TickOutcome = {
     val corpus = new SnapshotTable(spark, corpusTablePath)
     val graph = new SnapshotTable(spark, graphTablePath)
     val toId = corpus.currentSnapshotId()
     val fromId = lastProcessedSourceId(graph)
-    if (toId < 0 || toId <= fromId) None
+    if (toId < 0 || toId <= fromId) CaughtUp
     else {
       // the delta is BOUNDED at the captured toId: appends landing after
       // the capture belong to the next tick — without the bound, a
@@ -95,10 +111,18 @@ object IncrementalKg {
       val overlaps: String => Boolean = k =>
         k.startsWith(KeyPrefix) &&
           k.stripPrefix(KeyPrefix).toLongOption.exists(_ > fromId)
-      TripleSink.appendSnapshot(
-        KgPipeline.triples(docs, bc, cfg), graphTablePath, s"$KeyPrefix$toId",
+      val key = s"$KeyPrefix$toId"
+      val snapId = TripleSink.appendSnapshot(
+        KgPipeline.triples(docs, bc, cfg), graphTablePath, key,
         conflictsWith = overlaps)
-      Some(fromId -> toId)
+      // the commit dedups to the CONFLICTING snapshot when a twin won the
+      // race — then nothing from THIS tick landed and the winner may have
+      // stopped short of our toId, so report it distinctly (never claim
+      // the interval was processed)
+      graph.snapshots().find(_.snapshotId == snapId).flatMap(_.commitKey) match {
+        case Some(k) if k != key => Superseded(fromId, toId, k)
+        case _ => Processed(fromId, toId)
+      }
     }
   }
 

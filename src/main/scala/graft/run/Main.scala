@@ -191,10 +191,13 @@ object Main {
         val toId = IncrementalKg.rebuild(spark, ct, snapshotTablePath.get, bc)
         println(s"[graft] rebuilt ${snapshotTablePath.get} from corpus snapshot $toId")
       } else IncrementalKg.processIncrement(spark, ct, snapshotTablePath.get, bc) match {
-        case Some((from, to)) =>
+        case IncrementalKg.Processed(from, to) =>
           println(s"[graft] processed corpus increment ($from -> $to] into ${snapshotTablePath.get}")
-        case None =>
+        case IncrementalKg.CaughtUp =>
           println("[graft] corpus table caught up; nothing to process")
+        case IncrementalKg.Superseded(from, to, winner) =>
+          println(s"[graft] tick ($from -> $to] aborted: concurrent tick '$winner' " +
+            "already advanced the watermark; nothing committed — run again to catch up")
       }
       return
     }

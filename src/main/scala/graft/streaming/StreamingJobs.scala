@@ -270,10 +270,12 @@ object StreamingJobs {
     * [[graft.graph.ConnectedComponents.incremental]], so each micro-batch
     * pays for its OWN pairs (delta CC + one broadcast remap), never a
     * re-clustering of the accumulated pair set. Each batch lands as one
-    * keyed overwrite snapshot; the fold is idempotent (re-folding edges
-    * already reflected in the mapping is the identity), and the commit-key
-    * fast path skips redelivered batches outright, so crash-redelivery
-    * neither duplicates rows nor moves the mapping. */
+    * keyed, TIP-PINNED overwrite snapshot ([[foldNearDupBatch]]): the fold
+    * is idempotent (re-folding edges already reflected in the mapping is
+    * the identity), the commit-key fast path skips redelivered batches
+    * outright, and a stale fold racing its own restart is rejected and
+    * re-folded from the new tip — so crash-redelivery neither duplicates
+    * rows nor moves the mapping, even under the zombie-driver race. */
   def nearDupClustersToSnapshot(
       nearDups: Dataset[NearDup],
       compsTablePath: String,
@@ -288,28 +290,46 @@ object StreamingJobs {
       .start()
 
   /** One micro-batch of the cluster fold (extracted for direct replay in
-    * crash-recovery tests). */
+    * crash-recovery tests). The fold is a READ-MODIFY-WRITE of the table
+    * (read tip -> fold edges -> publish), so it commits through
+    * [[graft.graph.SnapshotTable.overwriteIf]] pinned to the tip it read:
+    * a zombie driver whose fold was computed from an old tip — while its
+    * restart already committed this batch and later ones — is REJECTED at
+    * commit time instead of clobbering the newer mapping (a plain keyed
+    * overwrite skips that re-check by design, which is exactly wrong for
+    * folds). On rejection the loop re-reads the tip and re-folds; when the
+    * batch's own key is found committed (the twin won) the retry exits as
+    * a no-op. Bounded: each retry means some writer committed, and a
+    * batch's edge set is finite, so contention resolves in O(concurrent
+    * writers) rounds. */
   def foldNearDupBatch(
       batch: Dataset[NearDup],
       compsTablePath: String,
       queryKey: String,
-      batchId: Long): Unit =
+      batchId: Long,
+      maxAttempts: Int = 50): Unit =
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val table = new graft.graph.SnapshotTable(spark, compsTablePath)
       val key = s"$queryKey#batch-$batchId"
-      if (!table.snapshots().exists(_.commitKey.contains(key))) {
-        import spark.implicits._
+      import spark.implicits._
+      val edges = batch.toDF()
+        .select(col("docId").as("src"), col("dupOf").as("dst")).distinct()
+        .localCheckpoint(true) // folded possibly more than once — pin it
+      var attempt = 0
+      var done = table.snapshots().exists(_.commitKey.contains(key))
+      while (!done && attempt < maxAttempts) {
+        val tip = table.currentSnapshotId() // the snapshot this fold is a function of
         val prev =
-          if (table.currentSnapshotId() >= 0) table.read()
+          if (tip >= 0) table.read(tip)
           else Seq.empty[(String, String)].toDF("id", "component")
-        val edges = batch.toDF()
-          .select(col("docId").as("src"), col("dupOf").as("dst")).distinct()
         val next = graft.graph.ConnectedComponents.incremental(prev, edges)
           .localCheckpoint(true) // reads `prev` from the table it overwrites
-        table.overwrite(next, commitKey = Some(key))
-        ()
+        done = table.overwriteIf(next, expectedTip = tip, commitKey = Some(key)).isDefined
+        attempt += 1
       }
+      if (!done) throw new IllegalStateException(
+        s"near-dup cluster fold for $key lost the commit race $maxAttempts times under $compsTablePath")
     }
 
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)

@@ -24,23 +24,23 @@ class IncrementalKgSpec extends AnyFunSuite {
     def tick() = IncrementalKg.processIncrement(spark, corpusPath, graphPath, bc)
 
     // fresh consumer on an empty corpus table: nothing to do
-    assert(tick().isEmpty)
+    assert(tick() == IncrementalKg.CaughtUp)
 
     // first batch: processed from scratch
     corpusTable.append(spark.createDataset(gen.take(20).map(_.row)).toDF())
-    assert(tick().contains((-1L, 0L)))
+    assert(tick() == IncrementalKg.Processed(-1L, 0L))
     val graph = new SnapshotTable(spark, graphPath)
     val afterFirst = graph.read().count()
     assert(afterFirst > 0)
 
     // caught up: no-op tick, nothing committed
-    assert(tick().isEmpty)
+    assert(tick() == IncrementalKg.CaughtUp)
     assert(graph.snapshots().size == 1 && graph.read().count() == afterFirst)
 
     // two corpus appends, ONE tick covers both (key records the catch-up id)
     corpusTable.append(spark.createDataset(gen.slice(20, 40).map(_.row)).toDF())
     corpusTable.append(spark.createDataset(gen.slice(40, 60).map(_.row)).toDF())
-    assert(tick().contains((0L, 2L)))
+    assert(tick() == IncrementalKg.Processed(0L, 2L))
     assert(graph.snapshots().last.commitKey.contains("kg-increment-to-2"))
 
     // parity: incremental accumulation == the batch pipeline over all docs
@@ -66,19 +66,24 @@ class IncrementalKgSpec extends AnyFunSuite {
     // conflict (any committed watermark above the tick's captured from)
     // must turn it into a no-op.
     val staleFrom = 0L
-    graft.graph.TripleSink.appendSnapshot(
+    val dedupedTo = graft.graph.TripleSink.appendSnapshot(
       KgPipeline.triples(Stages.ingest(corpusTable.readIncremental(0L, 1L))(spark), bc),
       graphPath, s"${IncrementalKg.KeyPrefix}1",
       conflictsWith = k => k.startsWith(IncrementalKg.KeyPrefix) &&
         k.stripPrefix(IncrementalKg.KeyPrefix).toLongOption.exists(_ > staleFrom))
     assert(graph.snapshots().size == snapCount)
+    // ... and the dedup target carries the WINNER's key, not the zombie's —
+    // exactly what processIncrement inspects to report Superseded instead
+    // of claiming the zombie's interval was processed
+    assert(graph.snapshots().find(_.snapshotId == dedupedTo)
+      .flatMap(_.commitKey).exists(_ != s"${IncrementalKg.KeyPrefix}1"))
     assert(graph.read().count() == got.length)
 
     // graph-table compaction keeps the high-water mark (old manifests are
     // scanned, not just the current chain)
     graph.compact(targetFiles = 1, partitionBy = Seq("pred_part"))
     assert(IncrementalKg.lastProcessedSourceId(graph) == 2L)
-    assert(tick().isEmpty)
+    assert(tick() == IncrementalKg.CaughtUp)
 
     // corpus compaction past an unprocessed point refuses instead of
     // silently reprocessing the world
@@ -97,8 +102,8 @@ class IncrementalKgSpec extends AnyFunSuite {
     val rebuilt = graph.read()
       .select("subj", "pred", "obj").collect().map(_.toString).sorted
     assert(rebuilt.sameElements(expected))
-    assert(tick().isEmpty) // caught up at the rebuild watermark
+    assert(tick() == IncrementalKg.CaughtUp) // caught up at the rebuild watermark
     corpusTable.append(spark.createDataset(gen.slice(5, 9).map(_.row)).toDF())
-    assert(tick().contains((toId, toId + 1))) // incremental again
+    assert(tick() == IncrementalKg.Processed(toId, toId + 1)) // incremental again
   }
 }

@@ -406,6 +406,19 @@ class OpsSpec extends AnyFunSuite {
     val interp = HyperplaneKeys(lit, 16, 32, 8).eval(null)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
     assert(interp.sameElements(Similarity.hyperplaneBandKeys(vecs.head._2, planes, 8, 4)))
+
+    // a NULL element (legal under parquet's containsNull=true declaration)
+    // fails with a NAMED error, not an opaque executor NPE
+    val withNull = spark.createDataFrame(Seq(
+      (0L, Seq[java.lang.Float](1.0f, null, 2.0f) ++ Seq.fill(13)(java.lang.Float.valueOf(0f)))))
+      .toDF("id", "embedding")
+      .select(col("embedding").cast("array<float>").as("embedding"))
+    val err = intercept[Exception] {
+      withNull.select(HyperplaneKeys.col(col("embedding"), 16, 32, 8)).collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(err).exists(c => Option(c.getMessage).exists(_.contains("hyperplane_keys"))), err)
   }
 
   test("splitBucketPairs: all pairs within cap, star + re-band beyond it") {

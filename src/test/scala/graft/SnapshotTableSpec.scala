@@ -283,4 +283,65 @@ class SnapshotTableSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [") && scan.contains("pred"), scan)
   }
+
+  test("object-store schemes fail fast (commit protocol needs atomic rename)") {
+    for (root <- Seq("s3a://bucket/tbl", "s3://bucket/tbl", "gs://bucket/tbl", "abfss://c@a/t"))
+      intercept[IllegalArgumentException] { new SnapshotTable(spark, root) }
+    // HDFS-semantics schemes and scheme-less local paths construct fine
+    new SnapshotTable(spark, freshRoot())
+    ()
+  }
+
+  test("empty appends/overwrites commit dirless snapshots instead of dying on read-back") {
+    val t = new SnapshotTable(spark, freshRoot())
+    val empty = Seq.empty[(String, String, Int)].toDF("pred", "k", "v")
+    // a PARTITIONED empty write emits no part files — previously the
+    // read-back count threw 'unable to infer schema' and the tick failed
+    val s0 = t.append(empty, partitionBy = Seq("pred"), commitKey = Some("tick-0"))
+    assert(s0 == 0L && t.snapshots().head.rows == 0L)
+    assert(t.snapshots().head.commitKey.contains("tick-0")) // watermark still recorded
+    assert(t.read().count() == 0L)
+    assert(t.read().schema.fieldNames.toSeq == Seq("pred", "k", "v")) // schema survives
+    // appends after the dirless snapshot behave normally; the empty append
+    // contributed no dirs, so the incremental delta over it is empty
+    val s1 = t.append(Seq(("p", "a", 1)).toDF("pred", "k", "v"), partitionBy = Seq("pred"))
+    assert(t.readIncremental(s0, s0).count() == 0L)
+    assert(t.readIncremental(s0, s1).count() == 1L)
+    assert(t.read().count() == 1L)
+    // empty OVERWRITE: the view becomes the typed empty frame
+    t.overwrite(empty)
+    assert(t.read().count() == 0L && t.read().schema.fieldNames.length == 3)
+    // keyed empty append replays as a no-op (exactly-once holds for
+    // zero-row ticks too)
+    val n = t.snapshots().size
+    t.appendIdempotent(empty, "tick-0")
+    assert(t.snapshots().size == n)
+  }
+
+  test("overwriteIf rejects a stale read-modify-write fold (zombie vs restart)") {
+    val t = new SnapshotTable(spark, freshRoot())
+    t.overwrite(Seq(("a", "a")).toDF("id", "component"))
+    val staleTip = t.currentSnapshotId()
+    // a restarted writer advances the table twice while the zombie's fold
+    // (computed from staleTip) is in flight
+    t.overwrite(Seq(("a", "a"), ("b", "a")).toDF("id", "component"), commitKey = Some("q#batch-1"))
+    t.overwrite(Seq(("a", "a"), ("b", "a"), ("c", "a")).toDF("id", "component"),
+      commitKey = Some("q#batch-2"))
+    val newer = t.read().count()
+    // zombie commit for batch-1 from the stale tip: REJECTED (its own key
+    // is already committed, so the rejection reports the twin = success)
+    val res = t.overwriteIf(Seq(("a", "a"), ("b", "a")).toDF("id", "component"),
+      expectedTip = staleTip, commitKey = Some("q#batch-1"))
+    assert(res.contains(1L)) // the twin's snapshot id, not a new commit
+    assert(t.currentSnapshotId() == 2L && t.read().count() == newer) // nothing clobbered
+    // a stale fold with an UNCOMMITTED key is rejected with None -> caller
+    // re-reads the tip and re-folds
+    val res2 = t.overwriteIf(Seq(("x", "x")).toDF("id", "component"),
+      expectedTip = staleTip, commitKey = Some("q#batch-3"))
+    assert(res2.isEmpty && t.read().count() == newer)
+    // the re-fold from the CURRENT tip commits
+    val res3 = t.overwriteIf(Seq(("x", "x")).toDF("id", "component"),
+      expectedTip = t.currentSnapshotId(), commitKey = Some("q#batch-3"))
+    assert(res3.contains(3L) && t.read().count() == 1L)
+  }
 }

@@ -290,6 +290,21 @@ class StreamingSpec extends AnyFunSuite {
     StreamingJobs.foldNearDupBatch(replay, comps, "clusters", batchId = 0L)
     assert(table.snapshots().size == nBefore)
     assert(clusters() == Map("1" -> "1", "2" -> "1", "4" -> "1", "5" -> "5", "6" -> "5"))
+
+    // zombie fold race: a fold computed from an OLD tip must not clobber
+    // commits it never saw. Simulate the zombie's stale read-modify-write
+    // directly: its overwriteIf (pinned to the stale tip) is rejected with
+    // None, the table keeps the newer mapping, and the batch replayed
+    // through foldNearDupBatch re-folds from the CURRENT tip instead
+    val staleTip = 0L // the tip after batch 0, two commits behind
+    val staleFold = table.read(staleTip) // what a zombie of batch 1 would publish
+    assert(table.overwriteIf(staleFold, expectedTip = staleTip,
+      commitKey = Some("clusters#batch-9")).isEmpty)
+    assert(clusters() == Map("1" -> "1", "2" -> "1", "4" -> "1", "5" -> "5", "6" -> "5"))
+    val late = Seq(StreamingJobs.NearDup("7", "6", 1.0, ts(6))).toDS()
+    StreamingJobs.foldNearDupBatch(late, comps, "clusters", batchId = 9L)
+    assert(clusters() == Map(
+      "1" -> "1", "2" -> "1", "4" -> "1", "5" -> "5", "6" -> "5", "7" -> "5"))
   }
 
   test("stateful sessionization closes sessions on gap (batch-mode state fn)") {
