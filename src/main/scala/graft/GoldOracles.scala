@@ -197,12 +197,16 @@ object GoldOracles {
       "(CAST(0 AS BIGINT), CAST(0 AS BIGINT))")
   }
 
-  /** Expected rows of SparkEntry.dedupSimhash. */
-  def dedupSimhash(sfDir: String, maxHamming: Int, cap: Int): String = {
+  /** Expected rows of SparkEntry.dedupSimhash — same adaptive block count,
+    * same block-combination band keys as Dedup.simhashPairs(blocks = 0). */
+  def dedupSimhash(sfDir: String, maxHamming: Int, cap: Int, bandHamming: Int = 3): String = {
     val ds = readDocs(sfDir)
+    val m = Dedup.adaptiveSimhashBlocks(ds.size.toLong, bandHamming)
+    val nBands = Dedup.simhashCombos(m, m - bandHamming).length
     val h = ds.map { case (id, t) => id.toString -> Dedup.simhash(t) }.toMap
-    val keys = ds.map { case (id, _) => id.toString -> Dedup.simhashWindows(h(id.toString)) }
-    val out = bucketedPairs(keys, 4, cap).toSeq
+    val keys = ds.map { case (id, _) =>
+      id.toString -> Dedup.simhashBandKeys(h(id.toString), m, bandHamming) }
+    val out = bucketedPairs(keys, nBands, cap).toSeq
       .map { case (a, b) => (a, b, java.lang.Long.bitCount(h(a) ^ h(b))) }
       .filter(_._3 <= maxHamming)
       .map { case (a, b, d) => val (x, y) = orderedLong(a, b); (x, y, d) }

@@ -108,17 +108,47 @@ object Traversal {
     * CC house pattern); edges are checkpointed once up front and re-read
     * per round. The contribution division and damping update call the
     * same pure kernels the gold oracle replays, with exact decimal(38,18)
-    * sums in between — deterministic end to end. */
-  def pageRank(edges: DataFrame, iters: Int = 10, broadcastNodesMax: Long = 500000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    * sums in between — deterministic end to end.
+    *
+    * RESUMABILITY (north rule, the [[ConnectedComponents.runUnionFind]]
+    * pattern): with a `checkpoint`, the deduped edge relation, the node
+    * relation, and EVERY round's rank table commit to the checkpoint dir
+    * (parquet + per-partition lineage); a killed 10-iteration run over
+    * 10^9 edges resumes from its last committed round instead of starting
+    * over, and because each round is a pure decimal function of the
+    * previous committed table, the resumed ranks are BIT-IDENTICAL to an
+    * uninterrupted run (CheckpointSpec kills after round k and proves
+    * equality). Stage names carry a fingerprint of the input edge set, so
+    * reusing a checkpoint dir with a CHANGED graph recomputes instead of
+    * silently returning the old graph's ranks. Without a checkpoint,
+    * rounds localCheckpoint as before (lineage truncation only). */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 10,
+      broadcastNodesMax: Long = 500000L,
+      checkpoint: Option[graft.run.Checkpointer] = None,
+      checkpointPrefix: String = "pagerank"
+  ): DataFrame = {
+    val stagePrefix = checkpoint.map { _ =>
+      val r = edges.agg(count(lit(1)), org.apache.spark.sql.functions.expr(
+        "bit_xor(xxhash64(src, dst))")).head()
+      val fp = (if (r.isNullAt(1)) 0L else r.getLong(1)) ^ r.getLong(0)
+      f"${checkpointPrefix}_${fp}%016x_i$iters"
+    }.getOrElse(checkpointPrefix)
+    def persistRound(name: String)(df: => DataFrame): DataFrame = checkpoint match {
+      case Some(cp) => cp.stageDf(s"${stagePrefix}_$name")(df)
+      case None => df.localCheckpoint(true)
+    }
+    val e = persistRound("edges")(edges.select(col("src"), col("dst")).distinct())
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
 
     val decZero = lit(JBigDecimal.ZERO).cast(PrDecimal)
-    val allNodes = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .localCheckpoint(true)
+    val allNodes = persistRound("nodes") {
+      nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
+        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+    }
     // active-set iteration: a node with out-degree 0 (a leaf — in a
     // (subj,obj) KG, every object that is never a subject) influences no
     // other node's rank, so only the CONTRIBUTING subset rides the loop;
@@ -126,9 +156,10 @@ object Traversal {
     // below. Same math round for round — what shrinks is the relation the
     // per-round joins and checkpoints materialize, which is what matters
     // in the partitioned (non-broadcastable) regime at scale.
-    var rank = allNodes.where(col("deg") > 0)
-      .withColumn("r", lit(PrInit).cast(PrDecimal))
-      .localCheckpoint(true)
+    var rank = persistRound("r0") {
+      allNodes.where(col("deg") > 0)
+        .withColumn("r", lit(PrInit).cast(PrDecimal))
+    }
     // node-sized contributions vs edge-sized relation: while the rank
     // table is SMALL, broadcasting it makes the per-round join NARROW over
     // the edges (one edge-sized shuffle per round — the agg — instead of
@@ -150,13 +181,15 @@ object Traversal {
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
     }
     require(iters >= 1, "iters must be >= 1")
-    for (_ <- 0 until iters - 1) {
-      val inSums = inSumsOf(rank)
-      rank = rank.select(col("node"), col("deg"))
-        .join(bc(inSums), col("node") === inSums("dst"), "left")
-        .select(col("node"), col("deg"),
-          PageRankExprs.next(coalesce(col("s").cast(PrDecimal), decZero)).as("r"))
-        .localCheckpoint(true)
+    for (i <- 0 until iters - 1) {
+      val prev = rank
+      rank = persistRound(s"r${i + 1}") {
+        val inSums = inSumsOf(prev)
+        prev.select(col("node"), col("deg"))
+          .join(bc(inSums), col("node") === inSums("dst"), "left")
+          .select(col("node"), col("deg"),
+            PageRankExprs.next(coalesce(col("s").cast(PrDecimal), decZero)).as("r"))
+      }
     }
     // the closing round runs over the FULL node relation, folding leaves
     // back in: a leaf's rank after every round is prNext(its in-sum), and

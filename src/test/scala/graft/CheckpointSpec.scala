@@ -108,4 +108,47 @@ class CheckpointSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(changedOut == Set(("x", "x"), ("y", "x")))
   }
+
+  test("pageRank killed mid-run resumes from committed rounds to bit-identical ranks") {
+    import org.apache.spark.sql.functions._
+    // a small web: star hubs + a chain, multiple rounds of rank movement
+    val edges = spark.createDataset(
+      (0 until 60).map(i => (f"a$i%02d", "hub")) ++
+        (0 until 59).map(i => (f"c$i%02d", f"c${i + 1}%02d")) ++
+        Seq(("hub", "c00"))).toDF("src", "dst").repartition(4)
+    val iters = 5
+
+    // the uncheckpointed truth (decimal kernels make this bit-exact)
+    val expected = graft.graph.Traversal.pageRank(edges, iters)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+
+    // full checkpointed run commits every round
+    val dir = Files.createTempDirectory("graft_ckpt_pr").toString
+    val ckpt = new Checkpointer(spark, dir)
+    val first = graft.graph.Traversal.pageRank(edges, iters, checkpoint = Some(ckpt))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(first == expected)
+    val stages0 = ckpt.lineage().select(col("stage")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val edgesStage = stages0.find(s => s.startsWith("pagerank_") && s.endsWith("_edges"))
+    assert(edgesStage.isDefined, stages0.toString)
+    val fpPrefix = edgesStage.get.stripSuffix("_edges")
+    for (r <- 0 until iters) assert(stages0.contains(s"${fpPrefix}_r$r"), s"r$r missing")
+
+    // simulate a job killed after round 2: later rounds' commits vanish,
+    // earlier ones survive. The resume must read the committed rounds and
+    // recompute only the missing tail — to the SAME bits.
+    ckpt.invalidate(s"${fpPrefix}_r3")
+    ckpt.invalidate(s"${fpPrefix}_r4")
+    val resumed = graft.graph.Traversal.pageRank(edges, iters, checkpoint = Some(ckpt))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(resumed == expected)
+    assert(ckpt.isCommitted(s"${fpPrefix}_r3") && ckpt.isCommitted(s"${fpPrefix}_r4"))
+
+    // a changed graph in the same dir gets fresh fingerprinted stages
+    val changed = spark.createDataset(Seq(("x", "y"))).toDF("src", "dst")
+    val changedOut = graft.graph.Traversal.pageRank(changed, iters, checkpoint = Some(ckpt))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(changedOut.keySet == Set("x", "y") && changedOut("y") > changedOut("x"))
+  }
 }

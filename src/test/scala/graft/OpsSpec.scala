@@ -428,30 +428,39 @@ class OpsSpec extends AnyFunSuite {
     val smallPairs = Dedup.splitBucketPairs(small, 0, 64, _ => oversized += 1).toSet
     assert(oversized == 0 && smallPairs.size == 45)
 
-    // oversized bucket splitting into 3 clean sub-buckets on band 1:
-    // star around the global min PLUS all pairs within each sub-bucket
+    // oversized bucket of 3 identical-signature groups: star around the
+    // global min, each member spoked to its group's min-id representative,
+    // and ALL PAIRS among the (3) representatives — never a quadratic
+    // within-group emission
     val members = Array.tabulate(150)(i => (f"id$i%03d", Array(7L, (i % 3).toLong, 9L, 9L)))
     val pairs = Dedup.splitBucketPairs(members, 0, 64, _ => oversized += 1).toSet
     assert(oversized == 1)
-    val byId = members.map(m => m._1 -> m._2).toMap
     val star = pairs.filter(_._1 == "id000")
-    val within = pairs.filterNot(p => p._1 == "id000" && byId(p._2)(1) != 0L)
     assert(star.size == 149) // every member reachable from the min id
-    // every non-star pair agrees on the split key (band 1)
-    assert(within.forall { case (a, b) => byId(a)(1) == byId(b)(1) })
-    // sub-buckets of 50 emit all their pairs: 3 * C(50,2), some of which
-    // involve id000 and coincide with star spokes
-    val subPairs = (for {
-      g <- 0 until 3
-      ids = members.filter(_._2(1) == g.toLong).map(_._1).sorted
-      i <- ids.indices; j <- (i + 1) until ids.length
-    } yield (ids(i), ids(j))).toSet
-    assert(subPairs.subsetOf(pairs))
+    // spokes: every member pairs with its identical-signature rep
+    for (g <- 0 until 3; i <- g until 150 by 3 if i != g)
+      assert(pairs.contains((f"id$g%03d", f"id$i%03d")), s"missing spoke for id$i%03d")
+    // representatives pair with each other (candidates across groups)
+    assert(pairs.contains(("id000", "id001")) && pairs.contains(("id000", "id002"))
+      && pairs.contains(("id001", "id002")))
+    // fan-out stays linear in the bucket, nowhere near C(150,2) = 11175
+    assert(pairs.size <= 300, s"fan-out too large: ${pairs.size}")
 
     // identical signatures throughout: star only, no quadratic emission
     val same = Array.tabulate(200)(i => (f"id$i%03d", Array(1L, 2L, 3L, 4L)))
     val p2 = Dedup.splitBucketPairs(same, 0, 64, _ => ()).toSet
     assert(p2.size == 199 && p2.forall(_._1 == "id000"))
+
+    // REGRESSION (giant-tier recovery 0.79 -> 1.0): two satellites that
+    // share ONLY this bucket's band, co-bucketed with a giant identical
+    // pile. Re-banding over raw members split the satellites apart on a
+    // band where they differ (losing their pair); re-banding over the
+    // collapsed representatives keeps the rep set under the cap, so the
+    // satellite pair is emitted directly.
+    val pile = Array.tabulate(100)(i => (f"p$i%03d", Array(7L, 8L, 9L, 10L)))
+    val sats = Array(("s1", Array(7L, 1L, 2L, 3L)), ("s2", Array(7L, 4L, 5L, 6L)))
+    val p3 = Dedup.splitBucketPairs(pile ++ sats, 0, 64, _ => ()).toSet
+    assert(p3.contains(("s1", "s2")), "satellite pair lost to pile-polluted re-banding")
   }
 
   test("oversized near-dup buckets: re-band recovers min-excluded pairs (superset of star)") {
@@ -588,5 +597,91 @@ class OpsSpec extends AnyFunSuite {
     val out = Dedup.minhashLsh(strDocs, "id", "text", threshold = 0.9)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.toSet == Set(("shaA", "shaB")))
+  }
+
+  test("banded pair emission: wide, thin-broadcast, and thin-join paths agree") {
+    // corpus with identical piles (oversized buckets at cap 8) plus
+    // unrelated singletons — exercises all-pairs, star, and re-band paths
+    val docs = (0L until 120L).map { i =>
+      if (i % 2 == 0) (i.toString, "p q r s t u v w x y z " + (i % 3)) // 3 piles of 20
+      else (i.toString, (1 to 30).map(w => "u" + Hashing.mix(i * 31 + w)).mkString(" "))
+    }
+    val df = spark.createDataset(docs).toDF("id", "text")
+    val keysDf = df.select(col("id"),
+      graft.ops.MinhashKeys.col(col("text"), 64, 16, 3).as("keys"))
+    def pairs(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val wide = pairs(Dedup.bucketPairsWide(keysDf, maxBucketSize = 8))
+    val thin = pairs(Dedup.bucketPairsThin(keysDf, bands = 16, maxBucketSize = 8))
+    // bound 0 forces EVERY oversized key through the distributed join path
+    val joined = pairs(Dedup.bucketPairsThin(keysDf, bands = 16, maxBucketSize = 8,
+      maxDriverOversizedKeys = 0))
+    assert(wide == thin, "wide vs thin-broadcast")
+    assert(thin == joined, "thin-broadcast vs thin-join")
+    assert(wide.nonEmpty)
+  }
+
+  test("simhash block-combination keys: m=4 degenerates to the 4x16 windows") {
+    for (h <- Seq(0L, -1L, 0x123456789abcdef0L, Hashing.mix(42L))) {
+      val keys = Dedup.simhashBandKeys(h, 4, 3)
+      val windows = Array.tabulate(4)(b => (h >>> (b * 16)) & 0xffffL)
+      assert(keys.sameElements(windows), java.lang.Long.toHexString(h))
+    }
+  }
+
+  test("simhash banding guarantee: hamming<=k pairs share a band at every m") {
+    // flip k RANDOM bit positions and check the Manku guarantee: some
+    // (m-k)-block combination avoids every flipped bit
+    val rnd = new scala.util.Random(7)
+    for (m <- 4 to 8; k <- 1 to math.min(3, m - 1); trial <- 0 until 50) {
+      val h = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(k)
+      val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      val (ka, kb) = (Dedup.simhashBandKeys(h, m, k), Dedup.simhashBandKeys(h2, m, k))
+      assert(ka.indices.exists(i => ka(i) == kb(i)),
+        s"m=$m k=$k trial=$trial flips=$flips: no shared band")
+    }
+    // and band keys are consistent with the block bounds: total widths 64
+    for (m <- 1 to 9)
+      assert(Dedup.simhashBlockBounds(m).map(_._2).sum == 64)
+  }
+
+  test("adaptive simhash blocks: key space tracks corpus size, bands bounded") {
+    // small corpora keep the classic 4-block split (oracle stability at
+    // sf0.01); larger ones widen per-band key space combinatorially
+    assert(Dedup.adaptiveSimhashBlocks(500L, 3) == 4)
+    assert(Dedup.adaptiveSimhashBlocks(130000L, 3) == 4) // 2^16*2 = 131072
+    assert(Dedup.adaptiveSimhashBlocks(200000L, 3) == 5) // 10 bands, ~2^25 keys
+    assert(Dedup.adaptiveSimhashBlocks(100000000L, 3) == 6) // 20 bands, ~2^31 keys
+    assert(Dedup.adaptiveSimhashBlocks(Long.MaxValue / 4, 3) == 8) // C(9,3)=84 > 64 stops
+    // the returned m always keeps the band count within the cap
+    for (n <- Seq(1L, 1000L, 1000000L, 1000000000L); k <- 1 to 4) {
+      val m = Dedup.adaptiveSimhashBlocks(n, k)
+      assert(Dedup.simhashCombos(m, m - k).length <= 64, s"n=$n k=$k m=$m")
+    }
+  }
+
+  test("simhashPairs at a forced larger block count matches brute force") {
+    // 60 docs, planted near-dup pairs; blocks=6 -> 20 bands of ~32-bit
+    // keys — the 10^8-row configuration, exercised end to end at unit size
+    val base = (1 to 40).map(i => "tok" + Hashing.mix(i.toLong)).mkString(" ")
+    val docs = (0L until 60L).map { i =>
+      if (i % 3 == 0) (i, base) // identical pile
+      else (i, (1 to 40).map(w => "w" + Hashing.mix(i * 100 + w)).mkString(" "))
+    }
+    val df = spark.createDataset(docs).toDF("id", "text")
+    def truth(maxH: Int) = (for {
+      i <- docs.indices; j <- (i + 1) until docs.size
+      d = java.lang.Long.bitCount(Dedup.simhash(docs(i)._2) ^ Dedup.simhash(docs(j)._2))
+      if d <= maxH
+      (a, b) = (docs(i)._1.toString, docs(j)._1.toString)
+    } yield if (a < b) (a, b) else (b, a)).toSet // operator orders by STRING id
+    val got = Dedup.simhashPairs(df, "id", "text", maxHamming = 3, blocks = 6)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == truth(3))
+    // adaptive path (blocks=0) at this size picks m=4 and agrees too
+    val gotAdaptive = Dedup.simhashPairs(df, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotAdaptive == truth(3))
   }
 }
