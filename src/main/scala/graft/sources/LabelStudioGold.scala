@@ -1,0 +1,168 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.core.DocRow
+import graft.datagen.CorpusGen
+import graft.datagen.CorpusGen.{GenDoc, GoldMention, GoldTriple}
+
+import scala.jdk.CollectionConverters._
+
+/** Label-Studio gold-corpus bridge: reads a Label-Studio EXPORT JSON (the
+  * list-of-tasks format the reference's LabelStudioManager.export_from_ls
+  * retrieves) into the same gold-document shape the acceptance gate scores
+  * ([[CorpusGen.GenDoc]]), so an EXTERNALLY annotated corpus can drive the
+  * exact P/R >= 0.95 gate the synthetic corpora drive today.
+  *
+  * Format, per reference /root/reference/kazu/annotation/label_studio.py:
+  *   - a task = {"id": n, "data": {"id": docName, "text": ...},
+  *     "annotations": [{"result": [region*]}]} (label_studio.py:151-165;
+  *     only the FIRST annotation set is read, as there);
+  *   - an NER region = {"id": rid, "type": "labels", "value": {"start",
+  *     "end", "text", "labels": [entityClass*]}} (label_studio.py:131-148);
+  *   - a linking region shares the NER region's id: {"id": rid, "type":
+  *     "taxonomy", "value": {..., "taxonomy": [[source,
+  *     "defaultLabel|idx"]*]}}, with [["None", "unmapped|unmapped"]]
+  *     meaning no gold mapping (label_studio.py:106-129);
+  *   - a non-contiguous span link = {"from_id": r1, "to_id": r2, "type":
+  *     "relation"} (label_studio.py:93-104; 186-188). The reference merges
+  *     linked regions into one multi-span entity; here each span stays its
+  *     own mention (the scorer matches per-span by soft overlap, so the
+  *     scoring semantics agree) while the linked group's taxonomy hits are
+  *     UNIONED across its regions, mirroring create_ents.
+  *
+  * The synthesized [[DocRow]] carries repo="labelstudio", path=taskDataId,
+  * commit="gold": gold mention docIds use the same
+  * sha256(repo|path|commit) the ingest stage derives, so scorers join gold
+  * to pipeline output exactly as with generated corpora.
+  */
+object LabelStudioGold {
+
+  private val mapper = new ObjectMapper()
+
+  def read(path: String): Seq[GenDoc] =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  def parse(json: String): Seq[GenDoc] = {
+    val root = mapper.readTree(json)
+    require(root.isArray, "Label-Studio export must be a JSON array of tasks")
+    root.elements().asScala.map(parseTask).toSeq
+  }
+
+  private def parseTask(task: JsonNode): GenDoc = {
+    val data = task.get("data")
+    val text = data.get("text").asText()
+    val taskDataId = data.get("id").asText()
+    val row = DocRow(repo = "labelstudio", path = taskDataId, commit = "gold",
+      lang = "text", content = text)
+    val docId = CorpusGen.sha256(s"${row.repo}|${row.path}|${row.commit}")
+
+    val annotations = task.get("annotations")
+    if (annotations == null || annotations.isEmpty)
+      return GenDoc(row, Seq.empty, Seq.empty, quarantined = false)
+    val results = annotations.get(0).get("result")
+
+    final case class Region(start: Int, end: Int, matchText: String,
+        labels: Seq[String], taxonomy: Seq[(String, String)])
+    val regions = scala.collection.mutable.LinkedHashMap.empty[String, Region]
+    val links = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+    results.elements().asScala.foreach { r =>
+      if (r.has("id")) {
+        val rid = r.get("id").asText()
+        val v = r.get("value")
+        val span = (v.get("start").asInt(), v.get("end").asInt())
+        val prev = regions.getOrElse(rid,
+          Region(span._1, span._2, Option(v.get("text")).map(_.asText()).getOrElse(""),
+            Seq.empty, Seq.empty))
+        r.get("type").asText() match {
+          case "labels" =>
+            regions(rid) = prev.copy(
+              labels = prev.labels ++ v.get("labels").elements().asScala.map(_.asText()))
+          case "taxonomy" =>
+            val hits = v.get("taxonomy").elements().asScala.map { t =>
+              (t.get(0).asText(), t.get(1).asText())
+            }.filterNot { case (src, li) => src == "None" && li == "unmapped|unmapped" }
+            regions(rid) = prev.copy(taxonomy = prev.taxonomy ++ hits)
+          case other =>
+            throw new IllegalArgumentException(s"unknown Label-Studio region type '$other'")
+        }
+      } else links += ((r.get("from_id").asText(), r.get("to_id").asText()))
+    }
+
+    // non-contig groups: union-find over relation links; taxonomy hits are
+    // unioned across each group (the reference builds ONE entity over the
+    // group's spans — label_studio.py:216-258)
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = parent.getOrElse(x, x)
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      parent(x) = r
+      r
+    }
+    links.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val groupTaxonomy = regions.toSeq.groupBy { case (rid, _) => find(rid) }
+      .map { case (root, rs) => root -> rs.flatMap(_._2.taxonomy).distinct }
+
+    val mentions = Seq.newBuilder[GoldMention]
+    val triples = Seq.newBuilder[GoldTriple]
+    regions.foreach { case (rid, reg) =>
+      reg.labels.distinct.foreach { cls =>
+        mentions += GoldMention(docId, reg.start, reg.end, cls, reg.matchText)
+        groupTaxonomy(find(rid)).foreach { case (source, labelIdx) =>
+          val idx = labelIdx.split('|').last
+          triples += GoldTriple(docId, reg.start, reg.end, cls, idx, source)
+        }
+      }
+    }
+    GenDoc(row, mentions.result(), triples.result().distinct, quarantined = false)
+  }
+
+  /** Render gold documents AS a Label-Studio export (the
+    * KazuToLabelStudioConverter direction, label_studio.py:34-91) — used
+    * to seed an annotation project from pipeline/generator output and to
+    * round-trip-test the reader without a live Label-Studio instance. */
+  def toExportJson(docs: Seq[GenDoc]): String = {
+    val tasks = mapper.createArrayNode()
+    docs.zipWithIndex.foreach { case (d, ti) =>
+      val task: ObjectNode = tasks.addObject()
+      task.put("id", ti.toLong)
+      val data = task.putObject("data")
+      data.put("id", d.row.path)
+      data.put("text", d.row.content)
+      val ann = task.putArray("annotations").addObject()
+      ann.put("id", ti.toLong)
+      val result: ArrayNode = ann.putArray("result")
+      // one NER + one taxonomy region per gold mention; region id keyed by
+      // span+class so mention/triple pairs share it, as the reference does
+      d.gold.foreach { gm =>
+        val rid = s"${gm.start}-${gm.end}-${gm.entityClass}"
+        val ner = result.addObject()
+        ner.put("id", rid); ner.put("from_name", "ner"); ner.put("to_name", "text")
+        ner.put("type", "labels"); ner.put("origin", "manual")
+        val nv = ner.putObject("value")
+        nv.put("start", gm.start); nv.put("end", gm.end)
+        nv.put("score", 1.0); nv.put("text", gm.matchText)
+        nv.putArray("labels").add(gm.entityClass)
+
+        val hits = d.goldTriples.filter(t =>
+          t.start == gm.start && t.end == gm.end && t.entityClass == gm.entityClass)
+        val tax = result.addObject()
+        tax.put("id", rid); tax.put("from_name", "taxonomy"); tax.put("to_name", "text")
+        tax.put("type", "taxonomy"); tax.put("origin", "manual")
+        val tv = tax.putObject("value")
+        tv.put("start", gm.start); tv.put("end", gm.end); tv.put("text", gm.matchText)
+        val taxArr = tv.putArray("taxonomy")
+        if (hits.isEmpty) { val e = taxArr.addArray(); e.add("None"); e.add("unmapped|unmapped") }
+        else hits.sortBy(t => (t.source, t.idx)).foreach { t =>
+          val e = taxArr.addArray(); e.add(t.source); e.add(s"${t.idx}|${t.idx}")
+        }
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(tasks)
+  }
+}

@@ -186,4 +186,46 @@ class AcceptanceSpec extends AnyFunSuite {
     assert(q.length == gen.count(_.quarantined))
     assert(q.forall(_.getAs[String]("error").startsWith("doc exceeds max length")))
   }
+
+  test("an externally annotated (Label-Studio) gold corpus drives the same P/R gate") {
+    // render generator gold as a Label-Studio export, import it through
+    // the reader, run the pipeline on the IMPORTED rows, and score with
+    // the same per-class criteria — the reference's acceptance flow
+    // (acceptance_test.py:32-36: pipeline + manager.export_from_ls()
+    // + acceptance_criteria())
+    val exported = graft.sources.LabelStudioGold.toExportJson(
+      CorpusGen.generate(60).filterNot(_.quarantined))
+    val goldDocs = graft.sources.LabelStudioGold.parse(exported)
+    val corpus = spark.createDataset(goldDocs.map(_.row)).toDF()
+    val docs = Stages.ingest(corpus)(spark)
+    val artifacts = Artifacts.build(
+      CorpusGen.gazetteer,
+      Some(XrefManager.fromEdges(CorpusGen.xrefEdges, CorpusGen.xrefSourceToParser)))
+    val bc = KgPipeline.broadcastArtifacts(spark, artifacts)
+    val testByDoc = KgPipeline.annotate(docs, bc).collect()
+      .map(dm => dm.docId -> dm.mentions).toMap
+
+    val perClass = scala.collection.mutable.Map.empty[String, (Int, Int, Int)]
+    for (g <- goldDocs) {
+      val docId = CorpusGen.sha256(s"${g.row.repo}|${g.row.path}|${g.row.commit}")
+      val test = testByDoc.getOrElse(docId, Seq.empty)
+      assert(g.gold.forall(_.docId == docId)) // reader ids line up with ingest
+      for (cls <- (g.gold.map(_.entityClass) ++ test.map(_.entityClass)).distinct) {
+        val goldC = g.gold.filter(_.entityClass == cls)
+        val testC = test.filter(_.entityClass == cls)
+        val tp = goldC.count(gm => testC.exists(t => overlaps(gm.start, gm.end, t.start, t.end)))
+        val fp = testC.count(t => !goldC.exists(gm => overlaps(gm.start, gm.end, t.start, t.end)))
+        val (a, b, c) = perClass.getOrElse(cls, (0, 0, 0))
+        perClass(cls) = (a + tp, b + fp, c + (goldC.size - tp))
+      }
+    }
+    assert(perClass.nonEmpty)
+    for ((cls, (tp, fp, fn)) <- perClass) {
+      val p = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+      val r = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+      val gate = criteria.forClass(cls)
+      info(f"LS NER $cls%-12s P=$p%.4f R=$r%.4f (tp=$tp fp=$fp fn=$fn)")
+      assert(p >= gate.precision && r >= gate.recall, s"LS-imported gate failed for $cls: P=$p R=$r")
+    }
+  }
 }

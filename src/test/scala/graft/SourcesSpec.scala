@@ -471,4 +471,61 @@ class SourcesSpec extends AnyFunSuite {
     val hits = graft.ac.DictionaryNer.scanText(dict, "d", "patient took graftomycin and syn-42-a today")
     assert(hits.map(_.matchText).toSet == Set("graftomycin", "syn-42-a"))
   }
+
+  test("Label-Studio export round-trips generator gold through the reader") {
+    import graft.sources.LabelStudioGold
+    val docs = graft.datagen.CorpusGen.generate(25).filterNot(_.quarantined)
+    assert(docs.nonEmpty)
+    val json = LabelStudioGold.toExportJson(docs)
+    val back = LabelStudioGold.parse(json)
+    assert(back.size == docs.size)
+    def mentionKeys(d: graft.datagen.CorpusGen.GenDoc) =
+      d.gold.map(m => (m.start, m.end, m.entityClass, m.matchText)).toSet
+    def tripleKeys(d: graft.datagen.CorpusGen.GenDoc) =
+      d.goldTriples.map(t => (t.start, t.end, t.entityClass, t.idx, t.source)).toSet
+    for ((orig, re) <- docs.zip(back)) {
+      assert(re.row.path == orig.row.path && re.row.content == orig.row.content)
+      assert(mentionKeys(re) == mentionKeys(orig), orig.row.path)
+      assert(tripleKeys(re) == tripleKeys(orig), orig.row.path)
+      // reader ids gold mentions by the SYNTHESIZED row identity, the one
+      // the ingest stage will derive for these rows
+      val expectedId = graft.datagen.CorpusGen.sha256(s"labelstudio|${orig.row.path}|gold")
+      assert(re.gold.forall(_.docId == expectedId))
+    }
+  }
+
+  test("Label-Studio reader: multi-label regions, unmapped taxonomy, non-contig links") {
+    import graft.sources.LabelStudioGold
+    val json =
+      """[{"id": 5, "data": {"id": "doc-1", "text": "alpha beta gamma delta"},
+        |  "annotations": [{"id": 1, "result": [
+        |    {"id": "r1", "type": "labels",
+        |     "value": {"start": 0, "end": 5, "text": "alpha", "labels": ["drug", "gene"]}},
+        |    {"id": "r1", "type": "taxonomy",
+        |     "value": {"start": 0, "end": 5, "text": "alpha",
+        |               "taxonomy": [["SRC_A", "Alpha|A1"]]}},
+        |    {"id": "r2", "type": "labels",
+        |     "value": {"start": 11, "end": 16, "text": "gamma", "labels": ["drug"]}},
+        |    {"id": "r2", "type": "taxonomy",
+        |     "value": {"start": 11, "end": 16, "text": "gamma",
+        |               "taxonomy": [["None", "unmapped|unmapped"]]}},
+        |    {"id": "r3", "type": "labels",
+        |     "value": {"start": 17, "end": 22, "text": "delta", "labels": ["drug"]}},
+        |    {"id": "r3", "type": "taxonomy",
+        |     "value": {"start": 17, "end": 22, "text": "delta",
+        |               "taxonomy": [["SRC_B", "Delta|D9"]]}},
+        |    {"from_id": "r2", "to_id": "r3", "type": "relation",
+        |     "direction": "right", "labels": ["non-contig"]}
+        |  ]}]}]""".stripMargin
+    val docs = LabelStudioGold.parse(json)
+    assert(docs.size == 1)
+    val d = docs.head
+    // r1 fans out per label; r2 is unmapped on its own but inherits the
+    // linked group's (r2+r3) unioned taxonomy; r3 keeps its own hit
+    assert(d.gold.map(m => (m.start, m.end, m.entityClass)).toSet ==
+      Set((0, 5, "drug"), (0, 5, "gene"), (11, 16, "drug"), (17, 22, "drug")))
+    assert(d.goldTriples.map(t => (t.start, t.entityClass, t.idx, t.source)).toSet ==
+      Set((0, "drug", "A1", "SRC_A"), (0, "gene", "A1", "SRC_A"),
+        (11, "drug", "D9", "SRC_B"), (17, "drug", "D9", "SRC_B")))
+  }
 }
