@@ -1,0 +1,65 @@
+package graft.datagen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale the driver's synthetic star schema by an integer factor for
+  * pressure benchmarks (the sf1 tier = 10 x sf0.1): each fact table is
+  * replicated `factor` times with every join/identity key offset by a
+  * replica stride, so per-replica join cardinalities and derived-graph
+  * shapes (the event chains break at event_id % 100 == 99; the stride is
+  * a multiple of 100 to preserve that) match the source exactly while
+  * totals scale linearly. Dimensions (region, nation) are copied as-is —
+  * fact->dimension joins fan IN, like the real schema. documents/
+  * embeddings replicate with offset ids and UNCHANGED payloads: clone
+  * groups are the dominant duplicate mode at corpus scale, exactly what
+  * the dedup/ANN family must absorb.
+  *
+  * The output lands under the given dest dir (one parquet dir per table,
+  * same names), readable by Bench via SPARK_GRAFT_SF_DIR.
+  */
+object ScaleData {
+
+  val Stride = 10000000L // > any sf0.1 key; multiple of 100 for event chains
+
+  def scaleTable(df: DataFrame, factor: Int, keyCols: Seq[String]): DataFrame = {
+    val replicas = df.sparkSession.range(factor.toLong).toDF("replica")
+    val crossed = df.crossJoin(broadcast(replicas))
+    keyCols.foldLeft(crossed)((acc, k) =>
+      acc.withColumn(k, col(k) + col("replica") * Stride))
+      .drop("replica")
+  }
+
+  val KeyCols: Map[String, Seq[String]] = Map(
+    "region" -> Nil,
+    "nation" -> Nil,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dest = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-scale-data")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for ((table, keys) <- KeyCols) {
+      val in = spark.read.parquet(s"$src/$table.parquet")
+      val out = if (keys.isEmpty) in else scaleTable(in, factor, keys)
+      out.write.mode("overwrite").parquet(s"$dest/$table.parquet")
+      println(s"[scale] $table: ${in.count()} -> ${spark.read.parquet(s"$dest/$table.parquet").count()}")
+    }
+    spark.stop()
+  }
+}

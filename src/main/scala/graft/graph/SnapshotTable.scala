@@ -103,36 +103,47 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       Option(node.get("schemaJson")).map(_.asText()))
   }
 
-  /** Published manifest ids under meta/, one listStatus RPC. */
-  private def committedIds(): Seq[Long] = {
+  /** Published manifests under meta/ as (id, file status), one listStatus
+    * RPC. The statuses ride along so the parse cache can key on the FILE
+    * identity for free. */
+  private def manifestStatuses(): Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val p = new Path(metaDir)
     if (!fs.exists(p)) Nil
     else
-      fs.listStatus(p).iterator.map(_.getPath.getName).collect {
-        case n if n.startsWith("snap-") && n.endsWith(".json") =>
-          n.stripPrefix("snap-").stripSuffix(".json").toLong
-      }.toSeq.sorted
+      fs.listStatus(p).iterator.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("snap-") && n.endsWith(".json"))
+          Some(n.stripPrefix("snap-").stripSuffix(".json").toLong -> st)
+        else None
+      }.toSeq.sortBy(_._1)
   }
 
   /** Highest committed snapshot id, or -1 for an empty table. Resolved by
     * listing committed manifests — the commit point is the existence of
     * snap-N.json, so this never sees a half-finished commit. */
-  def currentSnapshotId(): Long = committedIds().foldLeft(-1L)(math.max)
+  def currentSnapshotId(): Long = manifestStatuses().foldLeft(-1L)((a, s) => math.max(a, s._1))
 
-  /** [[readManifest]] through the JVM-wide parse cache — manifests are
-    * immutable once published, so a parsed one never goes stale. Callers
-    * must have established existence first (a listStatus hit or an
-    * fs.exists check): the cache may outlive [[expireSnapshots]] deletions,
-    * and skipping the existence check would resurrect expired history. */
+  /** [[readManifest]] through the JVM-wide parse cache. The cache key
+    * includes the manifest FILE's (mtime, length): a published manifest is
+    * immutable, but a table DELETED AND RECREATED at the same root reuses
+    * ids — keying on the file identity makes the stale entry a harmless
+    * miss instead of silently resurrecting the old table's history (which
+    * would make appendIdempotent skip real appends). Statuses come free
+    * with the listStatus every scan already pays. */
+  private def cachedManifest(id: Long, st: org.apache.hadoop.fs.FileStatus): Manifest =
+    SnapshotTable.cached(root, id, st.getModificationTime, st.getLen)(readManifest(id))
+
+  /** Status-fetching variant for single-manifest callers; throws
+    * FileNotFoundException when the manifest does not exist. */
   private def cachedManifest(id: Long): Manifest =
-    SnapshotTable.cached(root, id)(readManifest(id))
+    cachedManifest(id, fs.getFileStatus(manifestPath(id)))
 
   /** All committed snapshots, oldest first. One metadata listing plus a
     * parse per PREVIOUSLY UNSEEN manifest — a long-running streaming
     * writer committing every micro-batch scans the key history in O(new)
     * parses per commit, not O(all) (the manifest-per-snapshot layout's
     * would-be O(n²) driver cost over the stream's lifetime). */
-  def snapshots(): Seq[Manifest] = committedIds().map(cachedManifest)
+  def snapshots(): Seq[Manifest] = manifestStatuses().map { case (id, st) => cachedManifest(id, st) }
 
   /** Optimistic commit with a STRICT linear history: the new id is always
     * parent+1, serialized by the exclusive claim create, so a concurrent
@@ -174,8 +185,10 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       conflictsWith: Option[String => Boolean] = None,
       requireParent: Option[Long] = None,
       schemaJson: Option[String] = None): Option[Long] = {
-    var attempt = 0
-    while (attempt < maxClaimAttempts) {
+    var staleWaits = 0 // claim races lost to an UNPUBLISHED (possibly dead) writer
+    var spins = 0 // total loop iterations — pure livelock backstop
+    while (staleWaits < maxClaimAttempts && spins < 10000) {
+      spins += 1
       val parent = currentSnapshotId()
       val id = parent + 1
       val claimed =
@@ -204,14 +217,24 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
           if (dirs.isEmpty) schemaJson else None))
         return Some(id)
       }
-      // claim lost: either a live writer just committed id (retry moves to
-      // id+1), or an in-flight/dead writer holds it (bounded wait)
-      if (!fs.exists(manifestPath(id))) Thread.sleep(100)
-      attempt += 1
+      // claim lost: either a live writer just committed id — GLOBAL
+      // progress, retry moves to id+1 and must not count against the
+      // stale-claim budget (a healthy writer under sustained contention
+      // would otherwise throw an error blaming a stale claim, and the
+      // error's recovery advice — recoverStaleClaims — is exactly the
+      // sweep that is UNSAFE while the other writers are live) — or an
+      // in-flight/dead writer holds the claim unpublished (bounded wait;
+      // only these count)
+      if (!fs.exists(manifestPath(id))) { Thread.sleep(100); staleWaits += 1 }
+      else staleWaits = 0
     }
+    if (staleWaits >= maxClaimAttempts)
+      throw new IllegalStateException(
+        s"snapshot commit under $root blocked by an unpublished claim; " +
+          "if no writer is live, run recoverStaleClaims() and retry")
     throw new IllegalStateException(
-      s"snapshot commit under $root blocked by an unpublished claim; " +
-        "if no writer is live, run recoverStaleClaims() and retry")
+      s"snapshot commit under $root lost $spins consecutive claim races to " +
+        "live committers — contention livelock; reduce concurrent writers")
   }
 
   /** Delete claims that never published a manifest. ONLY safe when no
@@ -361,11 +384,12 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     var id = tip
     var done = id < 0
     while (!done) {
-      if (!fs.exists(manifestPath(id))) done = true // chain tail expired
-      else {
+      try {
         val m = cachedManifest(id)
         out += m
         if (m.operation == "overwrite" || m.parentId < 0) done = true else id = m.parentId
+      } catch {
+        case _: java.io.FileNotFoundException => done = true // chain tail expired
       }
     }
     out.result().reverse
@@ -380,7 +404,13 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     * partition COLUMNS, then commits are unioned by name. */
   def read(snapshotId: Long): DataFrame = {
     require(snapshotId >= 0, s"no committed snapshot in $root")
-    val m = readManifest(snapshotId)
+    // through the parse cache: a streaming fold reads the tip every
+    // micro-batch, and re-parsing the immutable manifest each time is a
+    // wasted namenode open+read (the status probe establishes existence)
+    val m = try cachedManifest(snapshotId) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"snapshot $snapshotId is not committed in $root")
+    }
     if (m.dataDirs.isEmpty)
       // dirless view (an overwrite with zero rows): the manifest carries
       // the writer's schema, so readers still see typed columns
@@ -465,10 +495,16 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
   def orphanDataDirs(): Seq[String] = {
     val p = new Path(dataDir)
     if (!fs.exists(p)) return Nil
-    val referenced = snapshots().flatMap(_.dataDirs).toSet
-    fs.listStatus(p).iterator.map(_.getPath.toUri.getPath)
-      .filterNot(d => referenced.exists(r => new Path(r).toUri.getPath == d))
-      .toSeq.sorted
+    // compare FULLY QUALIFIED paths on both sides: manifests store dirs as
+    // written (possibly relative or scheme-less), while listStatus returns
+    // qualified paths — a naive string compare would mismatch on every dir
+    // for a relative root and report the WHOLE live table as orphans,
+    // turning the documented operator sweep into data loss
+    def qualified(d: String): String = fs.makeQualified(new Path(d)).toString
+    val referenced = snapshots().flatMap(_.dataDirs).map(qualified).toSet
+    fs.listStatus(p).iterator.map(st => st.getPath)
+      .filter(d => !referenced.contains(fs.makeQualified(d).toString))
+      .map(_.toUri.getPath).toSeq.sorted
   }
 }
 
@@ -501,19 +537,21 @@ object SnapshotTable {
         "Iceberg/conditional-write commit service")
   }
 
-  /** JVM-wide manifest parse cache, keyed by (table root, snapshot id).
-    * Sound because a published manifest is immutable: ids are claimed
-    * exclusively, never reused while the table's tip survives (commit ids
-    * are always tip+1 and `expireSnapshots` keeps >= 1), so a (root, id)
-    * pair identifies one manifest forever. Bounded by a crude
-    * clear-on-overflow: manifests are a few hundred bytes and the re-read
-    * cost after a clear amortizes over the next scan. */
+  /** JVM-wide manifest parse cache, keyed by (table root, snapshot id,
+    * file mtime, file length). Manifests are immutable once published, so
+    * within one table's lifetime the id alone identifies the bytes; the
+    * file-identity components make an id REUSED by a deleted-and-recreated
+    * table at the same root a cache miss instead of a silent resurrection
+    * of the old history. Bounded by a crude clear-on-overflow: manifests
+    * are a few hundred bytes and the re-read cost after a clear amortizes
+    * over the next scan. */
   private val manifestCacheMax = 100000
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Manifest]()
 
-  private def cached(root: String, id: Long)(load: => Manifest): Manifest = {
+  private def cached(root: String, id: Long, mtime: Long, len: Long)(load: => Manifest): Manifest = {
     if (manifestCache.size() > manifestCacheMax) manifestCache.clear()
-    manifestCache.computeIfAbsent((root, id), _ => load)
+    manifestCache.computeIfAbsent((root, id, mtime, len), _ => load)
   }
+
 }

@@ -97,7 +97,7 @@ object IncrementalKg {
       // the capture belong to the next tick — without the bound, a
       // concurrent ingest between "capture watermark" and "scan" would be
       // processed now but not recorded, and reprocessed (duplicated) later
-      val delta = if (fromId < 0) corpus.read(toId) else corpus.readIncremental(fromId, toId)
+      val delta = if (fromId < 0) corpus.read(toId) else deltaSince(corpus, fromId, toId)
       val docs = Stages.ingest(delta)(spark)
       // conflict test for the post-claim re-check: exact-key dedup alone
       // misses twin ticks that captured DIFFERENT upper watermarks from
@@ -126,27 +126,80 @@ object IncrementalKg {
     }
   }
 
+  /** The appends-only delta (fromId, toId], tolerant of MAINTENANCE
+    * overwrites: a routine `compact()` on the corpus table commits an
+    * overwrite that cuts the append chain, so a plain
+    * [[SnapshotTable.readIncremental]] throws even for a fully-caught-up
+    * consumer (and every later tick would throw — a wedge triggered by
+    * maintenance that changed no contents). Recovery rule: when every
+    * snapshot between the watermark and the LAST overwrite is itself an
+    * overwrite (pure maintenance — compaction preserves contents by
+    * contract), the delta is exactly the appends AFTER that overwrite;
+    * only an APPEND swallowed by a later overwrite (rows this consumer
+    * never processed and can no longer enumerate) is a genuine wedge, and
+    * THAT still fails loudly toward [[rebuild]].
+    *
+    * A content-CHANGING overwrite of a corpus table feeding an
+    * incremental consumer is outside this contract (indistinguishable
+    * from compaction in the manifest); the sanctioned corpus maintenance
+    * ops are append/compact/expire, as documented on the class. */
+  private[run] def deltaSince(
+      corpus: SnapshotTable, fromId: Long, toId: Long): org.apache.spark.sql.DataFrame =
+    try corpus.readIncremental(fromId, toId)
+    catch {
+      case e: IllegalArgumentException =>
+        val window = corpus.snapshots()
+          .filter(m => m.snapshotId > fromId && m.snapshotId <= toId)
+        val overwrites = window.filter(_.operation == "overwrite").map(_.snapshotId)
+        if (overwrites.isEmpty) throw e // expired history, not maintenance
+        val lastOv = overwrites.max
+        val lostAppends = window.exists(m => m.operation == "append" && m.snapshotId < lastOv)
+        if (lostAppends) throw new IllegalStateException(
+          s"corpus appends in ($fromId, $lastOv) were superseded by overwrite $lastOv " +
+            "before this consumer processed them — the delta is unanswerable; " +
+            "run a rebuild", e)
+        corpus.readIncremental(lastOv, toId)
+    }
+
   /** Operator escape hatch for a WEDGED consumer (corpus history was
-    * compacted/expired past the watermark, so the pending delta is
+    * compacted/expired past unprocessed appends, so the pending delta is
     * unanswerable and every tick throws): reprocess the corpus's current
     * snapshot in full and commit it as an OVERWRITE of the graph table,
     * stamping the new watermark — contents replaced, not duplicated, and
     * subsequent ticks resume incrementally from here. Returns the corpus
-    * snapshot id the rebuild caught up to. */
+    * snapshot id the rebuild caught up to.
+    *
+    * The overwrite is TIP-PINNED ([[SnapshotTable.overwriteIf]]): the
+    * rebuild is a read-modify-write of the (corpus tip, graph tip) pair,
+    * and a plain keyed overwrite would let a STALE rebuild — computed
+    * before a concurrent tick or rebuild advanced the watermark — land
+    * last and replace newer committed increments while the watermark max
+    * still reports them processed (rows silently lost forever). On a tip
+    * move the rebuild recaptures both tips and recomputes; a committed
+    * twin of the same watermark key ends the loop as success. */
   def rebuild(
       spark: SparkSession,
       corpusTablePath: String,
       graphTablePath: String,
       bc: Broadcast[Artifacts],
-      cfg: KgPipeline.Config = KgPipeline.Config()
+      cfg: KgPipeline.Config = KgPipeline.Config(),
+      maxAttempts: Int = 50
   ): Long = {
     val corpus = new SnapshotTable(spark, corpusTablePath)
     val graph = new SnapshotTable(spark, graphTablePath)
-    val toId = corpus.currentSnapshotId()
-    require(toId >= 0, s"empty corpus table $corpusTablePath — nothing to rebuild from")
-    val docs = Stages.ingest(corpus.read(toId))(spark)
-    val triples = graft.graph.TripleSink.withPredPart(KgPipeline.triples(docs, bc, cfg).toDF())
-    graph.overwrite(triples, partitionBy = Seq("pred_part"), commitKey = Some(s"$KeyPrefix$toId"))
-    toId
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val graphTip = graph.currentSnapshotId()
+      val toId = corpus.currentSnapshotId()
+      require(toId >= 0, s"empty corpus table $corpusTablePath — nothing to rebuild from")
+      val docs = Stages.ingest(corpus.read(toId))(spark)
+      val triples = graft.graph.TripleSink.withPredPart(KgPipeline.triples(docs, bc, cfg).toDF())
+      if (graph.overwriteIf(triples, expectedTip = graphTip,
+          partitionBy = Seq("pred_part"), commitKey = Some(s"$KeyPrefix$toId")).isDefined)
+        return toId
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"rebuild of $graphTablePath lost the commit race $maxAttempts times")
   }
 }

@@ -159,20 +159,17 @@ object StreamingJobs {
               if (!ids.contains(r.docId)) {
                 // earliest in-horizon member whose signature estimate passes
                 var best = -1
+                var bestEq = 0
                 var i = 0
-                while (i < ids.length) {
-                  if (best < 0) {
-                    var eq = 0
-                    var k = 0
-                    while (k < r.sig.length) { if (r.sig(k) == sigs(i)(k)) eq += 1; k += 1 }
-                    if (eq.toDouble / r.sig.length >= threshold) best = i
-                  }
+                while (best < 0 && i < ids.length) {
+                  var eq = 0
+                  var k = 0
+                  while (k < r.sig.length) { if (r.sig(k) == sigs(i)(k)) eq += 1; k += 1 }
+                  if (eq.toDouble / r.sig.length >= threshold) { best = i; bestEq = eq }
                   i += 1
                 }
                 if (best >= 0)
-                  out += NearDup(r.docId, ids(best),
-                    sigs(best).indices.count(k => r.sig(k) == sigs(best)(k)).toDouble / r.sig.length,
-                    r.ts)
+                  out += NearDup(r.docId, ids(best), bestEq.toDouble / r.sig.length, r.ts)
                 // append (members stay ts-ordered); cap evicts the oldest
                 val drop = if (ids.length >= maxBucketSize) 1 else 0
                 ts = ts.drop(drop) :+ r.ts.getTime
@@ -183,10 +180,16 @@ object StreamingJobs {
             state.update(BucketState(ts, ids, sigs))
             // expire the bucket once the watermark passes its newest member
             // by the horizon (clamped above the watermark — Spark rejects a
-            // timeout in the past); batch mode has no watermark — skip there
-            if (ts.nonEmpty) scala.util.Try {
-              val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(wm + 1, ts.max + horizonMs))
+            // timeout in the past). Batch mode has no watermark and throws
+            // UnsupportedOperationException — ONLY that is skipped; any
+            // other failure to arm the timeout must surface, because a
+            // silently unarmed timeout is an unbounded-state leak on a
+            // continuous stream (the exact guarantee this doc block claims)
+            if (ts.nonEmpty) {
+              try {
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(wm + 1, ts.max + horizonMs))
+              } catch { case _: UnsupportedOperationException => () }
             }
             out.iterator
           }

@@ -85,11 +85,20 @@ class IncrementalKgSpec extends AnyFunSuite {
     assert(IncrementalKg.lastProcessedSourceId(graph) == 2L)
     assert(tick() == IncrementalKg.CaughtUp)
 
-    // corpus compaction past an unprocessed point refuses instead of
-    // silently reprocessing the world
-    corpusTable.compact(targetFiles = 1)
-    corpusTable.append(spark.createDataset(gen.take(5).map(_.row)).toDF())
-    intercept[IllegalArgumentException] { tick() }
+    // routine corpus compaction does NOT wedge a caught-up consumer: the
+    // watermark rides across the maintenance overwrite and the next append
+    // is processed as a normal delta (previously every post-compaction
+    // tick threw, forcing a full rebuild after no-op maintenance)
+    corpusTable.compact(targetFiles = 1) // snapshot 3 (overwrite)
+    corpusTable.append(spark.createDataset(gen.take(5).map(_.row)).toDF()) // snapshot 4
+    assert(tick() == IncrementalKg.Processed(2L, 4L))
+
+    // appends committed but NOT processed before a compaction swallows
+    // them ARE a wedge: the delta is unanswerable — fail loudly toward
+    // rebuild, never silently skip rows
+    corpusTable.append(spark.createDataset(gen.slice(5, 9).map(_.row)).toDF()) // snapshot 5
+    corpusTable.compact(targetFiles = 1) // snapshot 6 supersedes unprocessed 5
+    intercept[IllegalStateException] { tick() }
 
     // operator recovery: rebuild reprocesses the current corpus snapshot
     // as an OVERWRITE (contents replaced, not duplicated) and stamps the

@@ -318,6 +318,45 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.snapshots().size == n)
   }
 
+  test("a table recreated at the same root never resurrects cached manifests") {
+    val root = freshRoot()
+    val t1 = new SnapshotTable(spark, root)
+    t1.appendIdempotent(Seq(("old", 1)).toDF("k", "v"), "tick-0")
+    assert(t1.read().select("k").as[String].collect().toSeq == Seq("old"))
+    // operator wipes the table and the pipeline recreates it at the SAME
+    // root: snapshot ids restart at 0, so a (root, id)-keyed parse cache
+    // would serve the OLD manifest — appendIdempotent would see the old
+    // commit key and silently skip the new append
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Thread.sleep(10) // distinct manifest mtime even on coarse clocks
+    val t2 = new SnapshotTable(spark, root)
+    assert(t2.currentSnapshotId() == -1L)
+    t2.appendIdempotent(Seq(("new", 2), ("new2", 3)).toDF("k", "v"), "tick-0")
+    assert(t2.read().select("k").as[String].collect().sorted.toSeq == Seq("new", "new2"))
+    assert(t2.snapshots().map(_.rows) == Seq(2L))
+  }
+
+  test("orphanDataDirs compares qualified paths (relative roots report no false orphans)") {
+    // a RELATIVE root: manifests store relative dir strings while
+    // listStatus returns qualified paths — an unqualified compare would
+    // report every LIVE dir as an orphan, and the operator sweep would
+    // delete the whole table
+    val rel = s"target/snaptab_rel_${java.util.UUID.randomUUID()}/tbl"
+    try {
+      val t = new SnapshotTable(spark, rel)
+      t.append(Seq(("a", 1)).toDF("k", "v"))
+      t.append(Seq(("b", 2)).toDF("k", "v"))
+      assert(t.orphanDataDirs().isEmpty, t.orphanDataDirs().toString)
+      assert(t.read().count() == 2)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(rel).getParent, true)
+      ()
+    }
+  }
+
   test("overwriteIf rejects a stale read-modify-write fold (zombie vs restart)") {
     val t = new SnapshotTable(spark, freshRoot())
     t.overwrite(Seq(("a", "a")).toDF("id", "component"))

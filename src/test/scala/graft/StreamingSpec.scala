@@ -307,6 +307,19 @@ class StreamingSpec extends AnyFunSuite {
       "1" -> "1", "2" -> "1", "4" -> "1", "5" -> "5", "6" -> "5", "7" -> "5"))
   }
 
+  test("nearDupStream on a STATIC dataset skips only the timeout arming (batch mode)") {
+    // pins the exception contract of the timeout guard: batch mode throws
+    // UnsupportedOperationException from getCurrentWatermarkMs, which is
+    // the ONLY exception the arming path may swallow — anything else must
+    // surface (a silently unarmed timeout is an unbounded-state leak)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val static = spark.createDataset(Seq(
+      (ts(0), 1L, base), (ts(1), 2L, base))).toDF("ts", "doc_id", "text")
+    val out = StreamingJobs.nearDupStream(static).collect()
+    assert(out.map(n => (n.docId, n.dupOf)).toSet == Set(("2", "1")))
+  }
+
   test("stateful sessionization closes sessions on gap (batch-mode state fn)") {
     // flatMapGroupsWithState also runs on static Datasets — exercises the
     // session state machine without the streaming runtime
