@@ -656,7 +656,8 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val res = IncrementalKg.processIncrement(spark, corpusPath, graphPath, bc)
       val dt = (System.nanoTime() - t0) / 1e9
-      require(res.isInstanceOf[IncrementalKg.Processed], s"$label tick found nothing to process")
+      require(res.isInstanceOf[IncrementalKg.Processed],
+        s"$label tick did not process its increment: $res")
       println(s"""{"metric":"incremental_kg","tick":"$label","docs":$docs,"cores":$cores,""" +
         s""""sec":$dt,"docs_per_sec":${(docs / dt).toLong}}""")
     }
@@ -668,7 +669,37 @@ object ScalingBench {
     spark.stop()
   }
 
+  /** Time ONE named SparkEntry query against a data dir — the per-query
+    * drill-down the full Bench surface doesn't give (for triaging a tier
+    * regression without paying the other 33 queries). Repeats twice and
+    * reports both walls (first run doubles as JIT warm-up). */
+  def queryOnce(name: String, sfDir: String, cores: Int): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val walls = (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      val n = q(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(s"""{"metric":"query_once","query":"$name","sf_dir":"$sfDir","cores":$cores,""" +
+      s""""rows":${walls.last._2},"sec":${walls.last._1},"runs":[${walls.map(_._1).mkString(",")}]}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("query")) {
+      queryOnce(
+        args.lift(1).getOrElse("graph_cc"),
+        args.lift(2).getOrElse("/root/testdata/sf0.1"),
+        args.lift(3).map(_.toInt).getOrElse(32))
+      return
+    }
     if (args.headOption.contains("incremental")) {
       incrementalStress(
         args.lift(1).map(_.toInt).getOrElse(1000000),

@@ -184,25 +184,30 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       commitKey: Option[String],
       conflictsWith: Option[String => Boolean] = None,
       requireParent: Option[Long] = None,
-      schemaJson: Option[String] = None): Option[Long] = {
+      schemaJson: Option[String] = None,
+      dedupKeyedOverwrite: Boolean = false): Option[Long] = {
     var staleWaits = 0 // claim races lost to an UNPUBLISHED (possibly dead) writer
     var spins = 0 // total loop iterations — pure livelock backstop
     while (staleWaits < maxClaimAttempts && spins < 10000) {
       spins += 1
       val parent = currentSnapshotId()
       val id = parent + 1
-      val claimed =
-        try { fs.create(claimPath(id), false).close(); true }
-        catch { case _: java.io.IOException => false }
-      if (claimed) {
+      if (tryClaim(id)) {
         val keyedTwin =
           if (op == "append") {
             val conflict = conflictsWith.getOrElse((k: String) => commitKey.contains(k))
             if (commitKey.isEmpty && conflictsWith.isEmpty) None
             else snapshots().find(_.commitKey.exists(conflict))
-          } else if (requireParent.exists(_ != parent))
+          } else if (requireParent.exists(_ != parent) || dedupKeyedOverwrite)
             // stale read-modify-write: only a committed twin of OUR key
-            // makes the rejection a success; anything else is a retry
+            // makes the rejection a success; anything else is a retry.
+            // dedupKeyedOverwrite extends the twin check to the
+            // parent-MATCHED case: a fold replay whose read tip already
+            // contains the twin's commit would otherwise publish a second
+            // snapshot under the same key (same contents — the fold is
+            // idempotent — but duplicate keys corrupt the exactly-once
+            // bookkeeping). An intentional re-stamp (rebuild) passes
+            // false.
             commitKey.flatMap(k => snapshots().find(_.commitKey.contains(k)))
           else None
         if (keyedTwin.isDefined || requireParent.exists(_ != parent)) {
@@ -235,6 +240,23 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     throw new IllegalStateException(
       s"snapshot commit under $root lost $spins consecutive claim races to " +
         "live committers — contention livelock; reduce concurrent writers")
+  }
+
+  /** Exclusive claim of a snapshot id. On HDFS, create(overwrite=false)
+    * is atomic at the namenode; Hadoop's LOCAL filesystem implements it as
+    * check-then-create, which two racing writers can both pass — there the
+    * claim goes through NIO's createFile (O_CREAT|O_EXCL, kernel-atomic).
+    * Object-store schemes never reach here (constructor guard). */
+  private def tryClaim(id: Long): Boolean = {
+    val p = claimPath(id)
+    try {
+      if (fs.getScheme == "file") {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local)
+      } else fs.create(p, false).close()
+      true
+    } catch { case _: java.io.IOException => false }
   }
 
   /** Delete claims that never published a manifest. ONLY safe when no
@@ -304,15 +326,25 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     * retry, so a stale fold can never clobber commits it never saw. The
     * precondition is checked AFTER the claim is won (race-safe — see
     * [[commit]]); a plain keyed [[overwrite]] has no such guard by design
-    * (documented there) and is wrong for folds. */
+    * (documented there) and is wrong for folds.
+    *
+    * `dedupCommitKey` (default true) additionally turns the commit into a
+    * no-op returning the twin when `commitKey` is ALREADY committed even
+    * though the tip matches — the fold-replay case where the replayer's
+    * read tip already contains its twin's commit (same contents, but a
+    * second snapshot under one key would corrupt the exactly-once
+    * bookkeeping). Pass false for an intentional re-stamp of an existing
+    * key (rebuild-style writers). */
   def overwriteIf(
       df: DataFrame,
       expectedTip: Long,
       partitionBy: Seq[String] = Nil,
-      commitKey: Option[String] = None): Option[Long] = {
+      commitKey: Option[String] = None,
+      dedupCommitKey: Boolean = true): Option[Long] = {
     val (dir, rows) = writeData(df, partitionBy)
     commit("overwrite", dir, rows, commitKey,
-      requireParent = Some(expectedTip), schemaJson = Some(df.schema.json))
+      requireParent = Some(expectedTip), schemaJson = Some(df.schema.json),
+      dedupKeyedOverwrite = dedupCommitKey && commitKey.isDefined)
   }
 
   /** Rewrite the CURRENT table view as one new snapshot with

@@ -130,8 +130,14 @@ object Traversal {
       checkpointPrefix: String = "pagerank"
   ): DataFrame = {
     val stagePrefix = checkpoint.map { _ =>
-      val r = edges.agg(count(lit(1)), org.apache.spark.sql.functions.expr(
-        "bit_xor(xxhash64(src, dst))")).head()
+      // fingerprint the DISTINCT edge relation: bit_xor cancels duplicate
+      // rows pairwise, so two different raw multisets with equal counts
+      // could collide and silently reuse the wrong graph's checkpoints —
+      // and duplicate edges are expected input here (KG triples repeat).
+      // The distinct is paid only when checkpointing.
+      val r = edges.select(col("src"), col("dst")).distinct()
+        .agg(count(lit(1)), org.apache.spark.sql.functions.expr(
+          "bit_xor(xxhash64(src, dst))")).head()
       val fp = (if (r.isNullAt(1)) 0L else r.getLong(1)) ^ r.getLong(0)
       f"${checkpointPrefix}_${fp}%016x_i$iters"
     }.getOrElse(checkpointPrefix)

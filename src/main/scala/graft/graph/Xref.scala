@@ -285,6 +285,18 @@ object ConnectedComponents {
     * full-width shuffle overhead). Degree skew: a hub of degree D puts D
     * edges in one task — O(D) memory; for graphs where that is the
     * bottleneck use [[runStars]], which is fully skew-oblivious.
+    *
+    * `singleTaskExitEdges` sizes the FINAL single-task round: once the
+    * contracted set fits it, one global union-find finishes the job —
+    * measured 15 s vs 52 s at 2.5M edges / 67k components on 32 cores,
+    * because a converged CC's contracted form is the node-sized
+    * assignment itself and the distributed fixpoint tail otherwise drips
+    * through full-width no-progress confirmation rounds. Default -1 =
+    * 4 x targetEdgesPerTask (4M at the default target): the exit task's
+    * map holds up to twice that many string entries (~1 GB) — size both
+    * knobs to the executor task memory actually available; the
+    * distributed rounds above the exit are governed by
+    * `targetEdgesPerTask` as before.
     */
   def runUnionFind(
       edges: DataFrame,
@@ -292,8 +304,11 @@ object ConnectedComponents {
       targetEdgesPerTask: Int = 1000000,
       verbose: Boolean = false,
       checkpoint: Option[graft.run.Checkpointer] = None,
-      checkpointPrefix: String = "cc_uf"
+      checkpointPrefix: String = "cc_uf",
+      singleTaskExitEdges: Long = -1L // -1 = 4 x targetEdgesPerTask
   ): DataFrame = {
+    val exitEdges =
+      if (singleTaskExitEdges >= 0) singleTaskExitEdges else 4L * targetEdgesPerTask
     val spark = edges.sparkSession
     import spark.implicits._
     // resumability (north rule): with a Checkpointer, every round's
@@ -309,7 +324,13 @@ object ConnectedComponents {
     // checkpointing. Without a Checkpointer, rounds localCheckpoint as
     // before (in-memory lineage truncation only).
     val stagePrefix = checkpoint.map { _ =>
-      val r = edges.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      // over the DISTINCT relation: bit_xor cancels duplicate rows
+      // pairwise, so two different raw multisets with equal counts could
+      // collide and silently reuse the wrong graph's rounds (duplicate
+      // edges are normal input — that is why init dedups). Paid only when
+      // checkpointing.
+      val r = edges.select(col("src"), col("dst")).distinct()
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
       val fp = (if (r.isNullAt(1)) 0L else r.getLong(1)) ^ r.getLong(0)
       f"${checkpointPrefix}_$fp%016x"
     }.getOrElse(checkpointPrefix)
@@ -339,12 +360,33 @@ object ConnectedComponents {
     while (iter < maxIter && !converged) {
       // adapt partition count to the shrinking edge set; once everything
       // fits one task (the filtering algorithm's exit), a single global
-      // union-find is final — no confirming round needed
+      // union-find is FINAL — no confirming round needed. The exit
+      // threshold is deliberately larger than the distributed memory
+      // target: a converged CC's contracted representation is the
+      // node-sized assignment itself, so the fixpoint TAIL (near-final
+      // edge sets shrinking by a few rows per round) otherwise drips
+      // through several full-width no-progress rounds — measured 8 rounds
+      // vs 4 at 2.5M edges / 67k components, with the tail rounds pure
+      // confirmation. One task absorbing <= singleTaskExitEdges (~a few
+      // hundred MB of union-find map) ends the tail in one pass; at
+      // 10^9 edges the distributed rounds still do ALL the contraction
+      // work down to that size. Two floors while distributed:
+      //  - MEMORY: p >= 2E/target keeps each task's union-find map at
+      //    ~target edges (the documented bound — an upper CAP here would
+      //    silently break it at 10^9 edges);
+      //  - PARALLELISM: while the edge set is large, p >= the cluster's
+      //    core count — measured at 2.5M edges / 32 cores, the memory
+      //    floor alone gave p=5 and six ~10 s rounds on idle cores.
+      //    Small edge sets don't fan out (50k/task floor).
       val p =
-        if (prev._1 <= 2L * targetEdgesPerTask) 1
-        else math.min(
-          spark.sparkContext.defaultParallelism * 2,
-          (2 * prev._1 / targetEdgesPerTask).toInt + 1)
+        if (prev._1 <= math.max(exitEdges, 2L * targetEdgesPerTask)) 1
+        else {
+          val byMemory = (2 * prev._1 / targetEdgesPerTask).toInt + 1
+          val byParallelism = math.min(
+            spark.sparkContext.defaultParallelism.toLong,
+            prev._1 / 50000L + 1).toInt
+          math.max(byMemory, byParallelism)
+        }
       val contracted = persistRound(s"round_$iter") { e.as[(String, String)]
         .flatMap { case (a, b) =>
           val pa = math.floorMod(a.hashCode, p)

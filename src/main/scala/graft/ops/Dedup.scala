@@ -496,8 +496,14 @@ object Dedup {
     * to those 4 16-bit windows. Pure; shared with the gold oracle. */
   def simhashBandKeys(h: Long, m: Int, k: Int): Array[Long] = {
     require(k >= 1 && k < m, s"hamming radius $k needs k+1 <= blocks (got m=$m)")
-    val bounds = simhashBlockBounds(m)
-    simhashCombos(m, m - k).map { combo =>
+    // the (bounds, combos) plan depends only on (m, k) — memoized per JVM
+    // so the per-ROW hot path (10^8 calls inside the banding flatMap and
+    // the re-band recursion) never re-enumerates combinations
+    val (bounds, combos) = Dedup.bandPlan(m, k)
+    val out = new Array[Long](combos.length)
+    var c = 0
+    while (c < combos.length) {
+      val combo = combos(c)
       var key = 0L
       var i = 0
       while (i < combo.length) {
@@ -505,9 +511,17 @@ object Dedup {
         key = (key << w) | ((h >>> off) & ((1L << w) - 1L))
         i += 1
       }
-      key
+      out(c) = key
+      c += 1
     }
+    out
   }
+
+  private val bandPlanCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Array[(Int, Int)], Array[Array[Int]])]()
+  private def bandPlan(m: Int, k: Int): (Array[(Int, Int)], Array[Array[Int]]) =
+    bandPlanCache.computeIfAbsent((m, k),
+      _ => (simhashBlockBounds(m), simhashCombos(m, m - k)))
 
   /** Adaptive block count for [[simhashBandKeys]]: the smallest m whose
     * WORST-CASE per-band key space (the (m-k) narrowest blocks) keeps mean

@@ -153,11 +153,19 @@ object IncrementalKg {
         val overwrites = window.filter(_.operation == "overwrite").map(_.snapshotId)
         if (overwrites.isEmpty) throw e // expired history, not maintenance
         val lastOv = overwrites.max
+        // the no-lost-appends proof needs EVERY manifest in (fromId,
+        // lastOv) visible: expireSnapshots deletes manifests, and an
+        // expired id in that range could have been an unprocessed append
+        // (compact + expire over it would otherwise silently skip its
+        // rows forever) — absence of evidence is a wedge, not safety
+        val visible = window.map(_.snapshotId).toSet
+        val expiredGap = ((fromId + 1) until lastOv).exists(id => !visible.contains(id))
         val lostAppends = window.exists(m => m.operation == "append" && m.snapshotId < lastOv)
-        if (lostAppends) throw new IllegalStateException(
-          s"corpus appends in ($fromId, $lastOv) were superseded by overwrite $lastOv " +
-            "before this consumer processed them — the delta is unanswerable; " +
-            "run a rebuild", e)
+        if (lostAppends || expiredGap) throw new IllegalStateException(
+          s"corpus snapshots in ($fromId, $lastOv) include " +
+            (if (lostAppends) "appends superseded by" else "ids expired before") +
+            s" overwrite $lastOv that this consumer never processed — the delta is " +
+            "unanswerable; run a rebuild", e)
         corpus.readIncremental(lastOv, toId)
     }
 
@@ -194,8 +202,12 @@ object IncrementalKg {
       require(toId >= 0, s"empty corpus table $corpusTablePath — nothing to rebuild from")
       val docs = Stages.ingest(corpus.read(toId))(spark)
       val triples = graft.graph.TripleSink.withPredPart(KgPipeline.triples(docs, bc, cfg).toDF())
+      // dedupCommitKey=false: a rebuild legitimately RE-STAMPS a watermark
+      // key that an earlier tick committed — the point is replacing the
+      // contents, not exactly-once per key
       if (graph.overwriteIf(triples, expectedTip = graphTip,
-          partitionBy = Seq("pred_part"), commitKey = Some(s"$KeyPrefix$toId")).isDefined)
+          partitionBy = Seq("pred_part"), commitKey = Some(s"$KeyPrefix$toId"),
+          dedupCommitKey = false).isDefined)
         return toId
       attempt += 1
     }

@@ -151,4 +151,31 @@ class CheckpointSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(changedOut.keySet == Set("x", "y") && changedOut("y") > changedOut("x"))
   }
+
+  test("checkpoint fingerprints do not collide on duplicate-edge multisets") {
+    import org.apache.spark.sql.functions._
+    // bit_xor over RAW rows cancels duplicates pairwise: these two raw
+    // multisets have equal counts and equal raw xor, but are DIFFERENT
+    // graphs — the fingerprint must be over the distinct relation, or the
+    // second run silently returns the first graph's results
+    val g1 = spark.createDataset(Seq(("a", "b"), ("a", "b"), ("c", "d"))).toDF("src", "dst")
+    val g2 = spark.createDataset(Seq(("c", "d"), ("e", "f"), ("e", "f"))).toDF("src", "dst")
+    val rawFp = (g: org.apache.spark.sql.DataFrame) =>
+      g.agg(expr("bit_xor(xxhash64(src, dst))")).head().getLong(0)
+    assert(rawFp(g1) == rawFp(g2), "precondition: raw xor collides")
+
+    val dir = Files.createTempDirectory("graft_ckpt_fp").toString
+    val ckpt = new Checkpointer(spark, dir)
+    val pr1 = graft.graph.Traversal.pageRank(g1, 3, checkpoint = Some(ckpt))
+      .collect().map(r => r.getString(0)).toSet
+    val pr2 = graft.graph.Traversal.pageRank(g2, 3, checkpoint = Some(ckpt))
+      .collect().map(r => r.getString(0)).toSet
+    assert(pr1 == Set("a", "b", "c", "d") && pr2 == Set("c", "d", "e", "f"))
+
+    val cc1 = graft.graph.ConnectedComponents.runUnionFind(g1, checkpoint = Some(ckpt))
+      .collect().map(_.getString(0)).toSet
+    val cc2 = graft.graph.ConnectedComponents.runUnionFind(g2, checkpoint = Some(ckpt))
+      .collect().map(_.getString(0)).toSet
+    assert(cc1 == Set("a", "b", "c", "d") && cc2 == Set("c", "d", "e", "f"))
+  }
 }

@@ -100,6 +100,12 @@ class IncrementalKgSpec extends AnyFunSuite {
     corpusTable.compact(targetFiles = 1) // snapshot 6 supersedes unprocessed 5
     intercept[IllegalStateException] { tick() }
 
+    // ... and the proof must not rest on visible manifests alone: if the
+    // swallowed append's manifest is EXPIRED, the gap in the id range is
+    // itself the wedge evidence (absence of evidence != safety)
+    corpusTable.expireSnapshots(keepLast = 1) // only snapshot 6 remains visible
+    intercept[IllegalStateException] { tick() }
+
     // operator recovery: rebuild reprocesses the current corpus snapshot
     // as an OVERWRITE (contents replaced, not duplicated) and stamps the
     // new watermark, after which incremental ticks resume

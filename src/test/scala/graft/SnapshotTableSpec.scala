@@ -382,5 +382,21 @@ class SnapshotTableSpec extends AnyFunSuite {
     val res3 = t.overwriteIf(Seq(("x", "x")).toDF("id", "component"),
       expectedTip = t.currentSnapshotId(), commitKey = Some("q#batch-3"))
     assert(res3.contains(3L) && t.read().count() == 1L)
+
+    // fold replay whose read tip ALREADY CONTAINS the twin's commit: the
+    // tip precondition matches, but committing would duplicate the key —
+    // the keyed overwrite dedups to the twin instead of publishing twice
+    val n = t.snapshots().size
+    val res4 = t.overwriteIf(Seq(("x", "x")).toDF("id", "component"),
+      expectedTip = t.currentSnapshotId(), commitKey = Some("q#batch-3"))
+    assert(res4.contains(3L) && t.snapshots().size == n)
+    assert(t.snapshots().count(_.commitKey.contains("q#batch-3")) == 1)
+
+    // an intentional RE-STAMP (rebuild semantics) opts out and lands
+    val res5 = t.overwriteIf(Seq(("y", "y")).toDF("id", "component"),
+      expectedTip = t.currentSnapshotId(), commitKey = Some("q#batch-3"),
+      dedupCommitKey = false)
+    assert(res5.contains(t.currentSnapshotId()) && res5.get > 3L)
+    assert(t.read().select("id").as[String].collect().toSeq == Seq("y"))
   }
 }
