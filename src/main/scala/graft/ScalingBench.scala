@@ -73,6 +73,40 @@ object ScalingBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-BANDWIDTH burn at a given thread count: each thread streams a
+    * fixed volume of sequential long reads over its own L3-busting buffer.
+    * The CPU ceiling above is nearly memory-free, so it cannot see the
+    * resource a scan-heavy Spark job actually contends on in a shared VM —
+    * a co-tenant saturating the memory bus shows up HERE (and in our scan
+    * stages) while the FNV loop still scales at ~1.0. Fixed per-thread
+    * work, like the job itself: perfect bandwidth scaling keeps the wall
+    * flat as threads grow. On a real cluster each executor brings its own
+    * memory channels, which is exactly what one shared VM cannot emulate. */
+  private def streamSum(a: Array[Long], passes: Int): Long = {
+    var s = 0L
+    var p = 0
+    while (p < passes) {
+      var i = 0
+      while (i < a.length) { s += a(i); i += 1 }
+      p += 1
+    }
+    s
+  }
+
+  def memBaseline(threads: Int, mbPerThread: Int = 128, passes: Int = 8): Double = {
+    val words = mbPerThread * 1024 * 1024 / 8
+    val bufs = Array.fill(threads)(Array.tabulate(words)(_.toLong)) // touch = committed
+    // warm the kernel to C2 before timing — the first timed level would
+    // otherwise pay JIT compilation and report a nonsense ceiling
+    streamSum(bufs(0), 4)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map(t => new Thread(() => {
+      if (streamSum(bufs(t), passes) == 42L) println("") // defeat DCE
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Phase breakdown at one core count (diagnostics): cache-scan vs ingest
     * vs NER vs full pipeline. */
   def phases(cores: Int, nDocs: Int): Unit = {
@@ -770,11 +804,17 @@ object ScalingBench {
     val cpuLow = cpuBaseline(low)
     val cpuHigh = cpuBaseline(high)
     val machineCeiling = (cpuLow / cpuHigh) / (high.toDouble / low)
+    // bandwidth ceiling: fixed per-thread streamed volume, so perfect
+    // scaling keeps the wall FLAT as threads grow — ceiling = tLow/tHigh.
+    val memLow = memBaseline(low)
+    val memHigh = memBaseline(high)
+    val memCeiling = memLow / memHigh
     println(
       s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio",""" +
         s""""n_docs":$nDocs,"cores_low":$low,"cores_high":$high,""" +
         s""""sec_low":$tLow,"sec_high":$tHigh,""" +
         s""""docs_per_sec_low":$dpsLow,"docs_per_sec_high":$dpsHigh,"speedup":$speedup,""" +
-        s""""machine_ceiling":$machineCeiling,"efficiency_vs_ceiling":${efficiency / machineCeiling}}""")
+        s""""machine_ceiling":$machineCeiling,"efficiency_vs_ceiling":${efficiency / machineCeiling},""" +
+        s""""mem_ceiling":$memCeiling,"efficiency_vs_mem_ceiling":${efficiency / memCeiling}}""")
   }
 }

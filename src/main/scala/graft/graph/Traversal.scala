@@ -40,12 +40,16 @@ object Traversal {
     var h = 1
     var done = k == 0
     while (!done) {
+      // lazy checkpoint + count: the count job both materializes the
+      // checkpoint partitions and answers the emptiness test — one action
+      // per hop instead of an eager-checkpoint count plus a separate
+      // isEmpty job over the same data.
       val next = frontier.join(edgePairs, frontier("node") === edgePairs("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
+        .localCheckpoint(false)
+      if (next.count() == 0L) done = true
       else {
         visited = visited.union(next).localCheckpoint(true)
         frontier = next.select("node")

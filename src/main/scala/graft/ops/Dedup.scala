@@ -11,6 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Per-JVM cap on PER-BUCKET oversized warn lines. Oversized buckets are
+    * expected under clone-pile pressure (the star + re-band fallback is the
+    * designed response, with measured recall — BENCH.md); at corpus scale a
+    * line per bucket floods executor logs without adding signal beyond the
+    * accumulator totals. The first few keep their diagnostic value (which
+    * band, how far over cap); the rest collapse into one suppression
+    * notice. Executor-local by construction: each executor JVM logs at most
+    * `OversizedWarnLines + 1` lines. */
+  private val OversizedWarnLines = 10
+  private val oversizedWarnCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def warnOversized(msg: => String): Unit = {
+    val n = oversizedWarnCount.incrementAndGet()
+    if (n <= OversizedWarnLines)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    else if (n == OversizedWarnLines + 1)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"suppressing further per-bucket oversized warnings in this JVM " +
+          s"(first $OversizedWarnLines logged; totals stay in the oversizedBuckets accumulators)")
+  }
+
   /** Exact dedup via content hash: one shuffle on md5(text).
     * Output: (id, cluster_id, is_duplicate) where cluster_id = min id of
     * the identical-content group.
@@ -136,8 +156,7 @@ object Dedup {
         val members = it.map(r => (r._3, r._4)).toArray
         splitBucketPairs(members, key._1, maxBucketSize, { sz =>
           oversizedAcc.add(1L)
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"oversized LSH bucket $key: $sz ids > cap $maxBucketSize; star + re-band")
+          warnOversized(s"oversized LSH bucket $key: $sz ids > cap $maxBucketSize; star + re-band")
         })
       }
       .toDF("id_a", "id_b")
@@ -604,8 +623,7 @@ object Dedup {
             members.map { case (id, h) => (id, simhashBandKeys(h, m, bandHamming)) },
             key._1, maxBucketSize, { sz =>
               oversized.add(1L)
-              org.slf4j.LoggerFactory.getLogger(getClass)
-                .warn(s"oversized simhash bucket $key: $sz ids > cap $maxBucketSize; star + re-band")
+              warnOversized(s"oversized simhash bucket $key: $sz ids > cap $maxBucketSize; star + re-band")
             })
             .map { case (a, b) => (a, b, java.lang.Long.bitCount(byId(a) ^ byId(b))) }
             .filter(_._3 <= maxHamming)
