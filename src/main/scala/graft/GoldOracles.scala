@@ -216,6 +216,25 @@ object GoldOracles {
       "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS INTEGER))")
   }
 
+  /** Expected rows of SparkEntry.decontaminate — single-threaded replay
+    * of the same pure shingle kernels ([[Hashing.wordShingles]] /
+    * [[Hashing.countSortedHits]]) with benchmark = doc_id % benchMod == 0,
+    * so the Spark broadcast/scan machinery is what the compare checks. */
+  def decontaminate(sfDir: String, n: Int, minHits: Int, benchMod: Int): String = {
+    val ds = readDocs(sfDir)
+    val benchSorted = Hashing.sortedDistinct(
+      ds.filter(_._1 % benchMod == 0)
+        .flatMap { case (_, t) => Hashing.wordShingles(t, n) }.toArray)
+    val out = ds.filter(_._1 % benchMod != 0).flatMap { case (id, t) =>
+      val hits = Hashing.countSortedHits(
+        Hashing.sortedDistinct(Hashing.wordShingles(t, n)), benchSorted)
+      if (hits >= minHits) Some((id, hits.toLong)) else None
+    }.sortBy(_._1)
+    valuesSql(Seq("doc_id", "hits"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT))")
+  }
+
   /** Verified hyperplane-LSH near-dup pairs (numeric-ordered) with their
     * cosine — shared by the near-dup and embedding-cluster oracles. */
   private def embedVerifiedPairs(

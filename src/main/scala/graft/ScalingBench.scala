@@ -570,6 +570,41 @@ object ScalingBench {
       Similarity.embeddingNearDup(vecs, dim = Dim, threshold = 0.9))
     embedTruth.unpersist()
 
+    // ---- IVF recall@k vs exact brute force ----
+    // The dedup/LSH families above all carry measured recall; IVF is the
+    // remaining approximate op. Recall@k = |IVF top-k ∩ exact top-k| /
+    // (k · queries) over corpus-member queries (self excluded identically
+    // on both paths), swept over nProbe — the probe knob's measured
+    // recall/cost curve at a corpus size where cells actually matter.
+    {
+      val K = 10
+      val nQ = 64
+      val qs = (0 until nQ).map { j =>
+        val id = (j.toLong * (nDocs / nQ) + 7) % nDocs
+        (id, embOf(id))
+      }
+      val t0 = System.nanoTime()
+      val exact = Similarity.bruteForceTopK(vecs, qs, K)
+        .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+      val exactSec = (System.nanoTime() - t0) / 1e9
+      val cells = 256
+      val t1 = System.nanoTime()
+      val (centroids, assign) = Similarity.ivfAssign(vecs, cells, trainSampleMod = 8)
+      val assignC = assign.cache(); assignC.count()
+      val trainSec = (System.nanoTime() - t1) / 1e9
+      for (nProbe <- Seq(4, 8, 16, 32)) {
+        val t2 = System.nanoTime()
+        val got = Similarity.ivfTopK(vecs, centroids, assignC, qs, K, nProbe)
+          .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+        val dt = (System.nanoTime() - t2) / 1e9
+        val rec = got.count(exact.contains).toDouble / exact.size
+        println(s"""{"metric":"ivf_recall","n_vecs":$nDocs,"cores":$cores,""" +
+          s""""cells":$cells,"k":$K,"n_queries":$nQ,"n_probe":$nProbe,""" +
+          s""""recall_at_k":$rec,"ivf_sec":$dt,"exact_sec":$exactSec,"train_sec":$trainSec}""")
+      }
+      assignC.unpersist()
+    }
+
     jaccardTruth.unpersist(); docs.unpersist(); vecs.unpersist()
     spark.stop()
   }

@@ -213,6 +213,30 @@ object SparkEntry {
       .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"), col("hamming"))
 
+  // decontamination knobs: real pipelines use 8-13-gram overlap (the
+  // operator's default is 8); the driver query uses 4 because the
+  // synthetic corpus is random bags over a ~30-word vocabulary — at n=4
+  // the flagged set is non-trivial and non-saturated at both test scales
+  // (8/500 docs at sf0.01, 727/5000 at sf0.1), so the oracle compare
+  // actually exercises the scan/broadcast machinery
+  private val DcShingle = 4
+  private val DcMinHits = 1
+  private val DcBenchMod = 97
+
+  /** Benchmark decontamination: corpus documents sharing any word-n-gram
+    * with the deterministic benchmark subset (doc_id % DcBenchMod == 0) —
+    * the test-set-leakage guard of a training-data pipeline. Zero-shuffle
+    * broadcast scan ([[Dedup.decontaminate]]); gold-VALUES oracle replays
+    * the same shingle kernels single-threaded. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") % DcBenchMod =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % DcBenchMod === 0), "text",
+      n = DcShingle, minHits = DcMinHits)
+      .select(col("doc_id").cast("long").as("doc_id"), col("hits"))
+  }
+
   /** Near-duplicate CLUSTERING — the op a curation pipeline actually ends
     * with: minhash-LSH pairs (same parameters as `dedup_minhash_lsh`)
     * become edges of the near-dup graph, connected components pick one
@@ -488,6 +512,7 @@ object SparkEntry {
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
     "text_simhash" -> textSimhash,
+    "text_decontaminate" -> decontaminate,
     "mm_media_features" -> mmMediaFeatures,
     "q1_agg" -> q1Agg,
     "q2_join_topk" -> q2JoinTopK,
@@ -556,6 +581,8 @@ object SparkEntry {
     "ann_ivf_topk" -> GoldOracles.annIvfTopK(
       sfDir, IvfCells, IvfProbe, IvfK, IvfQueries, IvfTrainMod),
     "text_simhash" -> GoldOracles.textSimhash(sfDir),
+    "text_decontaminate" -> GoldOracles.decontaminate(
+      sfDir, DcShingle, DcMinHits, DcBenchMod),
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
          |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)

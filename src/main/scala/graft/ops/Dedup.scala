@@ -689,4 +689,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing at least
+    * `minHits` distinct word-`n`-gram shingle hashes with ANY document of
+    * an evaluation/benchmark set — the standard guard against test-set
+    * leakage into an LLM training corpus (the GPT-3/PaLM-style 8-13-gram
+    * overlap rule). Output: (idCol, hits) for flagged documents only,
+    * hits = the number of distinct contaminated shingles (the triage
+    * ranking signal).
+    *
+    * Scale shape: the benchmark side is an eval set — thousands of
+    * documents, at most millions of distinct shingles, megabytes — so its
+    * sorted hash array is collected and broadcast once, and the corpus
+    * pays ONE map-side scan with an O(log bench) membership probe per
+    * shingle ([[Hashing.countSortedHits]]): ZERO shuffles, zero joins, no
+    * state that grows with the corpus — the plan you want at 10^12 corpus
+    * rows. If the "benchmark" exceeds `maxBenchShingles` distinct hashes,
+    * the driver materialization is refused and the op falls back to the
+    * distributed shape — explode corpus shingles, shuffle-join the
+    * benchmark hash relation, groupBy doc — trading one shuffle for O(1)
+    * driver memory (the [[bucketPairsThin]] bounded-driver-state
+    * pattern). Both paths share the same shingle kernels and are pinned
+    * identical in OpsSpec.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      maxBenchShingles: Long = 50000000L
+  ): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
+    require(minHits >= 1, "minHits must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchShingles = benchmark
+      .select(col(benchTextCol).cast("string"))
+      .as[String]
+      .flatMap(t => Hashing.sortedDistinct(Hashing.wordShingles(t, n)))
+      .distinct()
+    val corpusRows = corpus
+      .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+      .as[(String, String)]
+    val nBench = benchShingles.count()
+    if (nBench <= maxBenchShingles) {
+      val sorted = benchShingles.collect()
+      java.util.Arrays.sort(sorted)
+      val bc = spark.sparkContext.broadcast(sorted)
+      corpusRows.flatMap { case (id, t) =>
+        val hits = Hashing.countSortedHits(
+          Hashing.sortedDistinct(Hashing.wordShingles(t, n)), bc.value)
+        if (hits >= minHits) Iterator.single((id, hits.toLong)) else Iterator.empty
+      }.toDF(idCol, "hits")
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"benchmark has $nBench distinct shingles > $maxBenchShingles: " +
+          "falling back to the distributed join path (one corpus shuffle, O(1) driver memory)")
+      val benchDf = benchShingles.toDF("shingle")
+      corpusRows
+        .flatMap { case (id, t) =>
+          Hashing.sortedDistinct(Hashing.wordShingles(t, n)).iterator.map(h => (id, h))
+        }
+        .toDF("id", "shingle")
+        .join(benchDf, "shingle")
+        .groupBy("id")
+        .agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= minHits)
+        .withColumnRenamed("id", idCol)
+    }
+  }
 }

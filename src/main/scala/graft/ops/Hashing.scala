@@ -73,6 +73,21 @@ object Hashing {
     java.util.Arrays.copyOf(s, n)
   }
 
+  /** Count of `doc` elements present in `benchSorted` (both sorted
+    * distinct). Binary search per doc element — O(|doc| log |bench|):
+    * the bench side may be tens of millions of hashes while a document
+    * carries tens, so a merge scan over the bench array per document
+    * would be quadratic in practice. Pure; shared with the gold oracle. */
+  def countSortedHits(doc: Array[Long], benchSorted: Array[Long]): Int = {
+    var i = 0
+    var c = 0
+    while (i < doc.length) {
+      if (java.util.Arrays.binarySearch(benchSorted, doc(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Exact Jaccard over two SORTED-DISTINCT shingle arrays: one merge
     * scan, no boxing, no hash sets. */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {

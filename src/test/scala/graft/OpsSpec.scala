@@ -684,4 +684,53 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(gotAdaptive == truth(3))
   }
+
+  test("decontaminate flags benchmark n-gram overlap; both paths agree with brute force") {
+    // 30 corpus docs (>= 10 words each so 8-grams exist), 3 "benchmark"
+    // docs; docs 0,1 contain a verbatim benchmark sentence (leakage),
+    // doc 2 shares exactly one 8-gram window, the rest share nothing
+    val benchTexts = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+      "kilo lima mike november oscar papa quebec romeo sierra tango",
+      "uniform victor whiskey xray yankee zulu one two three four")
+    val corpus = (0L until 30L).map { i =>
+      val filler = (1 to 12).map(w => "w" + Hashing.mix(i * 31 + w)).mkString(" ")
+      val text =
+        if (i == 0L) benchTexts(0) + " " + filler // full leakage
+        else if (i == 1L) filler + " " + benchTexts(1) // full leakage
+        else if (i == 2L) "alpha bravo charlie delta echo foxtrot golf hotel " + filler // one window
+        else filler
+      (i, text)
+    }
+    val corpusDf = spark.createDataset(corpus).toDF("id", "text")
+    val benchDf = benchTexts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("bid", "btext")
+    // brute force through the same pure kernels
+    val benchSorted = Hashing.sortedDistinct(
+      benchTexts.flatMap(t => Hashing.wordShingles(t, 8)).toArray)
+    val expect = corpus.flatMap { case (id, t) =>
+      val hits = Hashing.countSortedHits(
+        Hashing.sortedDistinct(Hashing.wordShingles(t, 8)), benchSorted)
+      if (hits >= 1) Some((id.toString, hits.toLong)) else None
+    }.toSet
+    assert(expect.map(_._1) == Set("0", "1", "2")) // the planted leaks, exactly
+    assert(expect.find(_._1 == "2").get._2 == 1L) // single shared window
+    val broadcastPath = Dedup.decontaminate(
+      corpusDf, "id", "text", benchDf, "btext", n = 8, minHits = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(broadcastPath == expect)
+    // distributed fallback (driver bound 0 refuses the collect): same rows
+    val joinPath = Dedup.decontaminate(
+      corpusDf, "id", "text", benchDf, "btext", n = 8, minHits = 1,
+      maxBenchShingles = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(joinPath == expect)
+    // minHits filters the single-window doc on both paths
+    for (bound <- Seq(Long.MaxValue, 0L)) {
+      val strict = Dedup.decontaminate(
+        corpusDf, "id", "text", benchDf, "btext", n = 8, minHits = 2,
+        maxBenchShingles = bound)
+        .collect().map(r => r.getString(0)).toSet
+      assert(strict == Set("0", "1"))
+    }
+  }
 }
