@@ -2,7 +2,7 @@ package graft
 
 import graft.datagen.{CorpusGen, DemoOntology}
 import graft.graph.{ConnectedComponents, XrefManager}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.run.{Artifacts, KgPipeline, Stages}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -236,6 +236,24 @@ object SparkEntry {
       n = DcShingle, minHits = DcMinHits)
       .select(col("doc_id").cast("long").as("doc_id"), col("hits"))
   }
+
+  // stratified-sampling knobs: per-language keep fractions over the
+  // documents table (training-data mixing), hash-salt fixed so the draw
+  // is reproducible
+  private val SmFractions = Map("en" -> 0.5, "de" -> 0.25)
+  private val SmDefault = 0.1
+  private val SmSalt = "graft-r4"
+
+  /** Deterministic stratified sample of the corpus by language — the
+    * training-data-mix primitive ([[Sampling.stratifiedSample]]: md5
+    * keep-hash, integer thresholds, task-retry-stable and nested across
+    * fractions). The DuckDB oracle recomputes the SAME per-row decision
+    * in SQL — an exact, fully independent cross-engine check. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.stratifiedSample(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "lang",
+      SmFractions, SmDefault, SmSalt)
+      .select(col("doc_id"), col("lang"))
 
   /** Near-duplicate CLUSTERING — the op a curation pipeline actually ends
     * with: minhash-LSH pairs (same parameters as `dedup_minhash_lsh`)
@@ -513,6 +531,7 @@ object SparkEntry {
     "text_token_count" -> textTokenCount,
     "text_simhash" -> textSimhash,
     "text_decontaminate" -> decontaminate,
+    "sample_stratified" -> sampleStratified,
     "mm_media_features" -> mmMediaFeatures,
     "q1_agg" -> q1Agg,
     "q2_join_topk" -> q2JoinTopK,
@@ -583,6 +602,17 @@ object SparkEntry {
     "text_simhash" -> GoldOracles.textSimhash(sfDir),
     "text_decontaminate" -> GoldOracles.decontaminate(
       sfDir, DcShingle, DcMinHits, DcBenchMod),
+    // plain-SQL oracle: DuckDB recomputes the md5 keep decision itself —
+    // fully independent of the Scala kernels (thresholds are the same
+    // integer constants Sampling.threshold derives)
+    "sample_stratified" -> {
+      val cases = SmFractions.toSeq.sortBy(_._1).map { case (cls, f) =>
+        s"WHEN '$cls' THEN ${Sampling.threshold(f)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$SmSalt'), 1, 8)) AS BIGINT)
+         |  < CASE lang $cases ELSE ${Sampling.threshold(SmDefault)} END""".stripMargin
+    },
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
          |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-based corpus sampling — the training-data-mix
+  * primitive. Every decision is a pure function of (row id, salt), so:
+  *
+  *  - **task-retry stable**: Spark's `rand()` re-draws on task retry and
+  *    under speculative execution, so a flaky 100 TB run can emit a
+  *    different (even differently-sized) sample per attempt; a hash of
+  *    the row id cannot.
+  *  - **cluster-shape independent**: the kept set is identical at any
+  *    partitioning/parallelism — reruns, repartitions, and incremental
+  *    reprocessing all agree row for row.
+  *  - **nested**: for one salt, the fraction-p sample is a SUBSET of the
+  *    fraction-q sample for p < q — scaling-law ladders (1%, 10%, 100%)
+  *    train on nested corpora instead of three unrelated draws.
+  *  - **decorrelated by salt**: different salts give independent samples
+  *    (held-out splits, ablation draws) with no state anywhere.
+  *
+  * The keep decision: first 32 bits of md5(id || ':' || salt), kept iff
+  * below floor(fraction * 2^32). Chosen over xxhash64 because md5-hex is
+  * bit-identical in every engine (the DuckDB oracle recomputes the SAME
+  * decision in SQL — an exact, fully independent cross-engine check);
+  * integer thresholds keep the comparison float-free. Pure column
+  * expressions throughout: codegen'd, zero shuffle, zero driver state —
+  * the plan is a Filter over the scan at any corpus size.
+  */
+object Sampling {
+
+  /** The 32-bit keep hash as a Column (long in [0, 2^32)). */
+  def keepHash(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Integer keep threshold for a fraction (the SQL oracle embeds the
+    * same constant, so the comparison is exact on both engines). */
+  def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    (fraction * 4294967296.0).toLong
+  }
+
+  /** Uniform deterministic sample: keep ~`fraction` of rows, decided per
+    * row id. */
+  def deterministicSample(
+      df: DataFrame, idCol: String, fraction: Double, salt: String): DataFrame =
+    df.filter(keepHash(col(idCol), salt) < lit(threshold(fraction)))
+
+  /** Stratified deterministic sample: per-class keep fractions (classes
+    * absent from the map fall back to `defaultFraction`). The class →
+    * threshold mapping is a dimension-sized CASE expression, not a join —
+    * still a single codegen'd Filter over the scan. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double,
+      salt: String): DataFrame = {
+    val thresholdCol = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(threshold(defaultFraction))) { case (acc, (cls, f)) =>
+      when(col(classCol) === cls, lit(threshold(f))).otherwise(acc)
+    }
+    df.filter(keepHash(col(idCol), salt) < thresholdCol)
+  }
+}

@@ -733,4 +733,43 @@ class OpsSpec extends AnyFunSuite {
       assert(strict == Set("0", "1"))
     }
   }
+
+  test("deterministic sampling: md5 parity, partitioning invariance, nestedness, strata") {
+    val n = 2000
+    val rows = (0L until n).map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+    val df = spark.createDataset(rows).toDF("id", "lang")
+    // keepHash matches a local MessageDigest md5 of the same string
+    def localHash(id: Long, salt: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$salt".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val hashes = df.select(col("id"), Sampling.keepHash(col("id"), "s1").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- Seq(0L, 1L, 42L, 1999L)) assert(hashes(i) == localHash(i, "s1"))
+    // the kept set is a pure function of (id, salt): repartitioning cannot move it
+    val kept10 = Sampling.deterministicSample(df, "id", 0.1, "s1")
+      .collect().map(_.getLong(0)).toSet
+    val keptRepart = Sampling.deterministicSample(df.repartition(13), "id", 0.1, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept10 == keptRepart)
+    assert(math.abs(kept10.size - n * 0.1) < n * 0.04) // ~uniform
+    // nestedness: fraction-0.1 sample ⊂ fraction-0.3 sample at the same salt
+    val kept30 = Sampling.deterministicSample(df, "id", 0.3, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept10.subsetOf(kept30))
+    // different salt decorrelates (not equal, same expected size)
+    val keptOther = Sampling.deterministicSample(df, "id", 0.1, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptOther != kept10)
+    // strata: per-class fraction applied, rows keep their class semantics
+    val strat = Sampling.stratifiedSample(
+      df, "id", "lang", Map("en" -> 1.0, "de" -> 0.0), 0.2, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = strat.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") == rows.count(_._2 == "en")) // fraction 1.0 keeps all
+    assert(!byLang.contains("de")) // fraction 0.0 keeps none
+    val frTotal = rows.count(_._2 == "fr")
+    assert(math.abs(byLang("fr") - frTotal * 0.2) < frTotal * 0.08)
+  }
 }
