@@ -56,7 +56,9 @@ object Bench {
     // memory-bandwidth twin (fixed per-thread streamed volume): co-tenant
     // bus saturation shows up here while the CPU loop still looks calm —
     // scan-heavy query walls track THIS number across rounds.
-    val memSec = ScalingBench.memBaseline(cpus.toInt)
+    // 32 MB/thread keeps the peak footprint ~1 GB at 32 threads (heap-safe
+    // under any SPARK_DRIVER_MEM) while still busting L3 in aggregate
+    val memSec = ScalingBench.memBaseline(cpus.toInt, mbPerThread = 32)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpu_baseline_sec":$cpuSec,"mem_baseline_sec":$memSec,"cpu_baseline_threads":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
