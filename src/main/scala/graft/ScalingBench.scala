@@ -841,8 +841,11 @@ object ScalingBench {
     val machineCeiling = (cpuLow / cpuHigh) / (high.toDouble / low)
     // bandwidth ceiling: fixed per-thread streamed volume, so perfect
     // scaling keeps the wall FLAT as threads grow — ceiling = tLow/tHigh.
-    val memLow = memBaseline(low)
-    val memHigh = memBaseline(high)
+    // 32 MB/thread: ~1 GB peak at 32 threads — still L3-busting, and an
+    // OOM here (AFTER both expensive pipeline runs, BEFORE the JSON
+    // prints) must be impossible at any SPARK_DRIVER_MEM
+    val memLow = memBaseline(low, mbPerThread = 32)
+    val memHigh = memBaseline(high, mbPerThread = 32)
     val memCeiling = memLow / memHigh
     println(
       s"""{"metric":"scaling_efficiency","value":$efficiency,"unit":"ratio",""" +

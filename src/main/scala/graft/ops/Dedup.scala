@@ -21,6 +21,17 @@ object Dedup {
     * `OversizedWarnLines + 1` lines. */
   private val OversizedWarnLines = 10
   private val oversizedWarnCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Re-arm the per-JVM warn cap — called at every pair-generation entry
+    * point so each OP INVOCATION gets its first few per-bucket
+    * diagnostics (an earlier noisy job must not silence a later unrelated
+    * one for the JVM's lifetime). Driver-side reset reaches executors in
+    * local mode (one JVM); on a cluster each executor JVM's cap re-arms
+    * on its first task of the new job's stage only if that JVM was fresh —
+    * the executor-local caps stay a log-noise valve, totals are always in
+    * the accumulators. */
+  private[graft] def resetOversizedWarnCap(): Unit = oversizedWarnCount.set(0)
+
   private[graft] def warnOversized(msg: => String): Unit = {
     val n = oversizedWarnCount.incrementAndGet()
     if (n <= OversizedWarnLines)
@@ -105,6 +116,7 @@ object Dedup {
     val rows = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
+    resetOversizedWarnCap()
 
     // ids flow as strings so both numeric and sha/hex doc ids work; the
     // signature+band-key derivation is the MinhashKeys native expression,
@@ -599,6 +611,7 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    resetOversizedWarnCap()
     val oversized = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets.simhash")
     val m = if (blocks > 0) blocks else adaptiveSimhashBlocks(df.count(), bandHamming)
     val nBands = simhashCombos(m, m - bandHamming).length
@@ -726,39 +739,55 @@ object Dedup {
     require(minHits >= 1, "minHits must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // persisted across the count + (collect | join-materialize) actions —
+    // without it the benchmark scan + shingling + distinct shuffle runs
+    // once per action
     val benchShingles = benchmark
       .select(col(benchTextCol).cast("string"))
       .as[String]
       .flatMap(t => Hashing.sortedDistinct(Hashing.wordShingles(t, n)))
       .distinct()
-    val corpusRows = corpus
-      .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
-      .as[(String, String)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBench = benchShingles.count()
     if (nBench <= maxBenchShingles) {
-      val sorted = benchShingles.collect()
+      val sorted = benchShingles.collect() // served from the cache
+      benchShingles.unpersist(blocking = false)
       java.util.Arrays.sort(sorted)
       val bc = spark.sparkContext.broadcast(sorted)
-      corpusRows.flatMap { case (id, t) =>
-        val hits = Hashing.countSortedHits(
-          Hashing.sortedDistinct(Hashing.wordShingles(t, n)), bc.value)
-        if (hits >= minHits) Iterator.single((id, hits.toLong)) else Iterator.empty
-      }.toDF(idCol, "hits")
+      corpus
+        .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+        .as[(String, String)]
+        .flatMap { case (id, t) =>
+          val hits = Hashing.countSortedHits(
+            Hashing.sortedDistinct(Hashing.wordShingles(t, n)), bc.value)
+          if (hits >= minHits) Iterator.single((id, hits.toLong)) else Iterator.empty
+        }.toDF(idCol, "hits")
     } else {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"benchmark has $nBench distinct shingles > $maxBenchShingles: " +
           "falling back to the distributed join path (one corpus shuffle, O(1) driver memory)")
+      // the returned plan is lazy — the caller's action happens after this
+      // method returns, so holding the cache would leak; one recompute of
+      // the (already huge by precondition) benchmark side is the price of
+      // bounded state
+      benchShingles.unpersist(blocking = false)
       val benchDf = benchShingles.toDF("shingle")
-      corpusRows
-        .flatMap { case (id, t) =>
-          Hashing.sortedDistinct(Hashing.wordShingles(t, n)).iterator.map(h => (id, h))
+      // row_key separates corpus rows that share an id: the broadcast path
+      // emits one output row per corpus ROW, and the two paths are
+      // contractually identical (pinned in OpsSpec incl. duplicate ids)
+      corpus
+        .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+        .withColumn("row_key", monotonically_increasing_id())
+        .as[(String, String, Long)]
+        .flatMap { case (id, t, rk) =>
+          Hashing.sortedDistinct(Hashing.wordShingles(t, n)).iterator.map(h => (rk, id, h))
         }
-        .toDF("id", "shingle")
+        .toDF("row_key", "id", "shingle")
         .join(benchDf, "shingle")
-        .groupBy("id")
+        .groupBy("row_key", "id")
         .agg(count(lit(1)).as("hits"))
         .filter(col("hits") >= minHits)
-        .withColumnRenamed("id", idCol)
+        .select(col("id").as(idCol), col("hits"))
     }
   }
 }

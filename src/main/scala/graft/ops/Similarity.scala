@@ -629,6 +629,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(bits == 0 || bits % bands == 0)
+    Dedup.resetOversizedWarnCap()
     // adaptive band width needs the corpus size — one extra narrow count
     // scan, the same price ingest-side adaptivity pays everywhere else
     // (cf. adaptiveBlocks); callers that know their scale pass bits > 0

@@ -732,6 +732,20 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0)).toSet
       assert(strict == Set("0", "1"))
     }
+    // duplicate corpus ids: the contract is one output row per corpus ROW
+    // on BOTH paths (the fallback's row_key separates same-id rows)
+    val dupCorpus = Seq(
+      (5L, benchTexts(0) + " pad pad pad"),
+      (5L, benchTexts(0) + " other pad words"),
+      (6L, "nothing shared here at all in any way whatsoever today")
+    ).toDF("id", "text")
+    for (bound <- Seq(Long.MaxValue, 0L)) {
+      val rows = Dedup.decontaminate(
+        dupCorpus, "id", "text", benchDf, "btext", n = 8, minHits = 1,
+        maxBenchShingles = bound)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(rows == Seq(("5", 3L), ("5", 3L)), s"bound=$bound got $rows")
+    }
   }
 
   test("deterministic sampling: md5 parity, partitioning invariance, nestedness, strata") {
