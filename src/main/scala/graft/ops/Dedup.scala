@@ -725,6 +725,40 @@ object Dedup {
     * pattern). Both paths share the same shingle kernels and are pinned
     * identical in OpsSpec.
     */
+  /** Distinct word-n-gram shingle hashes of a (static) benchmark set —
+    * the relation both decontamination paths and the streaming twin
+    * derive their probe set from. */
+  private[graft] def benchShingleSet(
+      benchmark: DataFrame, benchTextCol: String, n: Int): org.apache.spark.sql.Dataset[Long] = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    benchmark
+      .select(col(benchTextCol).cast("string"))
+      .as[String]
+      .flatMap(t => Hashing.sortedDistinct(Hashing.wordShingles(t, n)))
+      .distinct()
+  }
+
+  /** Sorted benchmark shingle array for broadcast probing; refuses (with a
+    * named error) a benchmark over `maxBenchShingles` distinct hashes —
+    * callers that can shuffle should use [[decontaminate]]'s join
+    * fallback instead. */
+  private[graft] def benchShingleArray(
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      maxBenchShingles: Long): Array[Long] = {
+    val shingles = benchShingleSet(benchmark, benchTextCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBench = shingles.count()
+      require(nBench <= maxBenchShingles,
+        s"benchmark has $nBench distinct shingles > $maxBenchShingles — " +
+          "too large to broadcast as an eval set")
+      val sorted = shingles.collect()
+      java.util.Arrays.sort(sorted)
+      sorted
+    } finally shingles.unpersist(blocking = false)
+  }
+
   def decontaminate(
       corpus: DataFrame,
       idCol: String,
@@ -742,11 +776,7 @@ object Dedup {
     // persisted across the count + (collect | join-materialize) actions —
     // without it the benchmark scan + shingling + distinct shuffle runs
     // once per action
-    val benchShingles = benchmark
-      .select(col(benchTextCol).cast("string"))
-      .as[String]
-      .flatMap(t => Hashing.sortedDistinct(Hashing.wordShingles(t, n)))
-      .distinct()
+    val benchShingles = benchShingleSet(benchmark, benchTextCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBench = benchShingles.count()
     if (nBench <= maxBenchShingles) {

@@ -61,6 +61,43 @@ object StreamingJobs {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming DECONTAMINATION: flag in-flight documents sharing >=
+    * `minHits` distinct word-`n`-gram hashes with a STATIC benchmark set
+    * — the streaming twin of [[graft.ops.Dedup.decontaminate]], for
+    * pipelines that must keep test-set leakage out of a continuously
+    * ingested corpus. The benchmark's sorted hash array is built once at
+    * query-definition time and broadcast; per micro-batch the docs pay a
+    * stateless map-side probe — no state store, no watermark, nothing
+    * that grows. A benchmark over `maxBenchShingles` distinct hashes is
+    * refused with a named error (the batch op's shuffle-join fallback
+    * would be a stateful streaming aggregation; an eval set that cannot
+    * broadcast is not an eval set). Output: (doc_id, hits) for flagged
+    * docs, append-mode friendly. */
+  def decontaminateStream(
+      docs: DataFrame, // streaming (doc_id, text, ...)
+      benchmark: DataFrame, // STATIC
+      benchTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      maxBenchShingles: Long = 50000000L
+  ): DataFrame = {
+    require(!benchmark.isStreaming, "the benchmark side must be a static DataFrame")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = graft.ops.Dedup.benchShingleArray(
+      benchmark, benchTextCol, n, maxBenchShingles)
+    val bc = spark.sparkContext.broadcast(sorted)
+    docs
+      .select(col("doc_id").cast("string").as("doc_id"), col("text").cast("string").as("text"))
+      .as[(String, String)]
+      .flatMap { case (id, t) =>
+        val hits = graft.ops.Hashing.countSortedHits(
+          graft.ops.Hashing.sortedDistinct(graft.ops.Hashing.wordShingles(t, n)), bc.value)
+        if (hits >= minHits) Iterator.single((id, hits.toLong)) else Iterator.empty
+      }
+      .toDF("doc_id", "hits")
+  }
+
   final case class BandRow(band: Int, key: Long, ts: java.sql.Timestamp,
       docId: String, sig: Array[Long])
   final case class BucketState(ts: Array[Long], docIds: Array[String],

@@ -80,6 +80,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L), kept.toString)
   }
 
+  test("streaming decontamination flags leaked benchmark n-grams, stateless across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val bench = Seq((1L, benchText)).toDF("bid", "btext")
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingJobs.decontaminateStream(
+      stream.toDF().toDF("doc_id", "text"), bench, "btext", n = 8, minHits = 1)
+    val query = out.writeStream
+      .format("memory").queryName("stream_decon").outputMode("append").start()
+    stream.addData(Seq(
+      (1L, benchText + " plus trailing filler words here"), // leaked: all 3 windows
+      (2L, "totally unrelated words that never touch the benchmark set at all")))
+    query.processAllAvailable()
+    stream.addData(Seq(
+      (3L, "prefix words " + benchText), // leaked in a later batch — no state needed
+      (4L, "another clean document with nothing shared anywhere in it today")))
+    query.processAllAvailable()
+    query.stop()
+    val flagged = spark.table("stream_decon")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(flagged.keySet == Set("1", "3"), flagged.toString)
+    assert(flagged("1") == 3L && flagged("3") == 3L) // 10 words -> 3 windows
+    // an over-bound benchmark is refused at definition time, loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.decontaminateStream(
+        stream.toDF().toDF("doc_id", "text"), bench, "btext", n = 8,
+        minHits = 1, maxBenchShingles = 0L)
+    }
+    assert(e.getMessage.contains("too large to broadcast"))
+  }
+
   test("streaming near-dup flags later near-identical docs against bounded LSH state") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
