@@ -31,7 +31,23 @@ object Bench {
     // A throwing query must NOT report its time-to-throw as a benchmark
     // number (that silently understates the cost the 100 TB projection
     // scales from) — failures land in a separate "errors" field instead.
-    val results = ordered.map { case (name, fn) =>
+    //
+    // Host-weather ATTRIBUTION: each query records its start offset from
+    // the bench epoch, and a cheap memory-bandwidth micro-baseline is
+    // interleaved every MicroEvery queries — a mid-run co-tenant spike is
+    // then localizable to the exact queries it hit (an end-of-run
+    // baseline alone cannot see it; the r04 driver run's 3-query spike on
+    // untouched code was unattributable for exactly that reason).
+    val MicroEvery = 6
+    val benchEpochMs = System.currentTimeMillis()
+    val benchT0 = System.nanoTime()
+    val micro = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    def microSample(i: Int): Unit =
+      micro += ((i, (System.nanoTime() - benchT0) / 1e9,
+        ScalingBench.memBaseline(cpus.toInt, mbPerThread = 8, passes = 4)))
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % MicroEvery == 0) microSample(i)
+      val startedAt = (System.nanoTime() - benchT0) / 1e9
       var error: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -39,11 +55,16 @@ object Bench {
         catch { case e: Throwable => error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, error)
+      (name, times.min, error, startedAt)
     }
+    microSample(ordered.size)
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val qs = ok.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val starts = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
+    val micros = micro.map { case (i, at, sec) =>
+      s"""{"before_query_index":$i,"at_sec":$at,"mem_baseline_sec":$sec}""" }
+      .mkString("[", ",", "]")
+    val errs = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
@@ -59,7 +80,7 @@ object Bench {
     // 32 MB/thread keeps the peak footprint ~1 GB at 32 threads (heap-safe
     // under any SPARK_DRIVER_MEM) while still busting L3 in aggregate
     val memSec = ScalingBench.memBaseline(cpus.toInt, mbPerThread = 32)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpu_baseline_sec":$cpuSec,"mem_baseline_sec":$memSec,"cpu_baseline_threads":$cpus,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_started_at_sec":$starts,"micro_mem_baselines":$micros,"bench_epoch_ms":$benchEpochMs,"errors":$errs,"cpu_baseline_sec":$cpuSec,"mem_baseline_sec":$memSec,"cpu_baseline_threads":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -401,7 +401,17 @@ object ScalingBench {
     * honest contrast: its documented maxShingleDf cap drops ALL pairs of a
     * shingle shared by >cap docs, so the giant tier collapses — which is
     * exactly why the LSH family (star-connected, closure-lossless) is the
-    * 100 TB path. */
+    * 100 TB path.
+    *
+    * HARD GATES: the tier is a regression test, not just a report — the
+    * measured done-criteria of rounds 3/4 are enforced with `require`s at
+    * the end of the run (exit nonzero on any regression): for each LSH
+    * family (minhash / simhash / embed), giant-tier cluster recovery >=
+    * 0.95, closure recall >= 0.999 on both tiers, small-tier recovery >=
+    * 0.95, and zero cross-cluster emissions; for IVF, recall@10 >= 0.95
+    * at nProbe 32 of 256 cells. The df-capped n-gram op is exempt from
+    * the giant-tier gates (its 0.0 there is the cap's documented
+    * contract) but still precision-gated. */
   def recallStress(nDocs: Int, cores: Int): Unit = {
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -478,7 +488,13 @@ object ScalingBench {
           }
         }.toDF("id_a", "id_b", "giant")
 
-    def measure(op: String, truth: DataFrame, found: => DataFrame): Unit = {
+    final case class RecallMetrics(
+        op: String,
+        closureSmall: Double, closureGiant: Double,
+        recoverySmall: Double, recoveryGiant: Double,
+        crossCluster: Long)
+
+    def measure(op: String, truth: DataFrame, found: => DataFrame): RecallMetrics = {
       val t0 = System.nanoTime()
       val f = found.select(
         least(col("id_a").cast("string"), col("id_b").cast("string")).as("id_a"),
@@ -546,6 +562,8 @@ object ScalingBench {
       // calls; unpersisting it here forced a full all-pairs recompute for
       // the second) — only the frames built in this scope release here
       matched.unpersist(); f.unpersist()
+      RecallMetrics(op, closureRecall("small"), closureRecall("giant"),
+        recovery("small"), recovery("giant"), cross)
     }
 
     def shingles(t: String): Array[Long] =
@@ -554,19 +572,19 @@ object ScalingBench {
       docs.as[(Long, String)], shingles, Hashing.jaccardSorted(_, _) >= 0.7).cache()
     jaccardTruth.count()
 
-    measure("minhash_lsh", jaccardTruth,
+    val mMinhash = measure("minhash_lsh", jaccardTruth,
       Dedup.minhashLsh(docs, "id", "text", threshold = 0.7))
-    measure("ngram_jaccard_dfcap", jaccardTruth,
+    val mNgram = measure("ngram_jaccard_dfcap", jaccardTruth,
       Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.7, maxShingleDf = 200))
     val simhashTruth = truthPairs[String, Long](
       docs.as[(Long, String)], Dedup.simhash,
       (a, b) => java.lang.Long.bitCount(a ^ b) <= 3).cache()
-    measure("simhash", simhashTruth,
+    val mSimhash = measure("simhash", simhashTruth,
       Dedup.simhashPairs(docs, "id", "text", maxHamming = 3))
     simhashTruth.unpersist()
     val embedTruth = truthPairs[Array[Float], Array[Float]](
       vecs.as[(Long, Array[Float])], identity, Similarity.cosine(_, _) >= 0.9).cache()
-    measure("embed_near_dup_lsh", embedTruth,
+    val mEmbed = measure("embed_near_dup_lsh", embedTruth,
       Similarity.embeddingNearDup(vecs, dim = Dim, threshold = 0.9))
     embedTruth.unpersist()
 
@@ -587,23 +605,52 @@ object ScalingBench {
       val exact = Similarity.bruteForceTopK(vecs, qs, K)
         .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
       val exactSec = (System.nanoTime() - t0) / 1e9
+      // denominator is the DEFINITION's k * n_queries, not exact.size: if
+      // brute force ever returned short lists (tiny corpus, ties), a
+      // shrunken denominator would silently inflate the reported recall
+      require(exact.size == K * nQ,
+        s"brute-force top-k returned ${exact.size} rows, expected ${K * nQ} — " +
+          "corpus too small or tie-dropping changed; the recall definition needs full lists")
       val cells = 256
       val t1 = System.nanoTime()
       val (centroids, assign) = Similarity.ivfAssign(vecs, cells, trainSampleMod = 8)
       val assignC = assign.cache(); assignC.count()
       val trainSec = (System.nanoTime() - t1) / 1e9
+      var recallAt32 = 0.0
       for (nProbe <- Seq(4, 8, 16, 32)) {
         val t2 = System.nanoTime()
         val got = Similarity.ivfTopK(vecs, centroids, assignC, qs, K, nProbe)
           .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
         val dt = (System.nanoTime() - t2) / 1e9
-        val rec = got.count(exact.contains).toDouble / exact.size
+        val rec = got.count(exact.contains).toDouble / (K * nQ)
+        if (nProbe == 32) recallAt32 = rec
         println(s"""{"metric":"ivf_recall","n_vecs":$nDocs,"cores":$cores,""" +
           s""""cells":$cells,"k":$K,"n_queries":$nQ,"n_probe":$nProbe,""" +
           s""""recall_at_k":$rec,"ivf_sec":$dt,"exact_sec":$exactSec,"train_sec":$trainSec}""")
       }
       assignC.unpersist()
+      require(recallAt32 >= 0.95,
+        f"RECALL GATE failed: IVF recall@$K at nProbe 32/$cells = $recallAt32%.4f < 0.95")
     }
+
+    // ---- hard gates (rounds 3/4 done-criteria, enforced forever) ----
+    def gate(m: RecallMetrics, giantTier: Boolean): Unit = {
+      require(m.crossCluster == 0L,
+        s"RECALL GATE failed: ${m.op} emitted ${m.crossCluster} cross-cluster pairs (precision)")
+      require(m.closureSmall >= 0.999 && m.recoverySmall >= 0.95,
+        f"RECALL GATE failed: ${m.op} small tier closure=${m.closureSmall}%.6f " +
+          f"recovery=${m.recoverySmall}%.4f (need >= 0.999 / 0.95)")
+      if (giantTier)
+        require(m.closureGiant >= 0.999 && m.recoveryGiant >= 0.95,
+          f"RECALL GATE failed: ${m.op} giant tier closure=${m.closureGiant}%.6f " +
+            f"recovery=${m.recoveryGiant}%.4f (need >= 0.999 / 0.95)")
+    }
+    gate(mMinhash, giantTier = true)
+    gate(mSimhash, giantTier = true)
+    gate(mEmbed, giantTier = true)
+    gate(mNgram, giantTier = false) // giant-tier 0.0 is the df cap's documented contract
+    println(s"""{"metric":"recall_gates","passed":true,"n_docs":$nDocs,""" +
+      """"gates":"giant recovery>=0.95, closure>=0.999, cross_cluster=0, ivf recall@10(nProbe32)>=0.95"}""")
 
     jaccardTruth.unpersist(); docs.unpersist(); vecs.unpersist()
     spark.stop()

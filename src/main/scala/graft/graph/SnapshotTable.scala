@@ -41,22 +41,35 @@ import scala.jdk.CollectionConverters._
   * the cache key is the commit key and the cache is the table itself.
   *
   * FILESYSTEM CONTRACT: both primitives the protocol rests on — exclusive
-  * `create(path, overwrite=false)` and atomic `rename` — hold on HDFS-
-  * semantics filesystems (HDFS, local, viewfs, ...). Object stores (S3A,
-  * GCS, ABFS, ...) emulate them (rename is copy+delete; create is not a
-  * mutual-exclusion point), so two racing writers could both win a claim
-  * and the strict-linear-history guarantee would silently break. The
-  * constructor FAILS FAST on known object-store schemes; running there
-  * needs a conditional-write commit service (e.g. an Iceberg catalog or a
-  * DynamoDB/ZooKeeper lock), not this layout.
+  * claim and atomic manifest publish — are isolated behind
+  * [[SnapshotTable.CommitBackend]]. The default backend implements them on
+  * Hadoop `create(path, overwrite=false)` and atomic `rename`, which hold
+  * on HDFS-semantics filesystems (HDFS, local, viewfs, ...). Object stores
+  * (S3A, GCS, ABFS, ...) emulate them (rename is copy+delete; create is
+  * not a mutual-exclusion point), so two racing writers could both win a
+  * claim and the strict-linear-history guarantee would silently break —
+  * the constructor FAILS FAST on known object-store schemes when using
+  * the default backend. Running on an object store means passing a
+  * backend built on a real conditional-write primitive (S3
+  * If-None-Match, DynamoDB/ZooKeeper lock, an Iceberg catalog): only
+  * these ~20 lines change, the fold/watermark/exactly-once logic above
+  * them doesn't.
   */
-final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: Int = 50) {
+final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: Int = 50,
+    backend: SnapshotTable.CommitBackend = null) {
 
-  SnapshotTable.requireAtomicCommitScheme(root)
+  // a custom backend brings its own atomicity (that is its contract), so
+  // the object-store guard applies only to the default Hadoop one — and it
+  // must fire BEFORE any filesystem access touches the scheme
+  if (backend == null) SnapshotTable.requireAtomicCommitScheme(root)
 
   private val fs: FileSystem =
     FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
   private val mapper = new ObjectMapper()
+
+  private val commitBackend: SnapshotTable.CommitBackend =
+    if (backend != null) backend
+    else new SnapshotTable.HadoopCommitBackend(fs, s"$root/meta")
 
   private def metaDir = s"$root/meta"
   private def dataDir = s"$root/data"
@@ -78,14 +91,10 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     m.schemaJson.foreach(node.put("schemaJson", _))
     val dirs = node.putArray("dataDirs")
     m.dataDirs.foreach(dirs.add)
-    val tmp = new Path(s"$metaDir/.tmp-snap-${m.snapshotId}-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
-    finally out.close()
-    // atomic publish: the id is already exclusively claimed, so the only
-    // way snap-N.json exists is this writer's completed rename
-    if (!fs.rename(tmp, manifestPath(m.snapshotId)))
-      throw new IllegalStateException(s"manifest publish failed for snapshot ${m.snapshotId}")
+    // atomic publish via the backend: the id is already exclusively
+    // claimed, so the only way snap-N.json exists is a completed publish
+    commitBackend.publish(m.snapshotId,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
   }
 
   private def readManifest(id: Long): Manifest = {
@@ -192,7 +201,7 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       spins += 1
       val parent = currentSnapshotId()
       val id = parent + 1
-      if (tryClaim(id)) {
+      if (commitBackend.tryClaim(id)) {
         val keyedTwin =
           if (op == "append") {
             val conflict = conflictsWith.getOrElse((k: String) => commitKey.contains(k))
@@ -211,7 +220,7 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
             commitKey.flatMap(k => snapshots().find(_.commitKey.contains(k)))
           else None
         if (keyedTwin.isDefined || requireParent.exists(_ != parent)) {
-          fs.delete(claimPath(id), false)
+          commitBackend.releaseClaim(id)
           newDir.foreach(d => fs.delete(new Path(d), true))
           return keyedTwin.map(_.snapshotId)
         }
@@ -242,26 +251,12 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
         "live committers — contention livelock; reduce concurrent writers")
   }
 
-  /** Exclusive claim of a snapshot id. On HDFS, create(overwrite=false)
-    * is atomic at the namenode; Hadoop's LOCAL filesystem implements it as
-    * check-then-create, which two racing writers can both pass — there the
-    * claim goes through NIO's createFile (O_CREAT|O_EXCL, kernel-atomic).
-    * Object-store schemes never reach here (constructor guard). */
-  private def tryClaim(id: Long): Boolean = {
-    val p = claimPath(id)
-    try {
-      if (fs.getScheme == "file") {
-        val local = java.nio.file.Paths.get(p.toUri.getPath)
-        java.nio.file.Files.createDirectories(local.getParent)
-        java.nio.file.Files.createFile(local)
-      } else fs.create(p, false).close()
-      true
-    } catch { case _: java.io.IOException => false }
-  }
-
   /** Delete claims that never published a manifest. ONLY safe when no
     * writer is live — an explicit operator sweep, like [[orphanDataDirs]].
-    * Returns the recovered snapshot ids. */
+    * The claim LISTING is a layout sweep over the default meta dir (a
+    * custom backend's claims may live elsewhere — sweep them with that
+    * backend's own tooling); deletion routes through the backend. Returns
+    * the recovered snapshot ids. */
   def recoverStaleClaims(): Seq[Long] = {
     val p = new Path(metaDir)
     if (!fs.exists(p)) return Nil
@@ -269,7 +264,7 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
       case n if n.startsWith("snap-") && n.endsWith(".claim") =>
         n.stripPrefix("snap-").stripSuffix(".claim").toLong
     }.filterNot(id => fs.exists(manifestPath(id))).toSeq.sorted
-    stale.foreach(id => fs.delete(claimPath(id), false))
+    stale.foreach(commitBackend.releaseClaim)
     stale
   }
 
@@ -511,7 +506,7 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
     val reclaim = expired.flatMap(_.dataDirs).distinct.filterNot(keptDirs)
     expired.foreach { m =>
       fs.delete(manifestPath(m.snapshotId), false)
-      fs.delete(claimPath(m.snapshotId), false)
+      commitBackend.releaseClaim(m.snapshotId)
     }
     reclaim.foreach(d => fs.delete(new Path(d), true))
     (expired.map(_.snapshotId), reclaim)
@@ -541,6 +536,70 @@ final class SnapshotTable(spark: SparkSession, root: String, maxClaimAttempts: I
 }
 
 object SnapshotTable {
+
+  /** The two primitives the snapshot commit protocol's atomicity rests on,
+    * and ONLY those — everything above them (keyed idempotence, tip-pinned
+    * folds, watermark bookkeeping, dirless commits) is backend-agnostic
+    * and never needs to change when the storage does.
+    *
+    *  - `tryClaim(id)`: exclusively claim snapshot id — of any number of
+    *    concurrent callers for one id, EXACTLY ONE may see true (mutual
+    *    exclusion, the linear-history serializer); a claim persists until
+    *    released (a dead claimant blocks the id, fail-stop by design —
+    *    see [[SnapshotTable.recoverStaleClaims]]).
+    *  - `publish(id, bytes)`: make the manifest for a CLAIMED id visible
+    *    ATOMICALLY at the table's `meta/snap-<id>.json` — a reader must
+    *    see the complete manifest or nothing, never a prefix.
+    *  - `releaseClaim(id)`: drop a claim (commit aborted/superseded, or
+    *    an operator stale-claim sweep).
+    *
+    * The default [[HadoopCommitBackend]] maps these to exclusive create +
+    * atomic rename (HDFS-semantics filesystems). An object-store
+    * deployment implements them on a conditional-write primitive instead
+    * — S3 `If-None-Match` puts for the claim AND the manifest put,
+    * or a DynamoDB/ZooKeeper lock for the claim with a plain put for the
+    * manifest (safe because only the claim winner ever writes that
+    * manifest path) — and passes the instance to [[SnapshotTable]]'s
+    * constructor, which then skips the filesystem-scheme guard. */
+  trait CommitBackend {
+    def tryClaim(id: Long): Boolean
+    def releaseClaim(id: Long): Unit
+    def publish(id: Long, manifestBytes: Array[Byte]): Unit
+  }
+
+  /** Default backend: exclusive create for claims, tmp-write + atomic
+    * rename for manifest publish. On HDFS, create(overwrite=false) is
+    * atomic at the namenode; Hadoop's LOCAL filesystem implements it as
+    * check-then-create, which two racing writers can both pass — there
+    * the claim goes through NIO's createFile (O_CREAT|O_EXCL,
+    * kernel-atomic). Object-store schemes never reach here (constructor
+    * guard in [[SnapshotTable]]). */
+  final class HadoopCommitBackend(fs: FileSystem, metaDir: String) extends CommitBackend {
+    private def claimPath(id: Long) = new Path(s"$metaDir/snap-$id.claim")
+
+    def tryClaim(id: Long): Boolean = {
+      val p = claimPath(id)
+      try {
+        if (fs.getScheme == "file") {
+          val local = java.nio.file.Paths.get(p.toUri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.createFile(local)
+        } else fs.create(p, false).close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+    def releaseClaim(id: Long): Unit = fs.delete(claimPath(id), false)
+
+    def publish(id: Long, manifestBytes: Array[Byte]): Unit = {
+      val tmp = new Path(s"$metaDir/.tmp-snap-$id-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(manifestBytes)
+      finally out.close()
+      if (!fs.rename(tmp, new Path(s"$metaDir/snap-$id.json")))
+        throw new IllegalStateException(s"manifest publish failed for snapshot $id")
+    }
+  }
 
   final case class Manifest(
       snapshotId: Long,

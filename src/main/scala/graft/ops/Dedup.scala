@@ -25,11 +25,15 @@ object Dedup {
   /** Re-arm the per-JVM warn cap — called at every pair-generation entry
     * point so each OP INVOCATION gets its first few per-bucket
     * diagnostics (an earlier noisy job must not silence a later unrelated
-    * one for the JVM's lifetime). Driver-side reset reaches executors in
-    * local mode (one JVM); on a cluster each executor JVM's cap re-arms
-    * on its first task of the new job's stage only if that JVM was fresh —
-    * the executor-local caps stay a log-noise valve, totals are always in
-    * the accumulators. */
+    * one for the JVM's lifetime). The per-op-invocation property is a
+    * LOCAL-MODE guarantee only (driver and executors share one JVM, so
+    * the reset reaches the counter the tasks increment); on a cluster the
+    * driver-side reset never reaches long-lived executor JVMs, so there
+    * the cap degrades to once-per-executor-LIFETIME — an executor that
+    * exhausted it in an earlier job emits only the suppression notice for
+    * later ops. That is an accepted trade: the caps are purely a log-noise
+    * valve, and the authoritative totals are always in the
+    * `oversizedBuckets` accumulators, which are per-op by construction. */
   private[graft] def resetOversizedWarnCap(): Unit = oversizedWarnCount.set(0)
 
   private[graft] def warnOversized(msg: => String): Unit = {
@@ -101,6 +105,16 @@ object Dedup {
     * j ~ 0.6.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * `rowCount` is an optional hint for the thin-vs-wide decision below:
+    * when >= 0 it is trusted as the corpus row count and NO counting job
+    * runs — callers reading a snapshot table get it for free from
+    * `Manifest.rows`, and at 100 TB the alternative is a whole extra scan
+    * of the corpus (with the signature projection attached) just to learn
+    * one long. Unhinted (default -1) the op counts once itself. The hint
+    * only steers the shuffle-shape choice; both shapes emit identical
+    * pairs (pinned in OpsSpec), so a stale hint can cost a suboptimal
+    * plan, never a wrong answer.
     */
   def minhashLsh(
       df: DataFrame,
@@ -110,7 +124,8 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.7,
-      maxBucketSize: Int = 64
+      maxBucketSize: Int = 64,
+      rowCount: Long = -1L
   ): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
@@ -129,9 +144,11 @@ object Dedup {
     // scale (executor CPU scales out; shuffle bytes are what does not),
     // but strictly slower at small n, where ONE wide shuffle carrying the
     // key arrays finishes in a single pass with oversized buckets handled
-    // in-group. One cheap count decides; both paths share
-    // [[splitBucketPairs]], so the emitted pair set is identical.
-    val wideBytes = df.count() * bands * (8L * bands + 24L)
+    // in-group. One cheap count decides (skipped when the caller hinted
+    // the row count); both paths share [[splitBucketPairs]], so the
+    // emitted pair set is identical.
+    val n = if (rowCount >= 0L) rowCount else df.count()
+    val wideBytes = n * bands * (8L * bands + 24L)
     val pairs =
       if (wideBytes <= WideShuffleBudgetBytes) bucketPairsWide(keysDf, maxBucketSize)
       else bucketPairsThin(keysDf, bands, maxBucketSize)
@@ -599,7 +616,15 @@ object Dedup {
     * the BANDING guarantees (band count grows combinatorially with it);
     * verification distances in (bandHamming, maxHamming] are still found
     * whenever any band collides — the classic probabilistic LSH regime —
-    * just no longer with certainty. */
+    * just no longer with certainty.
+    *
+    * `rowCount` (>= 0) short-circuits the adaptive-sizing count the same
+    * way as [[minhashLsh]]'s hint: snapshot-table callers pass
+    * `Manifest.rows` for free instead of paying a full corpus scan to
+    * learn one long. The hint only sizes the block count; any value in
+    * the right order of magnitude yields the same m, and a wrong m costs
+    * bucket pressure (handled loudly by star + re-band), never wrong
+    * pairs. Ignored when `blocks` is forced. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -607,13 +632,16 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 64,
       blocks: Int = 0,
-      bandHamming: Int = 3
+      bandHamming: Int = 3,
+      rowCount: Long = -1L
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     resetOversizedWarnCap()
     val oversized = spark.sparkContext.longAccumulator("graft.dedup.oversizedBuckets.simhash")
-    val m = if (blocks > 0) blocks else adaptiveSimhashBlocks(df.count(), bandHamming)
+    val m =
+      if (blocks > 0) blocks
+      else adaptiveSimhashBlocks(if (rowCount >= 0L) rowCount else df.count(), bandHamming)
     val nBands = simhashCombos(m, m - bandHamming).length
     // native codegen expression: the scan+hash projection stays inside
     // WholeStageCodegen instead of a Dataset.map's object round-trip
@@ -657,6 +685,18 @@ object Dedup {
     * Jaccard is a deterministic lower bound — identical on any engine that
     * applies the same cap (the DuckDB oracle mirrors it). `maxShingleDf <=
     * 0` disables the cap (exact Jaccard).
+    *
+    * ENVELOPE: the cap's contract is "stop-shingle suppression", which
+    * assumes dropped groups are a sliver of any one document's shingle
+    * mass. A corpus of large clone piles breaks that assumption — EVERY
+    * shingle of a pile member exceeds the df cap, its pairs silently
+    * collapse to the documented 0.0, and the right tool is [[minhashLsh]]
+    * (star-connected, closure-lossless). Dropped groups are therefore
+    * reported loudly: counted in the `graft.dedup.ngramDroppedGroups`
+    * accumulator and warned per group under the usual per-JVM cap; and
+    * [[ngramDroppedFraction]] gives the per-document envelope check (the
+    * fraction of a doc's shingles that fall in dropped groups) for
+    * corpora where the warns fire at volume.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -668,6 +708,8 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    resetOversizedWarnCap()
+    val droppedAcc = spark.sparkContext.longAccumulator("graft.dedup.ngramDroppedGroups")
     // each (id, shingle) row carries the doc's distinct-shingle count, so
     // set sizes ride the one posting-list shuffle — no separate `sizes`
     // aggregation, no back-joins, and (crucially at scale) no persisted
@@ -686,10 +728,15 @@ object Dedup {
     // so pair fan-out per group is bounded by cap^2/2
     shingled.as[(Long, String, Int)]
       .groupByKey(_._1)
-      .flatMapGroups { (_: Long, it: Iterator[(Long, String, Int)]) =>
+      .flatMapGroups { (shingle: Long, it: Iterator[(Long, String, Int)]) =>
         val members = it.map(r => (r._2, r._3)).toArray
-        if (maxShingleDf > 0 && members.length > maxShingleDf) Iterator.empty
-        else {
+        if (maxShingleDf > 0 && members.length > maxShingleDf) {
+          droppedAcc.add(1L)
+          warnOversized(s"shingle $shingle df ${members.length} > cap $maxShingleDf: " +
+            "dropping its pairs (docs whose shingles are mostly this common have left the " +
+            "op's envelope — see ngramDroppedFraction; use minhashLsh for clone piles)")
+          Iterator.empty
+        } else {
           java.util.Arrays.sort(members, Ordering.by((m: (String, Int)) => m._1))
           for { i <- members.indices.iterator; j <- (i + 1) until members.length }
             yield (members(i)._1, members(j)._1, members(i)._2, members(j)._2)
@@ -701,6 +748,42 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Per-document envelope check for [[ngramJaccardPairs]]'s df cap:
+    * (id, total_shingles, dropped_shingles, dropped_fraction), where
+    * `dropped_fraction` is the share of the doc's DISTINCT shingles that
+    * fall in posting groups over `maxShingleDf` — i.e. the fraction of
+    * its similarity evidence the capped op cannot see. Docs near 1.0 are
+    * clone-pile members whose pairs the cap drops whole (the documented
+    * giant-tier 0.0); a corpus where this mass is non-trivial should run
+    * [[minhashLsh]] instead. Two shuffles (df counts + per-doc agg), both
+    * on uniform hash keys — a diagnostic you run on a sample or when the
+    * `ngramDroppedGroups` accumulator/warns fire at volume, not inside
+    * the dedup job itself. */
+  def ngramDroppedFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      maxShingleDf: Int = 100
+  ): DataFrame = {
+    require(maxShingleDf > 0, "the envelope check needs a positive df cap")
+    val shingled = df
+      .select(col(idCol).cast("string").as("id"),
+        ShingleSet.col(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val dropped = shingled.groupBy("shingle")
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") > maxShingleDf)
+      .select("shingle")
+    shingled
+      .join(dropped.withColumn("is_dropped", lit(1)), Seq("shingle"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("total_shingles"),
+        sum(coalesce(col("is_dropped"), lit(0))).as("dropped_shingles"))
+      .withColumn("dropped_fraction",
+        col("dropped_shingles") / col("total_shingles"))
   }
 
   /** Benchmark DECONTAMINATION: flag corpus documents sharing at least
@@ -724,6 +807,21 @@ object Dedup {
     * driver memory (the [[bucketPairsThin]] bounded-driver-state
     * pattern). Both paths share the same shingle kernels and are pinned
     * identical in OpsSpec.
+    *
+    * MEMORY CONTRACT of the broadcast path: at the bound the sorted array
+    * is 8 bytes/hash — the default `maxBenchShingles` = 10M admits at
+    * most ~80 MB on the driver AND on each executor, an eval-set-sized
+    * payload by design (a benchmark that genuinely exceeds it belongs on
+    * the join path; raise the bound explicitly if you have the headroom).
+    * BROADCAST LIFETIME: the broadcast is captured by the returned plan's
+    * closure, so it lives as long as the caller holds (or Spark caches)
+    * that DataFrame — an explicit destroy() here would break the
+    * still-lazy plan. A long-lived driver invoking this repeatedly does
+    * NOT accumulate them forever: once the returned frame and its query
+    * executions are unreachable, Spark's ContextCleaner reference-tracks
+    * the broadcast and reclaims its driver + executor blocks like any
+    * other GC'd broadcast. Callers that want eager reclamation can simply
+    * drop the frame after their action.
     */
   /** Distinct word-n-gram shingle hashes of a (static) benchmark set —
     * the relation both decontamination paths and the streaming twin
@@ -767,7 +865,7 @@ object Dedup {
       benchTextCol: String,
       n: Int = 8,
       minHits: Int = 1,
-      maxBenchShingles: Long = 50000000L
+      maxBenchShingles: Long = 10000000L
   ): DataFrame = {
     require(n >= 1, "shingle size must be >= 1")
     require(minHits >= 1, "minHits must be >= 1")
@@ -802,21 +900,39 @@ object Dedup {
       // bounded state
       benchShingles.unpersist(blocking = false)
       val benchDf = benchShingles.toDF("shingle")
-      // row_key separates corpus rows that share an id: the broadcast path
-      // emits one output row per corpus ROW, and the two paths are
-      // contractually identical (pinned in OpsSpec incl. duplicate ids)
-      corpus
+      // The broadcast path emits one output row per corpus ROW, and the
+      // two paths are contractually identical (pinned in OpsSpec incl.
+      // duplicate ids) — so corpus rows sharing an id must stay separate
+      // here. A synthetic row number (monotonically_increasing_id) is
+      // NONDETERMINISTIC under task retry/speculation — a partially
+      // recomputed scan re-keys rows, splitting or double-counting hit
+      // groups on exactly the 10^12-row runs where retries are routine —
+      // so the key is the DETERMINISTIC (id, md5(text)) instead, with
+      // identical (id, text) rows collapsed into one group carrying their
+      // multiplicity: such rows have identical hits by construction, each
+      // contributes the same distinct-shingle set to the join (so the
+      // group's post-join count = mult x hits, recovered by exact integer
+      // division), and the output re-expands to one row per corpus row.
+      val keyed = corpus
         .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
-        .withColumn("row_key", monotonically_increasing_id())
-        .as[(String, String, Long)]
-        .flatMap { case (id, t, rk) =>
-          Hashing.sortedDistinct(Hashing.wordShingles(t, n)).iterator.map(h => (rk, id, h))
+        .withColumn("tkey", md5(col("text")))
+      // multiplicity of identical (id, text) rows: a thin (id, 32-char
+      // md5) shuffle — no text, no shingles
+      val mult = keyed.groupBy("id", "tkey").agg(count(lit(1)).as("mult"))
+      val totals = keyed
+        .select(col("id"), col("tkey"), col("text"))
+        .as[(String, String, String)]
+        .flatMap { case (id, tk, t) =>
+          Hashing.sortedDistinct(Hashing.wordShingles(t, n)).iterator.map(h => (id, tk, h))
         }
-        .toDF("row_key", "id", "shingle")
+        .toDF("id", "tkey", "shingle")
         .join(benchDf, "shingle")
-        .groupBy("row_key", "id")
-        .agg(count(lit(1)).as("hits"))
+        .groupBy("id", "tkey")
+        .agg(count(lit(1)).as("total"))
+      totals.join(mult, Seq("id", "tkey")) // totals is contaminated-docs-sized: AQE broadcasts it
+        .withColumn("hits", (col("total") / col("mult")).cast("long"))
         .filter(col("hits") >= minHits)
+        .select(col("id"), col("hits"), explode(sequence(lit(1L), col("mult"))).as("_copy"))
         .select(col("id").as(idCol), col("hits"))
     }
   }

@@ -71,15 +71,18 @@ object StreamingJobs {
     * that grows. A benchmark over `maxBenchShingles` distinct hashes is
     * refused with a named error (the batch op's shuffle-join fallback
     * would be a stateful streaming aggregation; an eval set that cannot
-    * broadcast is not an eval set). Output: (doc_id, hits) for flagged
-    * docs, append-mode friendly. */
+    * broadcast is not an eval set). The default bound matches the batch
+    * op's: 10M hashes = ~80 MB resident on the driver and each executor
+    * for the query's whole lifetime (a streaming broadcast is never
+    * reclaimed while the query runs) — raise it only with that headroom.
+    * Output: (doc_id, hits) for flagged docs, append-mode friendly. */
   def decontaminateStream(
       docs: DataFrame, // streaming (doc_id, text, ...)
       benchmark: DataFrame, // STATIC
       benchTextCol: String,
       n: Int = 8,
       minHits: Int = 1,
-      maxBenchShingles: Long = 50000000L
+      maxBenchShingles: Long = 10000000L
   ): DataFrame = {
     require(!benchmark.isStreaming, "the benchmark side must be a static DataFrame")
     val spark = docs.sparkSession

@@ -786,4 +786,47 @@ class OpsSpec extends AnyFunSuite {
     val frTotal = rows.count(_._2 == "fr")
     assert(math.abs(byLang("fr") - frTotal * 0.2) < frTotal * 0.08)
   }
+
+  test("rowCount hint changes no pairs (minhash thin/wide forced by hint; simhash sizing)") {
+    val df = docsDf(docs)
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val mhUnhinted = pairSet(Dedup.minhashLsh(df, "id", "text", threshold = 0.5))
+    // exact hint: same (wide) path, no counting job by construction
+    assert(pairSet(Dedup.minhashLsh(df, "id", "text", threshold = 0.5,
+      rowCount = docs.length.toLong)) == mhUnhinted)
+    // huge hint forces the THIN two-phase on a tiny corpus — parity across
+    // the hint-steered plan shapes (a stale hint can cost a plan, never pairs)
+    assert(pairSet(Dedup.minhashLsh(df, "id", "text", threshold = 0.5,
+      rowCount = 10000000000L)) == mhUnhinted)
+    val shUnhinted = pairSet(Dedup.simhashPairs(df, "id", "text", maxHamming = 3))
+    assert(pairSet(Dedup.simhashPairs(df, "id", "text", maxHamming = 3,
+      rowCount = docs.length.toLong)) == shUnhinted)
+    // huge hint grows the adaptive block count; block-combination banding
+    // keeps full recall at the banded radius, so the verified set is equal
+    assert(pairSet(Dedup.simhashPairs(df, "id", "text", maxHamming = 3,
+      rowCount = 4000000000L)) == shUnhinted)
+  }
+
+  test("ngramDroppedFraction reports the per-doc df-cap envelope") {
+    // 5 docs all sharing the shingle window "common alpha beta"; with cap 3
+    // that group (df=5) drops. Docs 0..3 are ONLY that shingle (fraction
+    // 1.0 — clone-pile regime); doc 4 adds 3 unique shingles (fraction 0.25).
+    val rows = Seq(
+      0L -> "common alpha beta",
+      1L -> "common alpha beta",
+      2L -> "common alpha beta",
+      3L -> "common alpha beta",
+      4L -> "common alpha beta gamma delta epsilon")
+    val out = Dedup.ngramDroppedFraction(docsDf(rows), "id", "text",
+      shingleSize = 3, maxShingleDf = 3)
+      .collect().map(r => (r.getString(0).toLong,
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    for (i <- 0L to 3L) assert(out(i) == ((1L, 1L, 1.0)))
+    assert(out(4L) == ((4L, 1L, 0.25)))
+    // and the capped pair op drops the clone pile whole — the envelope
+    // the diagnostic exists to flag
+    assert(Dedup.ngramJaccardPairs(docsDf(rows), "id", "text",
+      shingleSize = 3, threshold = 0.01, maxShingleDf = 3).count() == 0L)
+  }
 }

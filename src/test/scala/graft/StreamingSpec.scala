@@ -364,4 +364,39 @@ class StreamingSpec extends AnyFunSuite {
     // the first session of user 1 closed by the 20-minute gap
     assert(rows == Set((1L, 2L, 3.0)))
   }
+
+  test("stratified sampling is streaming-safe: per-batch decisions match batch, nested") {
+    // Sampling.stratifiedSample is a stateless codegen'd filter, so it
+    // must apply to a streaming DataFrame UNCHANGED — the property that
+    // lets one sampling policy govern a batch corpus and its streaming
+    // ingest without a second implementation. Decisions are pure
+    // per-(id, salt), so micro-batch boundaries cannot move them.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Sampling
+    val fractions = Map("en" -> 0.6, "de" -> 0.2)
+    val rows = (0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+
+    def run(name: String, fracs: Map[String, Double], default: Double): Set[Long] = {
+      val stream = MemoryStream[(Long, String)]
+      val out = Sampling.stratifiedSample(
+        stream.toDF().toDF("id", "lang"), "id", "lang", fracs, default, "salt-r5")
+      val query = out.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      // three micro-batches: the kept set must be batch-boundary-invariant
+      rows.grouped(200).foreach { chunk => stream.addData(chunk); query.processAllAvailable() }
+      query.stop()
+      spark.table(name).collect().map(_.getLong(0)).toSet
+    }
+
+    val streamed = run("stream_sample", fractions, 0.1)
+    val batch = Sampling.stratifiedSample(
+      spark.createDataset(rows).toDF("id", "lang"), "id", "lang", fractions, 0.1, "salt-r5")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // nestedness survives the streaming runtime: smaller fractions are a
+    // subset draw of larger ones at the same salt, across micro-batches
+    val streamedWider = run("stream_sample_wide", Map("en" -> 0.9, "de" -> 0.5), 0.4)
+    assert(streamed.subsetOf(streamedWider))
+  }
 }
