@@ -4,7 +4,7 @@ import graft.datagen.{CorpusGen, DemoOntology}
 import graft.graph.{ConnectedComponents, XrefManager}
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.run.{Artifacts, KgPipeline, Stages}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -388,6 +388,18 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
         TextAnalysis.tokenCountBpeish(col("text")).cast("long").as("n_tokens_bpeish"))
 
+  /** Gopher-style repetition-quality signals per doc — computed zero-shuffle
+    * (sorted-run-length mode counts inside one task per row); the DuckDB
+    * oracle recomputes the same mode counts via unnest + GROUP BY, a
+    * genuinely independent implementation. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    TextAnalysis.repetitionColumns(col("text"))
+      .foldLeft(df.select(col("doc_id"), col("text"))) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }.drop("text")
+  }
+
   // ------------------------------------------------------- multimodal ----
 
   def mmMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
@@ -494,6 +506,64 @@ object SparkEntry {
   /** Batch analog of a tumbling-window streaming aggregation (the events
     * table is the stream source; Structured Streaming uses the same
     * window() expression — see graft.streaming). */
+  /** As-of join: every purchase paired with the user's most recent
+    * at-or-before click (left-outer — purchases with no prior click keep
+    * null click columns). ONE shuffle on user_id via ops.AsOf — no range
+    * join, no broadcast requirement; DuckDB verifies with its NATIVE
+    * `ASOF LEFT JOIN` operator, a fully independent implementation. */
+  def q9AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    graft.ops.AsOf.asofJoin(purchases, clicks,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("event_id", "value"), rightTiebreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").cast("long").as("ts_sec"),
+        col("asof_ts").cast("timestamp").cast("long").as("click_ts_sec"),
+        (col("ts").cast("timestamp").cast("long") -
+          col("asof_ts").cast("timestamp").cast("long")).as("gap_sec"),
+        col("asof_event_id").as("click_event_id"),
+        col("asof_value").as("click_value"))
+  }
+
+  /** Strict-sequence funnel (view -> click within 24 h -> purchase within
+    * 24 h) per user, counted by furthest stage reached. Spark computes it
+    * the streaming-friendly way — ONE shuffle on user_id, per-user
+    * time-sorted fold (sort_array + aggregate HOF carrying (stage,
+    * stage-entry ts), no second pass); the oracle recomputes it as three
+    * chained min-ts joins, an independent formulation of the same semantics
+    * (the first eligible event in time order IS the min eligible, and
+    * in-bound events always precede out-of-bound ones, so greedy == min).
+    * Per-user state is that user's event list — bounded by per-key
+    * activity, the same envelope as any sessionizer. Timestamp arithmetic
+    * stays at full microsecond precision on both sides (INTERVAL, not an
+    * epoch-seconds truncation) so boundary decisions can never diverge. */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val day = expr("INTERVAL 24 HOURS")
+    val step = (acc: Column, x: Column) => {
+      val ty = x.getField("event_type")
+      val ts = x.getField("ts")
+      val stage = acc.getField("stage")
+      val since = acc.getField("since")
+      val advance = (s: Int, t: Column) => struct(lit(s).as("stage"), t.as("since"))
+      when(stage === 0 && ty === "view", advance(1, ts))
+        .when(stage === 1 && ty === "click" && ts <= since + day, advance(2, ts))
+        .when(stage === 2 && ty === "purchase" && ts <= since + day, advance(3, ts))
+        .otherwise(acc)
+    }
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("seq"))
+      .select(aggregate(col("seq"),
+        struct(lit(0).as("stage"), lit(null).cast("timestamp").as("since")),
+        step, acc => acc.getField("stage")).cast("long").as("funnel_stage"))
+      .groupBy("funnel_stage")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def eventsWindowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -529,6 +599,7 @@ object SparkEntry {
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
+    "text_repetition" -> textRepetition,
     "text_simhash" -> textSimhash,
     "text_decontaminate" -> decontaminate,
     "sample_stratified" -> sampleStratified,
@@ -541,6 +612,8 @@ object SparkEntry {
     "q6_window_running" -> q6WindowRunning,
     "q7_quality_dedup" -> q7QualityDedup,
     "q8_sessionize" -> q8Sessionize,
+    "q9_asof_join" -> q9AsofJoin,
+    "events_funnel" -> eventsFunnel,
     "events_windowed_agg" -> eventsWindowedAgg
   )
 
@@ -810,6 +883,59 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
         |       count(*) AS n,
         |       CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // DuckDB's NATIVE ASOF JOIN operator — a fully independent
+    // implementation of the temporal-join semantics the Spark side builds
+    // from union + window carry.
+    "q9_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_sec,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_sec,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec,
+        |       c.event_id AS click_event_id,
+        |       c.value AS click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // Independent formulation: three chained min-ts joins instead of the
+    // Spark side's single sorted fold.
+    "events_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS cts FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vts
+        |        AND e.ts <= v.vts + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pts FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts
+        |        AND e.ts <= c.cts + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |st AS (SELECT u.user_id,
+        |       CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+        |       FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |              LEFT JOIN c ON u.user_id = c.user_id
+        |              LEFT JOIN p ON u.user_id = p.user_id)
+        |SELECT CAST(funnel_stage AS BIGINT) AS funnel_stage, count(*) AS n_users
+        |FROM st GROUP BY funnel_stage""".stripMargin,
+    // Independent mode-count computation: unnest + GROUP BY count vs the
+    // Spark side's sorted-run-length (maxMultiplicity).
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |                CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM toks),
+        |uni AS (SELECT doc_id, max(c) AS top_uni FROM (
+        |          SELECT doc_id, u.tok AS tok, count(*) AS c
+        |          FROM toks, unnest(t) AS u(tok) GROUP BY doc_id, tok) GROUP BY doc_id),
+        |big AS (SELECT doc_id, max(c) AS top_big FROM (
+        |          SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, count(*) AS c
+        |          FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+        |          GROUP BY doc_id, bg) GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |       1.0 - (CAST(n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)) AS dup_token_frac,
+        |       CAST(uni.top_uni AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS top_unigram_frac,
+        |       CASE WHEN b.n_tokens >= 2
+        |            THEN CAST(big.top_big AS DOUBLE) / CAST(b.n_tokens - 1 AS DOUBLE)
+        |            ELSE 0.0 END AS top_bigram_frac
+        |FROM base b JOIN uni USING(doc_id) LEFT JOIN big USING(doc_id)""".stripMargin
   )
 }

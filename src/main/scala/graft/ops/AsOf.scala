@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (temporal) join: for every left row, attach the payload
+  * of the right row with the greatest right timestamp at-or-before (or, with
+  * `strict`, strictly-before) the left row's timestamp, within the same join
+  * key — the "last quote before each trade" / "last click before each
+  * purchase" primitive.
+  *
+  * Plan shape (the 100 TB-correct one): project both sides to
+  * key+ts+payload, union, ONE hash shuffle on the key, an in-partition sort
+  * by (ts, side, tiebreak), and a running last-non-null carry. No range
+  * join (which explodes to |L|x|R| candidate pairs per key before
+  * filtering), no per-row probe, no broadcast requirement on either side —
+  * a single shuffle of each side keyed by the join key is the floor for a
+  * keyed temporal join. AQE handles moderate key skew by splitting
+  * oversized partitions BETWEEN keys; a single pathological key still
+  * serializes into one task (window semantics require a per-key total
+  * order) — shard such keys upstream (e.g. sessionize first) if one key's
+  * rows exceed a partition.
+  */
+object AsOf {
+
+  /** @param left           rows to enrich (all its columns pass through)
+    * @param right          rows supplying the carried payload
+    * @param keys           equi-join key columns (present on both sides)
+    * @param leftTs         left ordering column name
+    * @param rightTs        right ordering column name (same orderable type)
+    * @param payload        right columns to carry (output as `asof_<name>`;
+    *                       the matched right timestamp lands as
+    *                       `asof_<rightTs>`); unmatched left rows keep all
+    *                       `asof_*` columns null (left-outer semantics)
+    * @param rightTiebreak  extra right columns ordering ties when several
+    *                       right rows share (keys, rightTs) — the LAST row
+    *                       in this order wins; pass a unique id for a
+    *                       deterministic result under any partitioning
+    * @param strict         false: match rightTs <= leftTs (inclusive);
+    *                       true: match rightTs < leftTs
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTiebreak: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoin requires at least one key column")
+    val outTs = s"asof_$rightTs"
+    val outPayload = payload.map(p => s"asof_$p")
+    val tbCols = rightTiebreak.indices.map(i => s"__tb_$i")
+
+    // The carried payload rides as ONE struct: it is non-null for every
+    // right row, so a genuinely-null payload VALUE cannot make the last()
+    // carry skip back to an older right row.
+    val rStruct = struct(
+      (col(rightTs).as(outTs) +: payload.map(p => col(p).as(s"asof_$p"))): _*)
+
+    // Inclusive: right sorts BEFORE left at equal ts, so an equal-ts right
+    // row is visible to the left row's carry. Strict: left before right,
+    // so it is not.
+    val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
+
+    // Left rows ride whole as a struct (restored after the window), so the
+    // operator is schema-agnostic and never collides with right columns.
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val lSide = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(leftTag).as("__side") :+
+        struct(left.columns.map(col): _*).as("__lrow") :+
+        lit(null).cast(rType).as("__r")) ++
+        tbCols.map(a => lit(null).cast("string").as(a)): _*)
+    val lRowType = lSide.schema("__lrow").dataType
+    val rSide = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(rightTag).as("__side") :+
+        lit(null).cast(lRowType).as("__lrow") :+ rStruct.as("__r")) ++
+        rightTiebreak.zip(tbCols).map { case (c, a) => col(c).cast("string").as(a) }: _*)
+
+    // Tiebreak columns order equal-(ts, side) right rows; their nulls on
+    // left rows are inert because the side tag already differs.
+    val order: Seq[Column] =
+      col("__ts").asc +: col("__side").asc +: tbCols.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols =
+      left.columns.toSeq.map(c => col("__lrow").getField(c).as(c)) ++
+        (outTs +: outPayload).map(c => col("__carry").getField(c).as(c))
+    lSide.unionByName(rSide)
+      .withColumn("__carry", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === leftTag && col("__lrow").isNotNull)
+      .select(outCols: _*)
+  }
+}

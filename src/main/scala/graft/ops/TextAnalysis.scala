@@ -91,6 +91,48 @@ object TextAnalysis {
   def withQuality(df: DataFrame, textCol: String): DataFrame =
     qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
 
+  /** Max multiplicity of any element in a string array, computed ZERO-SHUFFLE
+    * as the longest equal-run of the sorted array (equal strings are
+    * adjacent after array_sort regardless of collation, so max run length ==
+    * max group count). O(n log n) per row, all inside one task — the
+    * 100 TB-right plan for per-doc signals is embarrassing parallelism, not
+    * an explode + groupBy whose shuffle volume is the token count of the
+    * corpus. */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev").isNotNull && (x === acc.getField("prev")),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1-style filters,
+    * token-fraction variant): duplicate-token fraction, top-unigram
+    * fraction, top-bigram fraction. Single-space tokenization so the DuckDB
+    * oracle (string_split + unnest + GROUP BY count — a genuinely
+    * independent computation of the same mode counts) reproduces every
+    * value bit-for-bit; all fractions are single IEEE divisions of exact
+    * integer counts. Entirely map-side: no shuffle at any corpus size. */
+  def repetitionColumns(textCol: Column): Seq[(String, Column)] = {
+    val toks = split(textCol, " ")
+    val n = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val bigrams = zip_with(
+      slice(toks, lit(1), (n - 1L).cast("int")),
+      slice(toks, lit(2), (n - 1L).cast("int")),
+      (a, b) => concat(a, lit(" "), b))
+    Seq(
+      "n_tokens" -> n,
+      "dup_token_frac" -> (lit(1.0) - nDistinct.cast("double") / n.cast("double")),
+      "top_unigram_frac" -> (maxMultiplicity(toks).cast("double") / n.cast("double")),
+      "top_bigram_frac" -> when(n >= 2L,
+        maxMultiplicity(bigrams).cast("double") / (n - 1L).cast("double"))
+        .otherwise(lit(0.0)))
+  }
+
   /** Rolling polynomial fingerprint (Rabin-style) of the normalized text —
     * the non-cryptographic doc fingerprint. Pure Scala (used via Dataset
     * map), exact counterpart tested against Cleanup.normalizedFingerprint

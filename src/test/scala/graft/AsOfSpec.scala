@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{AsOf, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join semantics + the round-5 per-doc repetition signals + the
+  * time-bounded funnel fold. */
+class AsOfSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  private def trades: DataFrame = Seq(
+    (1L, "A", ts(100)),
+    (2L, "A", ts(205)), // exactly at quote q3's ts — inclusive vs strict
+    (3L, "A", ts(50)),  // before any quote: no match
+    (4L, "B", ts(100))  // other key: must not see A's quotes
+  ).toDF("trade_id", "sym", "ts")
+
+  private def quotes: DataFrame = Seq(
+    (10L, "A", ts(90), 1.0),
+    (11L, "A", ts(99), 2.0),
+    (12L, "A", ts(205), 3.0),
+    (13L, "B", ts(95), 9.0)
+  ).toDF("quote_id", "sym", "qts", "px")
+
+  test("asofJoin: inclusive picks at-or-before, strict picks strictly-before") {
+    val inc = AsOf.asofJoin(trades, quotes, Seq("sym"), "ts", "qts",
+      payload = Seq("quote_id", "px"), rightTiebreak = Seq("quote_id"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(inc(1L) == (Some(11L), Some(2.0)))  // 99 <= 100, latest
+    assert(inc(2L) == (Some(12L), Some(3.0)))  // equal ts matches inclusively
+    assert(inc(3L) == (None, None))            // left-outer: no prior quote
+    assert(inc(4L) == (Some(13L), Some(9.0)))  // keyed: B sees only B
+
+    val str = AsOf.asofJoin(trades, quotes, Seq("sym"), "ts", "qts",
+      payload = Seq("quote_id"), rightTiebreak = Seq("quote_id"), strict = true)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(str(2L) == Some(11L)) // equal-ts quote 12 excluded under strict
+    assert(str(1L) == Some(11L))
+  }
+
+  test("asofJoin: equal-(key, ts) right rows resolve by tiebreak, deterministically") {
+    val l = Seq((1L, "A", ts(200))).toDF("trade_id", "sym", "ts")
+    val r = Seq((20L, "A", ts(150), 1.0), (21L, "A", ts(150), 2.0))
+      .toDF("quote_id", "sym", "qts", "px")
+    def run(rr: DataFrame) =
+      AsOf.asofJoin(l, rr, Seq("sym"), "ts", "qts", Seq("quote_id", "px"),
+        rightTiebreak = Seq("quote_id"))
+        .collect().map(r => (r.getLong(4), r.getDouble(5))).toSet
+    // LAST in tiebreak order wins; invariant under right-side partitioning
+    assert(run(r) == Set((21L, 2.0)))
+    assert(run(r.repartition(7)) == Set((21L, 2.0)))
+    assert(run(r.repartition(1)) == Set((21L, 2.0)))
+  }
+
+  test("asofJoin: partitioning-invariant and one hash Exchange per side (no range join)") {
+    val out = AsOf.asofJoin(trades, quotes, Seq("sym"), "ts", "qts", Seq("px"))
+    val out7 = AsOf.asofJoin(trades.repartition(7), quotes.repartition(3),
+      Seq("sym"), "ts", "qts", Seq("px"))
+    assert(out.collect().map(_.toString).sorted.toSeq ==
+      out7.collect().map(_.toString).sorted.toSeq)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // union + window => hashpartitioning on the key, nothing quadratic
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("asofJoin: null payload VALUE does not skip back to an older right row") {
+    val l = Seq((1L, "A", ts(300))).toDF("id", "sym", "ts")
+    val r = Seq((1L, "A", ts(100), Some(5.0)), (2L, "A", ts(200), Option.empty[Double]))
+      .toDF("qid", "sym", "qts", "px")
+    val row = AsOf.asofJoin(l, r, Seq("sym"), "ts", "qts", Seq("qid", "px"),
+      rightTiebreak = Seq("qid")).collect().head
+    assert(row.getLong(4) == 2L) // latest right row wins even with null px
+    assert(row.isNullAt(5))     // and its null value is carried faithfully
+  }
+
+  test("repetitionColumns: hand-computed signals; maxMultiplicity == groupBy mode count") {
+    val df = Seq((1L, "a a b"), (2L, "x"), (3L, "a b a b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionColumns(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // "a a b": 3 tokens, 2 distinct, top unigram "a" x2, bigrams ["a a","a b"] top 1
+    assert(out(1L) == ((3L, 1.0 - 2.0 / 3.0, 2.0 / 3.0, 0.5)))
+    // single token: no bigrams, frac 0.0 by contract
+    assert(out(2L) == ((1L, 0.0, 1.0, 0.0)))
+    // "a b a b a": 5 tokens, top unigram a x3, bigrams [ab,ba,ab,ba] top 2/4
+    assert(out(3L) == ((5L, 1.0 - 2.0 / 5.0, 3.0 / 5.0, 0.5)))
+
+    // independent check on a longer corpus: sorted-run-length == explode+groupBy
+    val docs = (0L until 200L).map(i =>
+      (i, (0 to (i % 17).toInt).map(j => s"w${(i + j) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaRun = docs.select(col("doc_id"),
+      TextAnalysis.maxMultiplicity(split(col("text"), " ")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaGroup = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRun == viaGroup)
+  }
+
+  test("repetition query plan is shuffle-free (pure map-side per-doc signals)") {
+    val plan = SparkEntry.textRepetition(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("eventsFunnel: time-bounded stage transitions (boundary inclusive, order strict)") {
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    val h = 3600L
+    val rows = Seq(
+      // u1: view -> click +1h -> purchase +2h  => stage 3
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(h), 1L, "click", 0.0, "{}"),
+      (3L, ts(3 * h), 1L, "purchase", 0.0, "{}"),
+      // u2: click BEFORE view never counts; later click beyond 24h => stage 1
+      (4L, ts(0), 2L, "click", 0.0, "{}"),
+      (5L, ts(h), 2L, "view", 0.0, "{}"),
+      (6L, ts(h + 25 * h), 2L, "click", 0.0, "{}"),
+      // u3: click at EXACTLY +24h is inclusive => stage 2; purchase out of bound
+      (7L, ts(0), 3L, "view", 0.0, "{}"),
+      (8L, ts(24 * h), 3L, "click", 0.0, "{}"),
+      (9L, ts(24 * h + 25 * h), 3L, "purchase", 0.0, "{}"),
+      // u4: never views => stage 0
+      (10L, ts(0), 4L, "error", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.eventsFunnel(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 1L -> 1L, 2L -> 1L, 0L -> 1L))
+  }
+}
