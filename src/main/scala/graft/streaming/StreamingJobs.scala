@@ -414,4 +414,63 @@ object StreamingJobs {
           }
       }
   }
+
+  // ------------------------------------------------------ streaming as-of ----
+
+  /** One tagged row of the unioned as-of input stream: side 0 = right
+    * (the dimension/quote stream supplying the carried payload), side 1 =
+    * left (the fact stream being enriched). */
+  final case class AsOfRow(key: Long, ts: java.sql.Timestamp, side: Int,
+    id: Long, value: Double)
+  final case class AsOfState(lastTsMs: Long, id: Long, value: Double)
+  final case class AsOfOut(key: Long, ts: java.sql.Timestamp, id: Long,
+    asofTsMs: Option[Long], asofId: Option[Long], asofValue: Option[Double])
+
+  /** Streaming twin of `ops.AsOf.asofJoin`: enrich a fact stream with the
+    * most recent at-or-before row of a dimension stream, per key — the
+    * continuous "last quote before each trade" primitive. Keyed state is
+    * O(1): ONE (ts, payload) per key, however long the streams run — the
+    * dimension's full history is never buffered.
+    *
+    * Ordering contract (the same one every streaming as-of carries): rows
+    * may arrive in any order WITHIN a micro-batch (each batch is re-sorted
+    * by (ts, side, id) per key, right-before-left at equal ts — identical
+    * tie semantics to the batch operator), but a row older than one
+    * already processed in a PREVIOUS batch is enriched against — and can
+    * update — newer state; bound cross-batch disorder upstream with a
+    * watermark-sized trigger if the source can reorder past batch
+    * boundaries. Under per-key in-order arrival across batches the output
+    * is row-identical to the batch asofJoin (pinned in StreamingSpec).
+    *
+    * `idleTimeoutMs` > 0 evicts a key's state after that much processing-
+    * time idleness (bounded state under unbounded key churn); left rows
+    * arriving after eviction report no match, like a cold start. */
+  def asofEnrichStream(
+      rows: Dataset[AsOfRow],
+      idleTimeoutMs: Long = 0L
+  ): Dataset[AsOfOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(),
+        if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        (key: Long, batch: Iterator[AsOfRow], state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = batch.toSeq.sortBy(r => (r.ts.getTime, r.side, r.id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+            for (r <- sorted) {
+              if (r.side == 0) cur = Some(AsOfState(r.ts.getTime, r.id, r.value))
+              else out += AsOfOut(key, r.ts, r.id,
+                cur.map(_.lastTsMs), cur.map(_.id), cur.map(_.value))
+            }
+            cur.foreach(state.update)
+            if (idleTimeoutMs > 0 && state.exists) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+      }
+  }
 }

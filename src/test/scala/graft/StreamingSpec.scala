@@ -399,4 +399,47 @@ class StreamingSpec extends AnyFunSuite {
     val streamedWider = run("stream_sample_wide", Map("en" -> 0.9, "de" -> 0.5), 0.4)
     assert(streamed.subsetOf(streamedWider))
   }
+
+  test("streaming as-of enrichment == batch asofJoin under in-order batches, O(1) state") {
+    import graft.streaming.StreamingJobs.AsOfRow
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // two keys; rights (side 0) and lefts (side 1) interleaved; batch 2's
+    // rows all at-or-after batch 1's per key (the in-order contract);
+    // WITHIN each batch rows are deliberately shuffled out of time order.
+    val batch1 = Seq(
+      AsOfRow(1L, ts(80), 1, 500L, 0.0),   // left before any right: no match
+      AsOfRow(1L, ts(90), 0, 10L, 1.5),    // out of order within the batch
+      AsOfRow(1L, ts(90), 1, 501L, 0.0),   // equal ts: inclusive, sees id 10
+      AsOfRow(2L, ts(95), 0, 20L, 9.0))
+    val batch2 = Seq(
+      AsOfRow(1L, ts(200), 0, 11L, 2.5),
+      AsOfRow(1L, ts(250), 1, 502L, 0.0),  // must see id 11 (state carried)
+      AsOfRow(2L, ts(300), 1, 503L, 0.0))  // sees batch-1 right id 20
+    val stream = MemoryStream[AsOfRow]
+    val query = StreamingJobs.asofEnrichStream(stream.toDS()).writeStream
+      .format("memory").queryName("stream_asof").outputMode("append").start()
+    stream.addData(batch1); query.processAllAvailable()
+    stream.addData(batch2); query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("stream_asof")
+      .collect().map(r => (r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+
+    // batch reference: the SAME rows through ops.AsOf.asofJoin
+    val all = batch1 ++ batch2
+    val left = all.filter(_.side == 1).map(r => (r.id, r.key, r.ts)).toDF("id", "key", "ts")
+    val right = all.filter(_.side == 0).map(r => (r.id, r.key, r.ts, r.value))
+      .toDF("rid", "key", "rts", "value")
+    val batch = graft.ops.AsOf.asofJoin(left, right, Seq("key"), "ts", "rts",
+      payload = Seq("rid", "value"), rightTiebreak = Seq("rid"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // the no-match left row really is unmatched, the carry really carried
+    assert(streamed.contains((500L, None, None)))
+    assert(streamed.contains((502L, Some(11L), Some(2.5))))
+  }
 }
