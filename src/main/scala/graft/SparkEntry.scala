@@ -564,6 +564,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Distributed EXACT per-group quantiles (p50/p90/p99 of event value) via
+    * ops.Quantiles — TeraSort-style range-partition + two-pass global rank,
+    * so parallelism is data-sized (a group's values stay spread across
+    * range partitions) instead of group-count-sized; the oracle recomputes
+    * the identical type-7 interpolation arithmetic over row_number ranks
+    * (cross-checked against DuckDB's native quantile_cont). */
+  def q10Quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Quantiles.groupedQuantiles(
+      spark.read.parquet(s"$sfDir/events.parquet"),
+      groupCol = "event_type", valueCol = "value", ps = Seq(0.5, 0.9, 0.99))
+
+  /** OLAP rollup: (event_type, day) -> subtotals -> grand total in one
+    * pass — Spark expands grouping sets map-side, so partial aggregation
+    * still applies; decimal sums keep the value order-free vs the oracle. */
+  def q11Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .rollup(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
+
   def eventsWindowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -613,6 +633,8 @@ object SparkEntry {
     "q7_quality_dedup" -> q7QualityDedup,
     "q8_sessionize" -> q8Sessionize,
     "q9_asof_join" -> q9AsofJoin,
+    "q10_quantiles" -> q10Quantiles,
+    "q11_rollup" -> q11Rollup,
     "events_funnel" -> eventsFunnel,
     "events_windowed_agg" -> eventsWindowedAgg
   )
@@ -917,6 +939,29 @@ object SparkEntry {
         |              LEFT JOIN p ON u.user_id = p.user_id)
         |SELECT CAST(funnel_stage AS BIGINT) AS funnel_stage, count(*) AS n_users
         |FROM st GROUP BY funnel_stage""".stripMargin,
+    // Identical type-7 interpolation arithmetic over row_number ranks —
+    // DuckDB's window rank replaces the Spark side's two-pass distributed
+    // rank, so the ranking machinery itself is independently recomputed.
+    "q10_quantiles" -> {
+      def contrib(p: Double): String = {
+        val h = s"((CAST(n AS DOUBLE)-1.0)*$p)"
+        s"sum(CASE WHEN rank = CAST(floor($h) AS BIGINT) AND rank = CAST(ceil($h) AS BIGINT) THEN v" +
+          s" WHEN rank = CAST(floor($h) AS BIGINT) THEN v*(1.0-($h - floor($h)))" +
+          s" WHEN rank = CAST(ceil($h) AS BIGINT) THEN v*($h - floor($h)) END) AS ${graft.ops.Quantiles.qName(p)}"
+      }
+      s"""WITH ranked AS (
+         |  SELECT event_type AS g, value AS v,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rank,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT g AS event_type,
+         |  ${Seq(0.5, 0.9, 0.99).map(contrib).mkString(",\n  ")}
+         |FROM ranked GROUP BY g""".stripMargin
+    },
+    "q11_rollup" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type, d)""".stripMargin,
     // Independent mode-count computation: unnest + GROUP BY count vs the
     // Spark side's sorted-run-length (maxMultiplicity).
     "text_repetition" ->

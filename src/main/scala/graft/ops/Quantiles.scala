@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT quantiles (quantile_cont / type-7 linear
+  * interpolation), computed the way that survives a 100 TB column:
+  * range-partition the values, sort within partitions, and turn
+  * per-(partition, group) counts into global rank offsets — a TeraSort-
+  * style two-pass rank. Nothing ever buffers a whole group in one task,
+  * unlike Spark's exact `percentile` aggregate (per-group value buffer) or
+  * a `Window.partitionBy(group).orderBy(value)` row_number (one task per
+  * group): here a group's values stay spread over every range partition
+  * they landed in, so parallelism is data-sized, not group-count-sized.
+  *
+  * Driver state is the per-(partition, group) count matrix —
+  * O(partitions x groups), independent of row count (the same envelope as
+  * AQE's own per-partition statistics). The quantile positions are then a
+  * SINGLE codegen'd conditional aggregation over ranked rows: each target
+  * position h = (n-1)p contributes value*(1-frac) at rank floor(h) and
+  * value*frac at rank ceil(h) — at most two rows per (group, p) survive
+  * the filter, and the final agg is one tiny shuffle.
+  */
+object Quantiles {
+
+  /** Exact per-group quantiles of `valueCol` (double) at probabilities
+    * `ps`. Output: one row per group with columns `q_<p-with-underscores>`
+    * (e.g. p=0.5 -> `q_0_5`), linear interpolation between closest ranks
+    * (identical arithmetic to DuckDB's quantile_cont / numpy type 7). */
+  def groupedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      partitions: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"probabilities must be in [0,1]: $ps")
+    val spark = df.sparkSession
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // Pass 1: range-partition on (group, value) and count rows per
+    // (physical partition, group). The counts matrix is tiny (partitions x
+    // groups) and is the ONLY thing the driver ever sees.
+    val ranged = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(nPart, col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+      .persist()
+    try {
+      val counts: Array[((Int, String), Long)] = ranged.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val g = r.getString(0)
+            m.put(g, m.getOrElse(g, 0L) + 1L)
+          }
+          m.iterator.map { case (g, c) => ((pid, g), c) }
+        }.collect()
+
+      // Global rank offset of each (partition, group): rows of the same
+      // group in earlier range partitions. Range partitioning on (g, v)
+      // guarantees all of a group's rows in partition i sort before its
+      // rows in partition j > i, so offset + local index IS the global
+      // 0-based rank within the group.
+      val totals = counts.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+      val offsets: Map[(Int, String), Long] = {
+        val byGroup = counts.groupBy(_._1._2)
+        byGroup.iterator.flatMap { case (g, arr) =>
+          var acc = 0L
+          arr.sortBy(_._1._1).map { case ((pid, _), c) =>
+            val o = ((pid, g), acc); acc += c; o
+          }
+        }.toMap
+      }
+      val bcOff = spark.sparkContext.broadcast(offsets)
+
+      // Pass 2: per-partition streaming rank assignment (no re-sort — rows
+      // arrive already sorted within the partition), then the conditional
+      // interpolation aggregation.
+      import spark.implicits._
+      val ranked = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cur: String = null
+        var rank = 0L
+        it.map { r =>
+          val g = r.getString(0)
+          if (g != cur) { cur = g; rank = bcOff.value.getOrElse((pid, g), 0L) }
+          else rank += 1L
+          // first row of a group in this partition starts AT the offset
+          (g, r.getDouble(1), rank)
+        }
+      }.toDF("g", "v", "rank")
+
+      // Per-group totals join in as a BROADCAST relation (group-count-sized)
+      // so the rank->contribution program stays a codegen'd column pipeline
+      // — no UDF anywhere.
+      val totalsDf = broadcast(totals.toSeq.toDF("g", "n"))
+      val withN = ranked.join(totalsDf, "g")
+      val aggs = ps.map { p =>
+        val h = (col("n").cast("double") - 1.0) * lit(p)
+        val loRank = floor(h)
+        val frac = h - loRank
+        val contrib =
+          when(col("rank") === loRank.cast("long") && col("rank") === ceil(h).cast("long"), col("v"))
+            .when(col("rank") === loRank.cast("long"), col("v") * (lit(1.0) - frac))
+            .when(col("rank") === ceil(h).cast("long"), col("v") * frac)
+        sum(contrib).as(qName(p))
+      }
+      withN.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+    } finally ranged.unpersist()
+  }
+
+  def qName(p: Double): String = "q_" + p.toString.replace('.', '_')
+}

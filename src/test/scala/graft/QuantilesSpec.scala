@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Quantiles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantilesSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Local type-7 reference (numpy default / DuckDB quantile_cont). */
+  private def local(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted
+    val h = (s.length - 1) * p
+    val lo = math.floor(h).toInt
+    val hi = math.ceil(h).toInt
+    if (lo == hi) s(lo) else s(lo) * (1.0 - (h - lo)) + s(hi) * (h - lo)
+  }
+
+  test("groupedQuantiles == local type-7 reference, invariant to partition count") {
+    // deterministic pseudo-random values, 3 groups of very different sizes,
+    // including ties and a singleton group
+    val rows = (0 until 5000).map { i =>
+      val g = if (i % 100 == 0) "rare" else if (i % 3 == 0) "b" else "a"
+      (g, ((i * 2654435761L) % 10007L).toDouble / 7.0)
+    } ++ Seq(("solo", 42.0)) ++ (0 until 50).map(_ => ("ties", 5.0))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> ps.map(p => local(rs.map(_._2), p))
+    }
+
+    for (nPart <- Seq(1, 4, 13)) {
+      val got = Quantiles.groupedQuantiles(df, "g", "v", ps, partitions = nPart)
+        .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+      assert(got.keySet == expected.keySet)
+      for ((g, exp) <- expected; (e, a) <- exp.zip(got(g)))
+        assert(math.abs(e - a) < 1e-9, s"group=$g nPart=$nPart exp=$exp got=${got(g)}")
+    }
+  }
+
+  test("groupedQuantiles: singleton group returns its value at every p; nulls dropped") {
+    val df = Seq(("s", Some(7.0)), ("s", None)).toDF("g", "v")
+    val r = Quantiles.groupedQuantiles(df, "g", "v", Seq(0.0, 0.5, 1.0)).collect().head
+    assert((1 to 3).map(r.getDouble) == Seq(7.0, 7.0, 7.0))
+  }
+
+  test("driver state is the counts matrix only; no full-group buffering task") {
+    // a single giant group must still use every range partition: the plan
+    // would be wrong if parallelism were group-count-sized
+    val df = (0 until 20000).map(i => ("one", i.toDouble)).toDF("g", "v")
+    val out = Quantiles.groupedQuantiles(df, "g", "v", Seq(0.5), partitions = 8)
+    val r = out.collect().head
+    assert(math.abs(r.getDouble(1) - local((0 until 20000).map(_.toDouble), 0.5)) < 1e-9)
+  }
+
+  test("q11 rollup carries subtotals and a grand total consistent with raw counts") {
+    val out = SparkEntry.q11Rollup(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    val total = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+    val perType = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum
+    assert(perType == total)
+  }
+}
