@@ -197,6 +197,45 @@ object GoldOracles {
       "(CAST(0 AS BIGINT), CAST(0 AS BIGINT))")
   }
 
+  /** Expected rows of SparkEntry.textWinnow — same Winnow.fingerprints
+    * kernel, single-threaded; the digest columns (count/min/xor) are
+    * order-free, so distribution can only show up as a value mismatch. */
+  def textWinnow(sfDir: String, k: Int, w: Int): String = {
+    val out = readDocs(sfDir).map { case (id, t) =>
+      val fps = graft.ops.Winnow.fingerprints(t, k, w)
+      (id, fps.length.toLong, if (fps.isEmpty) 0L else fps.min, fps.foldLeft(0L)(_ ^ _))
+    }
+    valuesSql(Seq("doc_id", "n_fp", "fp_min", "fp_xor"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${p._3} AS BIGINT), CAST(${p._4} AS BIGINT))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))")
+  }
+
+  /** Expected rows of SparkEntry.dedupWinnow — local inverted index with
+    * the same df-cap drop contract; pair counting is a hash-map walk, an
+    * independent formulation of the distributed posting-list groupBy +
+    * combination emit + partial agg. */
+  def dedupWinnow(sfDir: String, k: Int, w: Int, threshold: Double, cap: Int): String = {
+    val docs = readDocs(sfDir)
+    val fps = docs.map { case (id, t) => id -> graft.ops.Winnow.fingerprints(t, k, w) }.toMap
+    val inv = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    for ((id, _) <- docs; h <- fps(id))
+      inv.getOrElseUpdate(h, scala.collection.mutable.ArrayBuffer.empty) += id
+    val shared = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    for ((_, ids) <- inv if cap <= 0 || ids.length <= cap;
+         i <- ids.indices; j <- (i + 1) until ids.length) {
+      val key = (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
+      shared(key) = shared.getOrElse(key, 0L) + 1L
+    }
+    val out = shared.toSeq.flatMap { case ((a, b), s) =>
+      val jac = s.toDouble / (fps(a).length + fps(b).length - s)
+      if (jac >= threshold) Some((a, b, s, jac)) else None
+    }.sortBy(p => (p._1, p._2))
+    valuesSql(Seq("id_a", "id_b", "n_shared", "jaccard"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${p._3} AS BIGINT), CAST(${round6(p._4)} AS DOUBLE))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS DOUBLE))")
+  }
+
   /** Expected rows of SparkEntry.dedupSimhash — same adaptive block count,
     * same block-combination band keys as Dedup.simhashPairs(blocks = 0). */
   def dedupSimhash(sfDir: String, maxHamming: Int, cap: Int, bandHamming: Int = 3): String = {

@@ -168,6 +168,10 @@ object SparkEntry {
   private val MhThreshold = 0.05
   private val LshCap = 64
   private val ShMaxHamming = 12
+  private val WnK = 5
+  private val WnW = 4
+  private val WnCap = 128
+  private val WnThreshold = 0.3
   private val NdDim = 64
   private val NdThreshold = 0.35
   // 0 = adaptive band width (Similarity.adaptiveHyperplaneRows from the
@@ -198,6 +202,28 @@ object SparkEntry {
       .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
+
+  /** Winnowing (MOSS) fingerprints per doc — native codegen'd expression,
+    * zero shuffle; digest columns (count, min, xor) are order-free so the
+    * gold oracle's single-threaded kernel replay compares exactly. */
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), graft.ops.WinnowSet.col(col("text"), WnK, WnW).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        coalesce(array_min(col("fps")), lit(0L)).as("fp_min"),
+        aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+
+  /** Code-clone candidate pairs via shared winnowing fingerprints — one
+    * posting-list shuffle (ngramJaccardPairs' plan shape) with the df-cap
+    * clone-pile envelope. */
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Winnow.winnowPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      k = WnK, w = WnW, threshold = WnThreshold, maxFpDf = WnCap)
+      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"),
+        col("n_shared"), round(col("jaccard"), 6).as("jaccard"))
 
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLsh(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
@@ -606,6 +632,8 @@ object SparkEntry {
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_winnow" -> dedupWinnow,
+    "text_winnow" -> textWinnow,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
@@ -695,6 +723,8 @@ object SparkEntry {
     "ann_ivf_topk" -> GoldOracles.annIvfTopK(
       sfDir, IvfCells, IvfProbe, IvfK, IvfQueries, IvfTrainMod),
     "text_simhash" -> GoldOracles.textSimhash(sfDir),
+    "text_winnow" -> GoldOracles.textWinnow(sfDir, WnK, WnW),
+    "dedup_winnow" -> GoldOracles.dedupWinnow(sfDir, WnK, WnW, WnThreshold, WnCap),
     "text_decontaminate" -> GoldOracles.decontaminate(
       sfDir, DcShingle, DcMinHits, DcBenchMod),
     // plain-SQL oracle: DuckDB recomputes the md5 keep decision itself —

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS local fingerprinting scheme): k-gram rolling
+  * hashes over the whitespace-stripped lowercased text, then the robust-
+  * winnowing selection (rightmost minimal hash per window of w). The
+  * selected hash SET carries the scheme's guarantee: any shared substring
+  * of length >= w + k - 1 (after normalization) produces at least one
+  * shared fingerprint, while expected density is only 2/(w+1) of the
+  * k-grams — the code-clone-detection primitive for a source-code corpus
+  * (formatting/whitespace changes do not move a single fingerprint).
+  *
+  * Everything per-doc is a native Catalyst expression ([[WinnowSet]], with
+  * codegen), so fingerprinting is map-side column work; pair detection
+  * ([[Winnow.winnowPairs]]) is the same single posting-list shuffle shape
+  * as `Dedup.ngramJaccardPairs`, with the identical df-cap envelope for
+  * clone piles.
+  */
+object Winnow {
+
+  /** Lowercase + strip ALL whitespace: MOSS-style normalization, so
+    * reformatting (indentation, line breaks, spacing) never moves a
+    * fingerprint. */
+  def normalize(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!Character.isWhitespace(c)) sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val B = 1000003L
+  /** Rolling polynomial hashes of every k-gram of `norm` (wraparound
+    * arithmetic — deterministic everywhere). Empty when norm.length < k. */
+  def kgramHashes(norm: String, k: Int): Array[Long] = {
+    val n = norm.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    var pow = 1L
+    var j = 0
+    while (j < k - 1) { pow *= B; j += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    j = 0
+    while (j < k) { h = h * B + norm.charAt(j); j += 1 }
+    out(0) = h
+    var i = 1
+    while (i < n) {
+      h = (h - norm.charAt(i - 1) * pow) * B + norm.charAt(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Robust winnowing: one pass over the k-gram hashes keeping, per
+    * window of `w`, the RIGHTMOST minimal hash, recording a value only
+    * when the selected position changes. Returns the SORTED-DISTINCT
+    * selected hashes. Fewer hashes than a window -> the global min. */
+  def fingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    val hs = kgramHashes(normalize(text), k)
+    if (hs.isEmpty) return Array.emptyLongArray
+    if (hs.length <= w) return Array(hs.min)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var minIdx = -1
+    var start = 0
+    while (start <= hs.length - w) {
+      val end = start + w - 1
+      if (minIdx < start) {
+        // previous selection slid out: rescan the window, rightmost min
+        minIdx = start
+        var i = start + 1
+        while (i <= end) { if (hs(i) <= hs(minIdx)) minIdx = i; i += 1 }
+        sel.add(hs(minIdx))
+      } else if (hs(end) <= hs(minIdx)) {
+        minIdx = end
+        sel.add(hs(minIdx))
+      }
+      start += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Pairs of docs whose winnowing fingerprint sets overlap with Jaccard
+    * >= `threshold` — clone candidates. Identical plan shape (and df-cap
+    * contract) to `Dedup.ngramJaccardPairs`: each (id, fingerprint) row
+    * carries the doc's fingerprint count, ONE shuffle on the fingerprint
+    * builds posting lists, groups over `maxFpDf` drop whole (clone piles
+    * belong to minhashLsh), pair counts partial-aggregate on the pair key.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      threshold: Double = 0.5,
+      maxFpDf: Int = 0
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Dedup.resetOversizedWarnCap()
+    val droppedAcc = spark.sparkContext.longAccumulator("graft.winnow.droppedGroups")
+    val fp = df
+      .select(col(idCol).cast("string").as("id"),
+        WinnowSet.col(col(textCol), k, w).as("fps"))
+      .select(explode(col("fps")).as("fp"), col("id"), size(col("fps")).as("n"))
+    fp.as[(Long, String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (fpHash: Long, it: Iterator[(Long, String, Int)]) =>
+        val members = it.map(r => (r._2, r._3)).toArray
+        if (maxFpDf > 0 && members.length > maxFpDf) {
+          droppedAcc.add(1L)
+          Dedup.warnOversized(s"winnow fingerprint $fpHash df ${members.length} > cap " +
+            s"$maxFpDf: dropping its pairs (clone piles belong to minhashLsh)")
+          Iterator.empty
+        } else {
+          java.util.Arrays.sort(members, Ordering.by((m: (String, Int)) => m._1))
+          for { i <- members.indices.iterator; j <- (i + 1) until members.length }
+            yield (members(i)._1, members(j)._1, members(i)._2, members(j)._2)
+        }
+      }
+      .toDF("id_a", "id_b", "n_a", "n_b")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("jaccard", col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+  }
+}
+
+/** Native codegen expression: `array<bigint>` of a doc's sorted-distinct
+  * winnowing fingerprints. */
+case class WinnowSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_set requires a string column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_set"
+
+  protected override def nullSafeEval(input: Any): Any =
+    WinnowSet.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.WinnowSet.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSet =
+    copy(child = newChild)
+}
+
+object WinnowSet {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Winnow.fingerprints(text.toString, k, w))
+
+  def col(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlBridge.column(
+      WinnowSet(org.apache.spark.sql.graft.GraftSqlBridge.expression(text), k, w))
+}

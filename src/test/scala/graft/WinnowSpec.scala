@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.{Winnow, WinnowSet}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WinnowSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val K = 5
+  private val W = 4
+
+  test("fingerprints are invariant to whitespace/formatting and case") {
+    val a = Winnow.fingerprints("def foo(x):\n  return x + 1\n", K, W)
+    val b = Winnow.fingerprints("DEF FOO( x ):   RETURN   x+1", K, W)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("winnowing guarantee: a shared substring of length >= w+k-1 shares a fingerprint") {
+    // 200 random-ish doc pairs, each sharing one planted fragment of
+    // exactly w+k-1 normalized chars inside otherwise-unrelated text
+    val t = W + K - 1
+    for (i <- 0 until 200) {
+      val frag = (0 until t).map(j => ('a' + ((i * 7 + j * 13) % 26)).toChar).mkString
+      val da = s"zq${i}xv${(i * 31) % 97}kp $frag wq${(i * 17) % 89}mn"
+      val db = s"rt${(i * 53) % 83}ue $frag yh${i}ba${(i * 11) % 71}"
+      val fa = Winnow.fingerprints(da, K, W).toSet
+      val fb = Winnow.fingerprints(db, K, W).toSet
+      assert(fa.intersect(fb).nonEmpty, s"i=$i no shared fingerprint for planted fragment")
+    }
+    // and density: far fewer fingerprints than k-grams
+    val long = (0 until 2000).map(j => ('a' + ((j * 31 + j / 7) % 26)).toChar).mkString
+    val fps = Winnow.fingerprints(long, K, W)
+    val kgrams = long.length - K + 1
+    assert(fps.length < kgrams / 2, s"${fps.length} vs $kgrams")
+  }
+
+  test("edge cases: shorter than k -> empty; shorter than window -> global min; distinct+sorted") {
+    assert(Winnow.fingerprints("ab", K, W).isEmpty)
+    val few = Winnow.fingerprints("abcdef", K, W) // 2 kgrams < w
+    assert(few.length == 1 &&
+      few(0) == Winnow.kgramHashes(Winnow.normalize("abcdef"), K).min)
+    val f = Winnow.fingerprints("the quick brown fox jumps over the lazy dog the quick", K, W)
+    assert(f.toSeq == f.toSeq.sorted && f.distinct.length == f.length)
+  }
+
+  test("WinnowSet expression == local kernel over the test corpus; plan is shuffle-free") {
+    val q = SparkEntry.textWinnow(spark, "/root/testdata/sf0.001")
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+    val viaSpark = q.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    for ((id, t) <- docs) {
+      val fps = Winnow.fingerprints(t, K, W)
+      assert(viaSpark(id) ==
+        ((fps.length.toLong, if (fps.isEmpty) 0L else fps.min, fps.foldLeft(0L)(_ ^ _))))
+    }
+  }
+
+  test("winnowPairs finds reformatted clones, not unrelated docs; partitioning-invariant") {
+    val base = "for i in range n acc plus equals weights index i times inputs index i end return acc"
+    val docs = Seq(
+      (1L, base),
+      (2L, "FOR i IN RANGE n\n  acc += weights[ index i ] times inputs index i\nEND return acc"
+        .replace("[ index i ]", " index i ")), // reformat of 1 (whitespace/case)
+      (3L, "completely different content about gardening tulips and watering cans in spring"),
+      (4L, base.toUpperCase)) // exact normalized clone of 1
+    def run(np: Int) = Winnow.winnowPairs(
+      docs.toDF("id", "text").repartition(np), "id", "text", K, W, threshold = 0.3)
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
+    val pairs = run(1)
+    assert(pairs.contains((1L, 4L)) || pairs.contains((4L, 1L)))
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+    assert(run(4) == pairs)
+  }
+
+  test("df-cap drops clone-pile fingerprints whole (envelope contract)") {
+    val clone = "identical content repeated across the whole pile of documents here"
+    val docs = (1L to 10L).map(i => (i, clone)).toDF("id", "text")
+    val capped = Winnow.winnowPairs(docs, "id", "text", K, W, threshold = 0.3, maxFpDf = 5)
+    assert(capped.count() == 0) // every fingerprint's df is 10 > 5
+    val uncapped = Winnow.winnowPairs(docs, "id", "text", K, W, threshold = 0.3, maxFpDf = 0)
+    assert(uncapped.count() == 45) // all 10-choose-2 pairs at jaccard 1.0
+  }
+}
