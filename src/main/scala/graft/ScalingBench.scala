@@ -576,6 +576,17 @@ object ScalingBench {
       Dedup.minhashLsh(docs, "id", "text", threshold = 0.7))
     val mNgram = measure("ngram_jaccard_dfcap", jaccardTruth,
       Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.7, maxShingleDf = 200))
+    // winnow is EXACT given the fingerprints (posting-list computation, not
+    // probabilistic), so small-tier recall must be 1.0-exact; the giant
+    // clone piles exceed the df cap by design (same envelope contract as
+    // ngram — piles belong to minhashLsh, and winnowPairs says so loudly)
+    val winnowTruth = truthPairs[String, Array[Long]](
+      docs.as[(Long, String)], t => graft.ops.Winnow.fingerprints(t, 8, 4),
+      (a, b) => a.nonEmpty && b.nonEmpty && Hashing.jaccardSorted(a, b) >= 0.5).cache()
+    val mWinnow = measure("winnow_dfcap", winnowTruth,
+      graft.ops.Winnow.winnowPairs(docs, "id", "text", k = 8, w = 4,
+        threshold = 0.5, maxFpDf = 200))
+    winnowTruth.unpersist()
     val simhashTruth = truthPairs[String, Long](
       docs.as[(Long, String)], Dedup.simhash,
       (a, b) => java.lang.Long.bitCount(a ^ b) <= 3).cache()
@@ -649,6 +660,7 @@ object ScalingBench {
     gate(mSimhash, giantTier = true)
     gate(mEmbed, giantTier = true)
     gate(mNgram, giantTier = false) // giant-tier 0.0 is the df cap's documented contract
+    gate(mWinnow, giantTier = false) // same cap contract; small tier must be exact
     println(s"""{"metric":"recall_gates","passed":true,"n_docs":$nDocs,""" +
       """"gates":"giant recovery>=0.95, closure>=0.999, cross_cluster=0, ivf recall@10(nProbe32)>=0.95"}""")
 

@@ -168,7 +168,12 @@ object SparkEntry {
   private val MhThreshold = 0.05
   private val LshCap = 64
   private val ShMaxHamming = 12
-  private val WnK = 5
+  // k must exceed the corpus's "noise threshold" (Schleimer §2: matches
+  // shorter than k are noise) — k=8 keeps accidental k-gram collisions
+  // rare even on low-alphabet corpora, where k=5 measured a 47x candidate
+  // fan-out from mid-df accidental fingerprints (under the cap, killed by
+  // the jaccard filter — pure wasted work the right k avoids)
+  private val WnK = 8
   private val WnW = 4
   private val WnCap = 128
   private val WnThreshold = 0.3

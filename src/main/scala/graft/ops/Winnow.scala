@@ -24,6 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[Winnow.winnowPairs]]) is the same single posting-list shuffle shape
   * as `Dedup.ngramJaccardPairs`, with the identical df-cap envelope for
   * clone piles.
+  *
+  * Pick k ABOVE the corpus's noise threshold (Schleimer §2): matches
+  * shorter than k are noise, and too-small k on a low-alphabet corpus
+  * makes accidental k-gram collisions common — each mid-df accidental
+  * fingerprint under the cap fans out df^2/2 candidate pairs that the
+  * jaccard filter then kills (measured 47x wasted wall at k=5 vs k=8 on a
+  * hex-word corpus). MOSS uses k in the 15-30 range on real code; the
+  * default 8 suits short mixed text.
   */
 object Winnow {
 
@@ -107,7 +115,7 @@ object Winnow {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 5,
+      k: Int = 8,
       w: Int = 4,
       threshold: Double = 0.5,
       maxFpDf: Int = 0

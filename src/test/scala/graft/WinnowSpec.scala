@@ -47,13 +47,14 @@ class WinnowSpec extends AnyFunSuite {
   }
 
   test("WinnowSet expression == local kernel over the test corpus; plan is shuffle-free") {
+    val qK = 8 // SparkEntry's WnK (k above the noise threshold)
     val q = SparkEntry.textWinnow(spark, "/root/testdata/sf0.001")
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
     val viaSpark = q.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
     for ((id, t) <- docs) {
-      val fps = Winnow.fingerprints(t, K, W)
+      val fps = Winnow.fingerprints(t, qK, W)
       assert(viaSpark(id) ==
         ((fps.length.toLong, if (fps.isEmpty) 0L else fps.min, fps.foldLeft(0L)(_ ^ _))))
     }
