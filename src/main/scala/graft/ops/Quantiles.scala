@@ -82,12 +82,18 @@ object Quantiles {
       // interpolation aggregation.
       import spark.implicits._
       val ranked = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        // `first` distinguishes "no group seen yet" from a legitimate null
+        // group value (getString returns null for SQL NULL) — without it a
+        // leading null group would skip its offset lookup
+        var first = true
         var cur: String = null
         var rank = 0L
         it.map { r =>
           val g = r.getString(0)
-          if (g != cur) { cur = g; rank = bcOff.value.getOrElse((pid, g), 0L) }
-          else rank += 1L
+          if (first || g != cur) {
+            first = false; cur = g
+            rank = bcOff.value.getOrElse((pid, g), 0L)
+          } else rank += 1L
           // first row of a group in this partition starts AT the offset
           (g, r.getDouble(1), rank)
         }
@@ -95,9 +101,11 @@ object Quantiles {
 
       // Per-group totals join in as a BROADCAST relation (group-count-sized)
       // so the rank->contribution program stays a codegen'd column pipeline
-      // — no UDF anywhere.
-      val totalsDf = broadcast(totals.toSeq.toDF("g", "n"))
-      val withN = ranked.join(totalsDf, "g")
+      // — no UDF anywhere. Null-safe equality: a NULL group value is a
+      // group of its own (SQL GROUP BY semantics), and a plain equi-join
+      // would silently drop it.
+      val totalsDf = broadcast(totals.toSeq.toDF("g2", "n"))
+      val withN = ranked.join(totalsDf, ranked("g") <=> totalsDf("g2")).drop("g2")
       val aggs = ps.map { p =>
         val h = (col("n").cast("double") - 1.0) * lit(p)
         val loRank = floor(h)

@@ -46,6 +46,14 @@ class QuantilesSpec extends AnyFunSuite {
     assert((1 to 3).map(r.getDouble) == Seq(7.0, 7.0, 7.0))
   }
 
+  test("groupedQuantiles: a NULL group value is its own group (SQL GROUP BY semantics)") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0), (None, 20.0), (None, 30.0))
+      .toDF("g", "v")
+    val got = Quantiles.groupedQuantiles(df, "g", "v", Seq(0.5), partitions = 3)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got == Map(Some("a") -> 2.0, None -> 20.0))
+  }
+
   test("driver state is the counts matrix only; no full-group buffering task") {
     // a single giant group must still use every range partition: the plan
     // would be wrong if parallelism were group-count-sized
