@@ -67,17 +67,25 @@ object AsOf {
 
     // Left rows ride whole as a struct (restored after the window), so the
     // operator is schema-agnostic and never collides with right columns.
+    // A null-ts right row can never satisfy rightTs <= leftTs (SQL
+    // comparison semantics — it would otherwise sort first and be carried
+    // into everything), so it is dropped here; a null-ts left row sorts
+    // first and comes out unmatched, matching a left-outer SQL as-of.
+    val rNonNull = right.where(col(rightTs).isNotNull)
     val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+    // Tiebreaks keep their NATIVE types (numeric ids order numerically,
+    // not lexicographically); the left side carries typed nulls.
+    val tbTypes = rightTiebreak.map(c => right.schema(c).dataType)
     val lSide = left.select(
       (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(leftTag).as("__side") :+
         struct(left.columns.map(col): _*).as("__lrow") :+
         lit(null).cast(rType).as("__r")) ++
-        tbCols.map(a => lit(null).cast("string").as(a)): _*)
+        tbCols.zip(tbTypes).map { case (a, t) => lit(null).cast(t).as(a) }: _*)
     val lRowType = lSide.schema("__lrow").dataType
-    val rSide = right.select(
+    val rSide = rNonNull.select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(rightTag).as("__side") :+
         lit(null).cast(lRowType).as("__lrow") :+ rStruct.as("__r")) ++
-        rightTiebreak.zip(tbCols).map { case (c, a) => col(c).cast("string").as(a) }: _*)
+        rightTiebreak.zip(tbCols).map { case (c, a) => col(c).as(a) }: _*)
 
     // Tiebreak columns order equal-(ts, side) right rows; their nulls on
     // left rows are inert because the side tag already differs.

@@ -74,6 +74,18 @@ class AsOfSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("asofJoin: numeric tiebreaks order natively (id 9 < id 10); null-ts right rows never match") {
+    val l = Seq((1L, "A", ts(200))).toDF("trade_id", "sym", "ts")
+    // ids 9 vs 10 at equal ts: lexicographic ordering would pick "9" as
+    // last; native numeric ordering must pick 10
+    val r = Seq((9L, "A", Some(ts(150)), 1.0), (10L, "A", Some(ts(150)), 2.0),
+      (99L, "A", Option.empty[Timestamp], 9.9)) // null ts: must never carry
+      .toDF("quote_id", "sym", "qts", "px")
+    val row = AsOf.asofJoin(l, r, Seq("sym"), "ts", "qts", Seq("quote_id", "px"),
+      rightTiebreak = Seq("quote_id")).collect().head
+    assert(row.getLong(4) == 10L && row.getDouble(5) == 2.0, row.toString)
+  }
+
   test("asofJoin: null payload VALUE does not skip back to an older right row") {
     val l = Seq((1L, "A", ts(300))).toDF("id", "sym", "ts")
     val r = Seq((1L, "A", ts(100), Some(5.0)), (2L, "A", ts(200), Option.empty[Double]))
