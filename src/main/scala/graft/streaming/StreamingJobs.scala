@@ -415,6 +415,55 @@ object StreamingJobs {
       }
   }
 
+  // ----------------------------------------------------- streaming funnel ----
+
+  final case class FunnelState(stage: Int, sinceMs: Long)
+  final case class FunnelOut(userId: Long, stage: Int, tsMs: Long)
+
+  /** Streaming twin of the batch `events_funnel` fold: strict-sequence
+    * view -> click -> purchase with a per-stage time bound, emitting one
+    * row per stage TRANSITION as it happens. Keyed state is O(1) — just
+    * (stage, entry ts) per user, the same state the batch fold carries —
+    * so this is the funnel at unbounded stream length without ever
+    * buffering a user's history. Same ordering contract as
+    * [[asofEnrichStream]]: in-order across batches (each batch re-sorts
+    * internally), which makes the furthest emitted stage per user equal
+    * the batch fold's result on the same prefix (pinned in StreamingSpec).
+    * Bound arithmetic is millisecond-precision (java.sql.Timestamp.getTime);
+    * the batch query's INTERVAL arithmetic is microsecond — align bounds to
+    * whole milliseconds when exact twin parity matters.
+    */
+  def funnelStream(
+      events: Dataset[Event],
+      stageBoundMs: Long = 24L * 3600 * 1000
+  ): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+          var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            val advance = (cur.stage, e.eventType) match {
+              case (0, "view") => true
+              case (1, "click") => t <= cur.sinceMs + stageBoundMs
+              case (2, "purchase") => t <= cur.sinceMs + stageBoundMs
+              case _ => false
+            }
+            if (advance) {
+              cur = FunnelState(cur.stage + 1, t)
+              out += FunnelOut(userId, cur.stage, t)
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------------ streaming as-of ----
 
   /** One tagged row of the unioned as-of input stream: side 0 = right

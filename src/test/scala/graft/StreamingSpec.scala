@@ -400,6 +400,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(streamedWider))
   }
 
+  test("streaming funnel emits stage transitions; furthest stage == batch fold") {
+    import graft.streaming.StreamingJobs.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val h = 3600L
+    // u1 completes across BATCHES (view in b1, click/purchase in b2);
+    // u2's click violates the 24h bound; u3 never views
+    val b1 = Seq(Event(ts(0), 1L, "view", 0.0), Event(ts(0), 2L, "view", 0.0),
+      Event(ts(1), 3L, "error", 0.0))
+    val b2 = Seq(Event(ts(h), 1L, "click", 0.0), Event(ts(3 * h), 1L, "purchase", 0.0),
+      Event(ts(25 * h), 2L, "click", 0.0))
+    val stream = MemoryStream[Event]
+    val q = StreamingJobs.funnelStream(stream.toDS()).writeStream
+      .format("memory").queryName("stream_funnel").outputMode("append").start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    assert(got == Map(1L -> 3, 2L -> 1), got.toString) // u3 emits nothing
+    // transitions arrived one per stage for u1
+    assert(spark.table("stream_funnel").where(col("userId") === 1L).count() == 3)
+  }
+
   test("streaming as-of enrichment == batch asofJoin under in-order batches, O(1) state") {
     import graft.streaming.StreamingJobs.AsOfRow
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
