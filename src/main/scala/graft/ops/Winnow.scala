@@ -80,7 +80,10 @@ object Winnow {
     val hs = kgramHashes(normalize(text), k)
     if (hs.isEmpty) return Array.emptyLongArray
     if (hs.length <= w) return Array(hs.min)
-    val sel = new java.util.TreeSet[java.lang.Long]()
+    // primitive selection buffer (one slot per window start is an upper
+    // bound on selections) — no boxing in this per-row hot path
+    val sel = new Array[Long](hs.length - w + 1)
+    var nSel = 0
     var minIdx = -1
     var start = 0
     while (start <= hs.length - w) {
@@ -90,18 +93,14 @@ object Winnow {
         minIdx = start
         var i = start + 1
         while (i <= end) { if (hs(i) <= hs(minIdx)) minIdx = i; i += 1 }
-        sel.add(hs(minIdx))
+        sel(nSel) = hs(minIdx); nSel += 1
       } else if (hs(end) <= hs(minIdx)) {
         minIdx = end
-        sel.add(hs(minIdx))
+        sel(nSel) = hs(minIdx); nSel += 1
       }
       start += 1
     }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    Hashing.sortedDistinct(java.util.Arrays.copyOf(sel, nSel))
   }
 
   /** Pairs of docs whose winnowing fingerprint sets overlap with Jaccard
