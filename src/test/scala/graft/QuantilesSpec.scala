@@ -63,6 +63,14 @@ class QuantilesSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - local((0 until 20000).map(_.toDouble), 0.5)) < 1e-9)
   }
 
+  test("totals join is a broadcast, not a shuffle (plan pin)") {
+    val df = (0 until 1000).map(i => (s"g${i % 5}", i.toDouble)).toDF("g", "v")
+    val plan = Quantiles.groupedQuantiles(df, "g", "v", Seq(0.5), partitions = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q11 rollup carries subtotals and a grand total consistent with raw counts") {
     val out = SparkEntry.q11Rollup(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
