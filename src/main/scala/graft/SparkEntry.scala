@@ -274,6 +274,7 @@ object SparkEntry {
   private val SmFractions = Map("en" -> 0.5, "de" -> 0.25)
   private val SmDefault = 0.1
   private val SmSalt = "graft-r4"
+  private val SwSalt = "graft-r5w"
 
   /** Deterministic stratified sample of the corpus by language — the
     * training-data-mix primitive ([[Sampling.stratifiedSample]]: md5
@@ -285,6 +286,19 @@ object SparkEntry {
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "lang",
       SmFractions, SmDefault, SmSalt)
       .select(col("doc_id"), col("lang"))
+
+  /** Quality-WEIGHTED sampling: each doc kept with probability equal to
+    * its quality score — the per-row mixing knob a training-data curation
+    * pipeline turns. One codegen'd Filter over the scan; the oracle
+    * recomputes both the score arithmetic and the md5 keep decision in
+    * SQL, fully independently. */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val weight = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
+    Sampling.weightedSample(
+      spark.read.parquet(s"$sfDir/documents.parquet").withColumn("weight", weight),
+      "doc_id", "weight", SwSalt)
+      .select(col("doc_id"), col("weight"))
+  }
 
   /** Near-duplicate CLUSTERING — the op a curation pipeline actually ends
     * with: minhash-LSH pairs (same parameters as `dedup_minhash_lsh`)
@@ -656,6 +670,7 @@ object SparkEntry {
     "text_simhash" -> textSimhash,
     "text_decontaminate" -> decontaminate,
     "sample_stratified" -> sampleStratified,
+    "sample_weighted" -> sampleWeighted,
     "mm_media_features" -> mmMediaFeatures,
     "q1_agg" -> q1Agg,
     "q2_join_topk" -> q2JoinTopK,
@@ -742,6 +757,24 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$SmSalt'), 1, 8)) AS BIGINT)
          |  < CASE lang $cases ELSE ${Sampling.threshold(SmDefault)} END""".stripMargin
+    },
+    // quality-weighted sampling: DuckDB recomputes BOTH the score
+    // arithmetic (same CASE sum as text_quality/q7) and the md5 keep
+    // decision — threshold = floor(weight * 2^32), exact in double on
+    // both engines since scores are sums of 0.25 literals
+    "sample_weighted" -> {
+      val en = markerSqlEn.map(w =>
+        s"(len(string_split_regex(' '||lower(text)||' ', '\\s$w\\s'))-1)").mkString(" + ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN length(text) BETWEEN 50 AND 50000 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN ($en) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS weight
+         |  FROM documents)
+         |SELECT doc_id, weight FROM scored
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$SwSalt'), 1, 8)) AS BIGINT)
+         |  < CAST(floor(least(greatest(weight, 0.0), 1.0) * 4294967296.0) AS BIGINT)""".stripMargin
     },
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),

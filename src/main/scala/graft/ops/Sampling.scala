@@ -47,6 +47,23 @@ object Sampling {
       df: DataFrame, idCol: String, fraction: Double, salt: String): DataFrame =
     df.filter(keepHash(col(idCol), salt) < lit(threshold(fraction)))
 
+  /** Weighted deterministic sample: per-ROW keep probability from a
+    * weight column in [0,1] — the quality-weighted corpus-mixing
+    * primitive (keep each doc with probability = its quality score).
+    * keep iff keepHash < floor(weight * 2^32); weights clamp to [0,1]
+    * (>= 1 always kept — the threshold 2^32 exceeds every 32-bit hash —
+    * <= 0 never). Same md5 contract as every Sampling decision:
+    * task-retry stable, partitioning-invariant, and per-row MONOTONE in
+    * the weight (at one salt, the kept set at weight w is a subset of
+    * the kept set at any w' >= w — mix re-weighting never churns
+    * unrelated rows). Still a single codegen'd Filter over the scan. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, salt: String): DataFrame = {
+    val thr = floor(least(greatest(col(weightCol), lit(0.0)), lit(1.0)) *
+      lit(4294967296.0)).cast("long")
+    df.filter(keepHash(col(idCol), salt) < thr)
+  }
+
   /** Stratified deterministic sample: per-class keep fractions (classes
     * absent from the map fall back to `defaultFraction`). The class →
     * threshold mapping is a dimension-sized CASE expression, not a join —

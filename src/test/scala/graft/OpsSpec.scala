@@ -787,6 +787,33 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(byLang("fr") - frTotal * 0.2) < frTotal * 0.08)
   }
 
+  test("weighted sampling: per-row probability, clamped, monotone in weight, partition-invariant") {
+    val n = 4000
+    val rows = (0L until n).map(i => (i, (i % 5).toDouble / 4.0)) // weights 0, .25, .5, .75, 1
+    val df = rows.toDF("id", "w")
+    def kept(d: org.apache.spark.sql.DataFrame, wc: String = "w") =
+      Sampling.weightedSample(d, "id", wc, "ws1").collect().map(_.getLong(0)).toSet
+    val k = kept(df)
+    // weight 1.0 rows ALL kept; weight 0.0 rows NONE kept
+    assert(rows.filter(_._2 == 1.0).map(_._1).forall(k.contains))
+    assert(!rows.filter(_._2 == 0.0).map(_._1).exists(k.contains))
+    // ~per-row probability: kept fraction of each weight class near its weight
+    for (wc <- Seq(0.25, 0.5, 0.75)) {
+      val ids = rows.filter(_._2 == wc).map(_._1)
+      val frac = ids.count(k.contains).toDouble / ids.size
+      assert(math.abs(frac - wc) < 0.07, s"w=$wc frac=$frac")
+    }
+    // clamping: out-of-range weights behave as 1 / 0
+    val clamped = kept(rows.map { case (i, _) => (i, if (i % 2 == 0) 7.0 else -3.0) }
+      .toDF("id", "w"))
+    assert(clamped == rows.map(_._1).filter(_ % 2 == 0).toSet)
+    // monotone: halving every weight only REMOVES rows (same salt)
+    val halved = kept(df.withColumn("w2", col("w") / 2.0), "w2")
+    assert(halved.subsetOf(k))
+    // partitioning-invariant
+    assert(kept(df.repartition(13)) == k)
+  }
+
   test("rowCount hint changes no pairs (minhash thin/wide forced by hint; simhash sizing)") {
     val df = docsDf(docs)
     def pairSet(d: org.apache.spark.sql.DataFrame) =
