@@ -192,6 +192,8 @@ object SparkEntry {
   // quantizer trains on the id%4 sample (assignment still covers every
   // vector) — the production IVF shape; deterministic, mirrored in gold
   private val IvfTrainMod = 4
+  // top-k keywords per doc (tf-rarity ranking, exact integer score)
+  private val KwTopK = 3
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
@@ -321,6 +323,24 @@ object SparkEntry {
       .withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
   }
 
+  /** Per-node triangle counts over the part co-occurrence graph (parts
+    * appearing in the same order are connected) — the clustering-density
+    * diagnostic over the same co-occurrence graph family the xref CC
+    * operator canonicalizes. Degree-ordered orientation (graph/Triangles)
+    * bounds wedge fan-out by outdeg ~ O(sqrt m) regardless of hub skew;
+    * the oracle recomputes triangles as a plain 3-way a<b<c self-join, a
+    * fully independent enumeration. */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val lp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = lp.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, Seq("l_orderkey")).where(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    graft.graph.Triangles.nodeTriangleCounts(edges)
+      .select(col("node").cast("long").as("node"), col("n_triangles"))
+  }
+
   // -------------------------------------------------------- similarity ----
 
   private def embeddingsDf(spark: SparkSession, sfDir: String): DataFrame =
@@ -443,6 +463,45 @@ object SparkEntry {
       .foldLeft(df.select(col("doc_id"), col("text"))) {
         case (d, (name, c)) => d.withColumn(name, c)
       }.drop("text")
+  }
+
+  /** Top-3 keywords per doc by the exact integer tf-rarity score
+    * (ops/Keywords) — keyword extraction as three keyed shuffles; the
+    * oracle recomputes tf/df/rank in plain SQL. */
+  def textKeywords(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Keywords.topKeywords(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text")),
+      "doc_id", "text", k = KwTopK)
+      .select(col("id").cast("long").as("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+
+  /** Per-doc avg bigram negative log-likelihood under the corpus-trained
+    * add-one bigram LM (ops/BigramLm) — the CCNet/KenLM-style perplexity
+    * quality filter, model-free. Training is two aggregations; scoring is
+    * the zero-shuffle literal-map path. The oracle retrains and rescores
+    * the LM entirely in SQL. */
+  def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lm = graft.ops.BigramLm.train(docs, "text")
+    val model = graft.ops.BigramLm.collectModel(lm)
+    graft.ops.BigramLm.scoreWithModel(docs, "doc_id", "text", model)
+      .select(col("id").cast("long").as("doc_id"), col("n_bigrams"), col("avg_nll"))
+  }
+
+  /** PII scrubbing (ops/PiiRedact) over a synthesized contact-card text:
+    * the customer's digit-run id, a per-row email, a per-row IPv4, and a
+    * phone — all four chain stages fire on every row. Pure codegen'd
+    * regexp chain; the oracle applies the LITERAL same pattern chain via
+    * DuckDB's RE2, so the byte-equality of the redacted text is the
+    * cross-engine check. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = concat(
+      col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+      lit("@mail.example.com> ip 10."), (col("c_custkey") % 256).cast("string"),
+      lit(".0."), (col("c_custkey") % 100).cast("string"),
+      lit(" tel +1 555-123-4567 seg "), col("c_mktsegment"))
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), graft.ops.PiiRedact.redact(text).as("redacted"))
   }
 
   // ------------------------------------------------------- multimodal ----
@@ -648,6 +707,7 @@ object SparkEntry {
     "graph_cc" -> graphCc,
     "graph_khop" -> graphKhop,
     "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles,
     "dedup_exact" -> dedupExact,
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -668,6 +728,9 @@ object SparkEntry {
     "text_token_count" -> textTokenCount,
     "text_repetition" -> textRepetition,
     "text_simhash" -> textSimhash,
+    "text_keywords" -> textKeywords,
+    "text_perplexity" -> textPerplexity,
+    "pii_scrub" -> piiScrub,
     "text_decontaminate" -> decontaminate,
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
@@ -818,6 +881,20 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node WHERE r.dist < 3)
         |SELECT node, CAST(min(dist) AS INT) AS dist FROM reach GROUP BY node""".stripMargin,
+    // independent enumeration: plain a<b<c 3-way self-join over the same
+    // co-occurrence edge set (the Spark side counts via degree-ordered
+    // orientation — a different algorithm entirely)
+    "graph_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT a AS node FROM tri
+        |            UNION ALL SELECT b FROM tri
+        |            UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_triangles FROM corners GROUP BY node""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
@@ -1030,6 +1107,48 @@ object SparkEntry {
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n,
         |       CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ROLLUP(event_type, d)""".stripMargin,
+    // tf/df/rank recomputed in plain SQL; the score is exact integer
+    // arithmetic (tf * (N - df)) so the compare is bit-exact — no
+    // transcendental idf to drift by a ulp across engines
+    "text_keywords" ->
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t FROM documents),
+         |nn AS (SELECT count(*) AS nd FROM documents),
+         |tf AS (SELECT doc_id, u.tok AS term, count(*) AS tf FROM w, unnest(t) AS u(tok) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * (nn.nd - df.df) AS score
+         |           FROM tf JOIN df USING (term) CROSS JOIN nn),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS "rank" FROM scored)
+         |SELECT doc_id, "rank", term, tf, df, score FROM r WHERE "rank" <= $KwTopK""".stripMargin,
+    // the ENTIRE LM is retrained in SQL (bigram counts, context totals,
+    // vocabulary size) and every doc rescored — a fully independent
+    // implementation of train + score
+    "text_perplexity" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |big AS (SELECT doc_id, i, t[i] AS v, t[i+1] AS w FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)),
+        |cnt AS (SELECT v, w, count(*) AS c FROM big GROUP BY v, w),
+        |ctx AS (SELECT v, count(*) AS n FROM big GROUP BY v),
+        |vv AS (SELECT count(DISTINCT u.tok) AS vsz FROM toks, unnest(t) AS u(tok)),
+        |terms AS (SELECT b.doc_id, ln((ctx.n + vv.vsz) * 1.0 / (cnt.c + 1.0)) AS nll
+        |          FROM big b JOIN cnt ON cnt.v = b.v AND cnt.w = b.w
+        |          JOIN ctx ON ctx.v = b.v CROSS JOIN vv),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS nll_sum FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |       CASE WHEN s.n_bigrams IS NULL THEN NULL
+        |            ELSE round(s.nll_sum / s.n_bigrams, 4) END AS avg_nll
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
+    // the SAME pattern chain (shared PiiRedact.Chain constants — zero
+    // drift possible) applied by DuckDB's RE2 engine; byte-equality of
+    // the redacted text is the check
+    "pii_scrub" -> {
+      val raw = "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || " +
+        "'@mail.example.com> ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || " +
+        "'.0.' || CAST(c_custkey % 100 AS VARCHAR) || " +
+        "' tel +1 555-123-4567 seg ' || c_mktsegment"
+      val chain = graft.ops.PiiRedact.Chain.foldLeft(raw) { case (e, (pat, rep)) =>
+        s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      s"SELECT c_custkey, $chain AS redacted FROM customer"
+    },
     // Independent mode-count computation: unnest + GROUP BY count vs the
     // Spark side's sorted-run-length (maxMultiplicity).
     "text_repetition" ->

@@ -1,0 +1,83 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected edge relation.
+  *
+  * Algorithm: degree-ordered orientation (Cohen 2009 / Suri-Vassilvitskii
+  * WWW'11 "Counting triangles and the curse of the last reducer") — every
+  * undirected edge is directed from its lower-(degree, id) endpoint to the
+  * higher one, which turns the wedge enumeration from O(Σ deg²) on raw
+  * degrees into O(Σ outdeg²) with outdeg ≤ O(√m): the classic skew shield
+  * that keeps a celebrity node from generating deg² wedge candidates in
+  * one task. Three shuffles total (degree agg, wedge self-join, closing
+  * semi-join) — each keyed, combinable, and AQE-splittable; no driver
+  * state, no collect.
+  *
+  * KG relevance: triangle counts / clustering coefficients are the
+  * standard density diagnostic over co-occurrence graphs (parts bought
+  * together, entities co-mentioned) — the same graph family the xref
+  * connected-components operator (graph/Xref.scala) canonicalizes.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts.
+    *
+    * @param edges two-column DataFrame (src, dst) of UNDIRECTED edges;
+    *              duplicates and self-loops are removed here, and each
+    *              undirected pair may appear in either or both directions.
+    * @return (node, n_triangles) for every node in at least one triangle;
+    *         each triangle contributes 1 to each of its three corners.
+    */
+  def nodeTriangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val s = col(srcCol)
+    val d = col(dstCol)
+    // canonical undirected edge set: (lo, hi), no self-loops, distinct
+    val canon = edges
+      .select(least(s, d).as("lo"), greatest(s, d).as("hi"))
+      .where(col("lo") =!= col("hi") && col("lo").isNotNull && col("hi").isNotNull)
+      .distinct()
+
+    // degrees over the canonical set
+    val deg = canon.select(col("lo").as("node"))
+      .unionAll(canon.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+    // orient each edge from lower (deg, id) endpoint to higher — a total
+    // order, so orientation is unique and acyclic
+    val degLo = deg.withColumnRenamed("node", "lo").withColumnRenamed("deg", "deg_lo")
+    val degHi = deg.withColumnRenamed("node", "hi").withColumnRenamed("deg", "deg_hi")
+    val loFirst = col("deg_lo") < col("deg_hi") ||
+      (col("deg_lo") === col("deg_hi") && col("lo") < col("hi"))
+    val oriented = canon
+      .join(degLo, Seq("lo")).join(degHi, Seq("hi"))
+      .select(
+        when(loFirst, col("lo")).otherwise(col("hi")).as("u"),
+        when(loFirst, col("hi")).otherwise(col("lo")).as("v"),
+        when(loFirst, col("deg_hi")).otherwise(col("deg_lo")).as("deg_v"))
+
+    // wedges: two out-edges of the same low-degree pivot u, ordered by the
+    // SAME (deg, id) total order so each unordered out-pair appears once;
+    // the closing edge (v -> w) then necessarily carries the orientation
+    // v -> w, so one equi-semi-join finds it.
+    val e1 = oriented.select(col("u"), col("v").as("v"), col("deg_v").as("dv"))
+    val e2 = oriented.select(col("u"), col("v").as("w"), col("deg_v").as("dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val triangles = wedges.join(closing, Seq("v", "w"), "left_semi")
+
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Global triangle count (sum over nodes / 3 computed directly). */
+  def globalTriangleCount(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): Long = {
+    val perNode = nodeTriangleCounts(edges, srcCol, dstCol)
+    val total = perNode.agg(sum(col("n_triangles"))).collect()(0)
+    if (total.isNullAt(0)) 0L else total.getLong(0) / 3
+  }
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language model + per-document negative
+  * log-likelihood scoring — the model-free analog of the CCNet/KenLM
+  * perplexity quality filter (Wenzek et al., LREC 2020): documents whose
+  * token transitions are improbable under the corpus LM score high and get
+  * filtered or down-weighted by the curation pipeline.
+  *
+  * Model: add-one-smoothed bigram conditional
+  *   P(w | v) = (c(v,w) + 1) / (ctx(v) + V)
+  * where c(v,w) is the corpus bigram count, ctx(v) the count of bigrams
+  * with context v, and V the corpus vocabulary size. Unseen (v,w) and
+  * unseen v degrade gracefully to 1/V-class probabilities under the same
+  * formula (c = 0, ctx = 0).
+  *
+  * Score: avg_nll(doc) = (1/n) * Σ_i  -ln P(w_i | w_{i-1}),  n = #bigrams.
+  *
+  * Training is two Catalyst aggregations (explode bigrams -> count; the
+  * context totals derive from the already-aggregated bigram table, so the
+  * second pass never rescans the corpus). Scoring has two plan shapes:
+  *
+  *  - [[scoreWithModel]] — the LM as two LITERAL map columns: scoring is a
+  *    single zero-shuffle WholeStageCodegen scan (aggregate HOF over the
+  *    bigram array). The 100 TB fast path whenever the LM fits the plan
+  *    (bounded vocabularies; guarded by `maxModelEntries`).
+  *  - [[scoreWithTables]] — explode + join against the count tables (AQE
+  *    broadcasts them when small; shuffle-join when not) + one groupBy.
+  *    The unbounded-vocabulary path: one corpus-sized keyed shuffle.
+  *
+  * Both paths fold the per-bigram terms IN DOCUMENT ORDER (the table path
+  * re-sorts by token position before folding), so their double sums are
+  * bit-identical — pinned in BigramLmSpec.
+  */
+object BigramLm {
+
+  /** Tokens: whitespace split, empties dropped (same contract as
+    * TextAnalysis.tokenCountWs). */
+  def tokensCol(textCol: Column): Column =
+    filter(split(trim(textCol), "\\s+"), t => length(t) > 0)
+
+  /** Bigram strings "v w" per document, in document order; fewer than two
+    * tokens yields an empty array. Tokens cannot contain whitespace, so
+    * the single-space join is unambiguous. */
+  def bigramsCol(toksCol: Column): Column =
+    when(size(toksCol) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toksCol, lit(1), size(toksCol) - 1),
+        slice(toksCol, lit(2), size(toksCol) - 1),
+        (v, w) => concat(v, lit(" "), w)))
+
+  /** Trained model as relations + the vocabulary size.
+    *
+    * @param bigramCounts (bigram "v w", c) — corpus bigram counts
+    * @param ctxCounts    (ctx v, n) — per-context bigram totals
+    */
+  final case class TrainedLm(bigramCounts: DataFrame, ctxCounts: DataFrame, vocabSize: Long)
+
+  /** Collected model for the literal-map scoring path. */
+  final case class Model(bigram: Map[String, Long], ctx: Map[String, Long], vocabSize: Long)
+
+  /** Train the LM over a corpus. One corpus scan for the bigram counts
+    * (explode -> partial-agg combine -> one keyed shuffle); context totals
+    * re-aggregate the (already tiny) bigram table. The vocabulary size is
+    * one more corpus-scan agg — pass `vocabSizeHint` when it is already
+    * known (snapshot manifests, prior runs) to skip that job. */
+  def train(df: DataFrame, textCol: String, vocabSizeHint: Long = -1L): TrainedLm = {
+    val toks = df.select(tokensCol(col(textCol)).as("toks"))
+    val bigramCounts = toks
+      .select(explode(bigramsCol(col("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c"))
+    val ctxCounts = bigramCounts
+      .groupBy(split(col("bigram"), " ", 2).getItem(0).as("ctx"))
+      .agg(sum(col("c")).as("n"))
+    val v =
+      if (vocabSizeHint >= 0) vocabSizeHint
+      else toks.select(explode(col("toks")).as("t")).agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    TrainedLm(bigramCounts, ctxCounts, v)
+  }
+
+  /** Collect the trained LM to driver maps for the literal-map scoring
+    * path. Refuses models past `maxModelEntries` with a named error —
+    * use [[scoreWithTables]] for unbounded vocabularies. */
+  def collectModel(lm: TrainedLm, maxModelEntries: Long = 2000000L): Model = {
+    val nBig = lm.bigramCounts.count()
+    require(nBig <= maxModelEntries,
+      s"bigram LM has $nBig entries > maxModelEntries=$maxModelEntries: " +
+        "a literal-map plan this large would bloat every task; use scoreWithTables")
+    val big = lm.bigramCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctx = lm.ctxCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Model(big, ctx, lm.vocabSize)
+  }
+
+  /** Per-bigram nll as a column program:
+    *   -ln((c+1)/(ctx+V)) = ln((ctx+V)/(c+1))
+    * with c and ctx looked up via `cExpr`/`ctxExpr` (0 when absent). */
+  private def nllTerm(cExpr: Column, ctxExpr: Column, vocabSize: Long): Column =
+    log((ctxExpr.cast("double") + vocabSize.toDouble) / (cExpr.cast("double") + 1.0))
+
+  /** Zero-shuffle scoring: the LM rides the plan as two literal maps; each
+    * row folds its bigram array in document order inside one codegen'd
+    * projection. Streaming-safe (stateless map — pinned in StreamingSpec).
+    *
+    * @return (id, n_bigrams, avg_nll): avg_nll = round(Σ nll / n, 4),
+    *         null when the doc has fewer than two tokens.
+    */
+  def scoreWithModel(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    val bigMap = typedlit(model.bigram)
+    val ctxMap = typedlit(model.ctx)
+    val term = (bg: Column) => nllTerm(
+      coalesce(element_at(bigMap, bg), lit(0L)),
+      coalesce(element_at(ctxMap, split(bg, " ", 2).getItem(0)), lit(0L)),
+      model.vocabSize)
+    df.select(col(idCol).as("id"), bigramsCol(tokensCol(col(textCol))).as("bgs"))
+      .select(col("id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        aggregate(col("bgs"), lit(0.0), (acc, bg) => acc + term(bg)).as("nll_sum"))
+      .select(col("id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(round(col("nll_sum") / col("n_bigrams").cast("double"), 4)).as("avg_nll"))
+  }
+
+  /** Unbounded-vocabulary scoring: explode (id, pos, bigram), join the
+    * count relations (broadcast under AQE when they fit, shuffle-join when
+    * not), then ONE keyed shuffle groups terms back per doc — where the
+    * fold re-sorts by position first, so the double-sum order is identical
+    * to [[scoreWithModel]]'s array-order fold and the two paths return
+    * bit-identical scores.
+    *
+    * CONTRACT: ids must be unique on this path — the per-doc regroup keys
+    * on id, so two rows sharing an id would pool their terms (the model
+    * path, which never regroups, scores each row independently). */
+  def scoreWithTables(df: DataFrame, idCol: String, textCol: String, lm: TrainedLm): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      bigramsCol(tokensCol(col(textCol))).as("bgs"))
+      .select(col("id"), size(col("bgs")).cast("long").as("n_bigrams"), col("bgs"))
+    val exploded = base.select(col("id"), posexplode(col("bgs")).as(Seq("pos", "bigram")))
+    val scored = exploded
+      .join(lm.bigramCounts, Seq("bigram"), "left")
+      .withColumn("ctx", split(col("bigram"), " ", 2).getItem(0))
+      .join(lm.ctxCounts, Seq("ctx"), "left")
+      .select(col("id"), col("pos"),
+        nllTerm(coalesce(col("c"), lit(0L)), coalesce(col("n"), lit(0L)), lm.vocabSize).as("nll"))
+    val sums = scored
+      .groupBy("id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("pos"), col("nll")))),
+        lit(0.0), (acc, x) => acc + x.getField("nll")).as("nll_sum"))
+    base.select(col("id"), col("n_bigrams"))
+      .join(sums, Seq("id"), "left")
+      .select(col("id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(round(col("nll_sum") / col("n_bigrams").cast("double"), 4)).as("avg_nll"))
+  }
+}

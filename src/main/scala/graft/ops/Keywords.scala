@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document keyword extraction: top-k terms by an exact tf-rarity
+  * score — the cross-engine-exact surrogate for tf-idf.
+  *
+  * score(term, doc) = tf(term, doc) * (N - df(term))
+  *
+  * where N is the corpus document count and df the term's document
+  * frequency. The score is monotone-decreasing in df for fixed tf (the
+  * property tf-idf ranking uses) but stays in INTEGER arithmetic, so the
+  * Spark result and a plain-SQL recomputation agree bit-for-bit — a
+  * transcendental idf (ln N/df) is only defined up to 1 ulp per libm and
+  * can flip a rank between mathematically-tied terms across engines.
+  *
+  * Plan shape (three shuffles, all keyed and partial-agg combinable):
+  *   1. tf:   explode tokens -> groupBy (doc, term) count (map-side combine
+  *            absorbs within-doc repeats before the shuffle);
+  *   2. df:   tf table -> groupBy term countDistinct-free count (each
+  *            (doc, term) row is already distinct) — output is
+  *            vocabulary-sized, tiny relative to the corpus;
+  *   3. rank: join tf with df on term (AQE broadcasts the df side when the
+  *            vocabulary fits; at web scale the shuffle join on term is the
+  *            right shape) -> per-doc window top-k. The window partitions
+  *            by doc, so its sort is per-group over (distinct terms per
+  *            doc) rows — bounded by document length, never corpus-sized.
+  *
+  * At 100 TB: pass `rowCountHint` (e.g. a snapshot table's Manifest.rows)
+  * to skip the extra corpus count job, same contract as
+  * [[Dedup.minhashLsh]].
+  */
+object Keywords {
+
+  /** Top-k keywords per document.
+    *
+    * @return (id, rank, term, tf, df, score): rank 1..k by (score desc,
+    *         term asc); docs with no tokens emit no rows.
+    */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String, k: Int,
+                  rowCountHint: Long = -1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = if (rowCountHint >= 0) rowCountHint else df.count()
+    val toks = df.select(col(idCol).as("id"),
+      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
+    val tf = toks
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(docFreq, Seq("term"))
+      .withColumn("score", col("tf") * (lit(n) - col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+}

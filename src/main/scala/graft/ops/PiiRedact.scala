@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction for training-data curation: scrub emails, IPv4
+  * addresses, long digit runs (account/ID numbers), and phone-shaped
+  * strings from text columns before the corpus reaches a trainer.
+  *
+  * Pure chained `regexp_replace` — codegen'd, zero shuffle, streaming-safe
+  * (stateless map), and pushdown-friendly (the scan still prunes columns).
+  * Every pattern uses the regex subset with identical semantics in Java's
+  * engine and RE2 (no backreferences, no lookaround), so a SQL engine
+  * applying the same patterns byte-matches this operator — that equality
+  * is the `pii_scrub` driver oracle.
+  *
+  * Replacement ORDER is a policy contract, applied most-specific first:
+  *   1. email  -> <EMAIL>
+  *   2. IPv4   -> <IP>      (before digit-runs: octets are short runs)
+  *   3. digit runs >= 6 -> <NUM>  (before phone: a bare long run is an
+  *                                 account/ID number, not a phone)
+  *   4. phone-shaped (digits with separators, optional leading +/(,
+  *      >= 9 chars) -> <PHONE>
+  * The guarantee is that NO pattern survives the chain; the label each
+  * hit gets follows this precedence (e.g. "+1 555-123-4567" is <PHONE>
+  * because its runs stay under 6 digits, while a bare 9-digit run is
+  * <NUM>). Replacement tokens contain no digits or '@', so later
+  * patterns can never match inside an earlier replacement.
+  */
+object PiiRedact {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val NumRunPattern = "\\d{6,}"
+  val PhonePattern = "[+(]?\\d[\\d\\s().-]{7,}\\d"
+
+  /** (pattern, replacement) in application order — shared with the SQL
+    * oracle builder so both engines run literally the same chain. */
+  val Chain: Seq[(String, String)] = Seq(
+    EmailPattern -> "<EMAIL>",
+    Ipv4Pattern -> "<IP>",
+    NumRunPattern -> "<NUM>",
+    PhonePattern -> "<PHONE>")
+
+  /** Redacted text column. */
+  def redact(textCol: Column): Column =
+    Chain.foldLeft(textCol) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** Count of redactions applied, by kind — computed BEFORE each stage's
+    * replacement on the partially-redacted text (so counts match what the
+    * chain actually replaced, not overlapping raw matches). */
+  def redactionCounts(textCol: Column): Seq[(String, Column)] = {
+    val labels = Seq("n_emails", "n_ips", "n_nums", "n_phones")
+    val (_, counts) = Chain.zip(labels).foldLeft((textCol, Seq.empty[(String, Column)])) {
+      case ((c, acc), ((pat, rep), label)) =>
+        (regexp_replace(c, pat, rep),
+          acc :+ (label -> size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")))
+    }
+    counts
+  }
+}

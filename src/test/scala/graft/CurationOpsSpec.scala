@@ -1,0 +1,177 @@
+package graft
+
+import graft.ops.{BigramLm, Keywords, PiiRedact}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationOpsSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ keywords --
+
+  test("keywords: hand-computed tf-rarity top-k with deterministic ties") {
+    // N = 3. df: common=3, mid=2, rare=1, solo=1
+    val docs = Seq(
+      (1L, "common common mid rare"),
+      (2L, "common mid"),
+      (3L, "common solo solo"))
+    val out = Keywords.topKeywords(docs.toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    // doc1: rare tf1*(3-1)=2, mid tf1*(3-2)=1, common tf2*(3-3)=0 -> rare, mid
+    // doc2: mid 1, common 0 -> mid, common
+    // doc3: solo tf2*(3-1)=4, common 0 -> solo, common
+    assert(out.toSeq == Seq(
+      (1L, 1L, "rare", 2L), (1L, 2L, "mid", 1L),
+      (2L, 1L, "mid", 1L), (2L, 2L, "common", 0L),
+      (3L, 1L, "solo", 4L), (3L, 2L, "common", 0L)))
+  }
+
+  test("keywords: score ties break by term ascending; rowCountHint skips nothing semantically") {
+    // both terms: tf=1, df=1 -> equal scores; 'alpha' must outrank 'beta'
+    val docs = Seq((1L, "beta alpha"), (2L, "other words here"))
+    val top = Keywords.topKeywords(docs.toDF("doc_id", "text"), "doc_id", "text", k = 5)
+    val d1 = top.filter(col("id") === 1L).collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(d1.sortBy(_._1).map(_._2).toSeq == Seq("alpha", "beta"))
+    val hinted = Keywords.topKeywords(docs.toDF("doc_id", "text"), "doc_id", "text", k = 5,
+      rowCountHint = 2L)
+    assert(top.collect().toSet == hinted.collect().toSet)
+  }
+
+  // ----------------------------------------------------------- bigram LM --
+
+  /** Independent local replica: maps + in-order fold, first principles. */
+  private def localLmScores(corpus: Seq[(Long, String)],
+                            scoreDocs: Seq[(Long, String)]): Map[Long, (Long, Option[Double])] = {
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def bgs(t: Seq[String]) = if (t.size < 2) Seq.empty else t.sliding(2).map(p => (p(0), p(1))).toSeq
+    val allBgs = corpus.flatMap(d => bgs(toks(d._2)))
+    val cnt = allBgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = allBgs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val v = corpus.flatMap(d => toks(d._2)).distinct.size.toLong
+    scoreDocs.map { case (id, text) =>
+      val b = bgs(toks(text))
+      if (b.isEmpty) id -> ((0L, None))
+      else {
+        var sum = 0.0
+        b.foreach { bg =>
+          val c = cnt.getOrElse(bg, 0L)
+          val n = ctx.getOrElse(bg._1, 0L)
+          sum += math.log((n.toDouble + v.toDouble) / (c.toDouble + 1.0))
+        }
+        val avg = BigDecimal(sum / b.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((b.size.toLong, Some(avg)))
+      }
+    }.toMap
+  }
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Option[Double])] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+
+  test("bigram LM: model path matches a first-principles local replica") {
+    val corpus = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "c a b"),
+      (4L, "x"), // 1 token: no bigrams
+      (5L, "  ")) // blank
+    val df = corpus.toDF("doc_id", "text")
+    val lm = BigramLm.train(df, "text")
+    val model = BigramLm.collectModel(lm)
+    assert(model.vocabSize == 4L) // a b c x
+    assert(model.bigram(("a b")) == 4L)
+    val got = collectScores(BigramLm.scoreWithModel(df, "doc_id", "text", model))
+    assert(got == localLmScores(corpus, corpus))
+    assert(got(4L) == ((0L, None)))
+    assert(got(5L) == ((0L, None)))
+  }
+
+  test("bigram LM: table path is bit-identical to the model path") {
+    val corpus = (0L until 120L).map(i =>
+      (i, (0 to (i % 17).toInt).map(j => s"w${(i + j * 3) % 23}").mkString(" ")))
+    val df = corpus.toDF("doc_id", "text")
+    val lm = BigramLm.train(df, "text")
+    val model = BigramLm.collectModel(lm)
+    val a = collectScores(BigramLm.scoreWithModel(df, "doc_id", "text", model))
+    val b = collectScores(BigramLm.scoreWithTables(df, "doc_id", "text", lm))
+    assert(a == b) // exact doubles: both paths fold in document order
+  }
+
+  test("bigram LM: unseen bigrams and contexts degrade to the smoothed floor") {
+    val corpus = Seq((1L, "a b c"))
+    val df = corpus.toDF("doc_id", "text")
+    val lm = BigramLm.train(df, "text")
+    val model = BigramLm.collectModel(lm)
+    // held-out doc, all-unseen tokens: every term is -ln(1/V) = ln 3
+    val held = Seq((9L, "p q r")).toDF("doc_id", "text")
+    val got = collectScores(BigramLm.scoreWithModel(held, "doc_id", "text", model))
+    val expected = BigDecimal(math.log(3.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(9L) == ((2L, Some(expected))))
+    // seen context, unseen next word: -ln((0+1)/(ctx(a)+V)) = ln(1+3)
+    val held2 = Seq((10L, "a z")).toDF("doc_id", "text")
+    val got2 = collectScores(BigramLm.scoreWithModel(held2, "doc_id", "text", model))
+    val exp2 = BigDecimal(math.log(4.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got2(10L) == ((1L, Some(exp2))))
+  }
+
+  test("bigram LM: collectModel refuses oversized models with a named error") {
+    val df = (0L until 40L).map(i => (i, s"t$i u$i v$i")).toDF("doc_id", "text")
+    val lm = BigramLm.train(df, "text")
+    val e = intercept[IllegalArgumentException] {
+      BigramLm.collectModel(lm, maxModelEntries = 10L)
+    }
+    assert(e.getMessage.contains("maxModelEntries"))
+    assert(e.getMessage.contains("scoreWithTables"))
+  }
+
+  // -------------------------------------------------------- PII redaction --
+
+  test("pii redaction: each pattern family redacts; clean text unchanged") {
+    val rows = Seq(
+      (1L, "contact john.doe+spam@corp.example.co.uk today"),
+      (2L, "server at 192.168.1.100 is down"),
+      (3L, "account 123456789 was closed"),
+      (4L, "call +1 555-123-4567 now"),
+      (5L, "nothing sensitive here at all"),
+      (6L, "a@b.io and 10.0.0.1 and 999999 and (020) 7946-0958"))
+    val out = rows.toDF("id", "text")
+      .select(col("id"), PiiRedact.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> today")
+    assert(out(2L) == "server at <IP> is down")
+    assert(out(3L) == "account <NUM> was closed")
+    assert(out(4L) == "call <PHONE> now")
+    assert(out(5L) == "nothing sensitive here at all")
+    assert(out(6L) == "<EMAIL> and <IP> and <NUM> and <PHONE>")
+  }
+
+  test("pii redaction: precedence contract and idempotence") {
+    val df = Seq(
+      (1L, "id 987654321"), // bare long run: <NUM>, not <PHONE>
+      (2L, "tel +1 555-123-4567"), // separators keep runs short: <PHONE>
+      (3L, "ip 10.20.30.40 acct 12345678")).toDF("id", "text")
+    val once = df.select(col("id"), PiiRedact.redact(col("text")).as("r"))
+    val got = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "id <NUM>")
+    assert(got(2L) == "tel <PHONE>")
+    assert(got(3L) == "ip <IP> acct <NUM>")
+    // replacement tokens carry no digits/'@': a second pass is a no-op
+    val twice = once.select(col("id"), PiiRedact.redact(col("r")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got)
+  }
+
+  test("pii redaction: per-kind counts match what the chain replaced") {
+    val df = Seq((1L, "a@b.io b@c.io 1.2.3.4 123456 +1 555-123-4567")).toDF("id", "text")
+    val counts = PiiRedact.redactionCounts(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .collect()(0)
+    assert(counts.getAs[Long]("n_emails") == 2L)
+    assert(counts.getAs[Long]("n_ips") == 1L)
+    assert(counts.getAs[Long]("n_nums") == 1L)
+    assert(counts.getAs[Long]("n_phones") == 1L)
+  }
+}

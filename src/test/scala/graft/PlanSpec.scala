@@ -189,6 +189,30 @@ class PlanSpec extends AnyFunSuite {
     assert(probed.select("cell").distinct().collect().map(_.getInt(0)).toSet.subsetOf(Set(2, 5)))
   }
 
+  test("pii_scrub: zero shuffles, column-pruned scan (stateless codegen map)") {
+    val p = plan(SparkEntry.piiScrub(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+    // only the three referenced customer columns reach the scan
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"), p)
+  }
+
+  test("frozen-LM scoring is a zero-shuffle scan (literal-map plan)") {
+    import graft.ops.BigramLm
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = BigramLm.Model(Map("a b" -> 2L), Map("a" -> 2L), 10L)
+    val p = plan(BigramLm.scoreWithModel(docs, "doc_id", "text", model))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("keywords and triangles: all equi-joins, no cartesian/nested-loop fallback") {
+    val kw = plan(SparkEntry.textKeywords(spark, sfDir))
+    assert(kw.contains("Exchange hashpartitioning"), kw)
+    assert(!kw.contains("CartesianProduct") && !kw.contains("BroadcastNestedLoopJoin"), kw)
+    val tr = plan(SparkEntry.graphTriangles(spark, sfDir))
+    assert(!tr.contains("CartesianProduct") && !tr.contains("BroadcastNestedLoopJoin"), tr)
+  }
+
   test("aggregation has a map-side partial phase") {
     val p = plan(SparkEntry.q1Agg(spark, sfDir))
     // HashAggregate (partial) ... Exchange ... HashAggregate (final)

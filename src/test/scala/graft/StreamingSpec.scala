@@ -467,4 +467,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.contains((500L, None, None)))
     assert(streamed.contains((502L, Some(11L), Some(2.5))))
   }
+
+  test("frozen-LM scoring and PII redaction are streaming-safe: per-batch == batch") {
+    // Both ops are stateless codegen'd maps (the LM rides the plan as a
+    // literal), so they must apply to a streaming DataFrame UNCHANGED —
+    // one quality-scoring/scrubbing policy for the batch corpus and its
+    // streaming ingest. Micro-batch boundaries cannot move a decision.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{BigramLm, PiiRedact}
+    import org.apache.spark.sql.functions.col
+    val corpus = (0L until 90L).map(i =>
+      (i, (0 to (i % 11).toInt).map(j => s"w${(i + j) % 13}").mkString(" ") +
+        (if (i % 4 == 0) s" mail u$i@ex.org acct ${100000 + i * 7}" else "")))
+    val batchDf = corpus.toDF("doc_id", "text")
+    val lm = BigramLm.train(batchDf, "text")
+    val model = BigramLm.collectModel(lm)
+
+    val stream = MemoryStream[(Long, String)]
+    val out = BigramLm.scoreWithModel(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    val red = stream.toDF().toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), PiiRedact.redact(col("text")).as("redacted"))
+    val q1 = out.writeStream.format("memory").queryName("lm_stream").outputMode("append").start()
+    val q2 = red.writeStream.format("memory").queryName("pii_stream").outputMode("append").start()
+    corpus.grouped(30).foreach { chunk =>
+      stream.addData(chunk); q1.processAllAvailable(); q2.processAllAvailable()
+    }
+    q1.stop(); q2.stop()
+
+    val streamedScores = spark.table("lm_stream").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val batchScores = BigramLm.scoreWithModel(batchDf, "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(streamedScores == batchScores)
+
+    val streamedRed = spark.table("pii_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchRed = batchDf.select(col("doc_id"), PiiRedact.redact(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamedRed == batchRed)
+    // the redaction really fired on the planted PII rows
+    assert(streamedRed(0L).contains("<EMAIL>") && streamedRed(0L).contains("<NUM>"))
+  }
 }

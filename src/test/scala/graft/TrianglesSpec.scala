@@ -1,0 +1,73 @@
+package graft
+
+import graft.graph.Triangles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrianglesSpec extends AnyFunSuite {
+
+  val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = pairs.toDF("src", "dst")
+
+  /** Independent local oracle: adjacency-set wedge check over the
+    * canonical undirected edge set. */
+  private def bruteNodeCounts(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val canon = pairs.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    val adj = canon.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- canon.toSeq
+      c <- adj(a) if c > b // a<b<c once per triangle
+      if adj(b).contains(c)
+    } {
+      counts(a) += 1; counts(b) += 1; counts(c) += 1
+    }
+    counts.toMap
+  }
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Triangles.nodeTriangleCounts(edgesDf(pairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("per-node triangle counts match brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val pairs = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val expected = bruteNodeCounts(pairs).filter(_._2 > 0)
+    assert(run(pairs) == expected)
+    assert(expected.nonEmpty) // the graph actually has triangles
+  }
+
+  test("K5 clique: every node in C(4,2)=6 triangles; global count C(5,3)=10") {
+    val pairs = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    assert(run(pairs) == (0L until 5L).map(_ -> 6L).toMap)
+    assert(Triangles.globalTriangleCount(edgesDf(pairs)) == 10L)
+  }
+
+  test("star graph (hub skew): zero triangles, empty output") {
+    val pairs = (1L to 50L).map(i => (0L, i))
+    assert(run(pairs).isEmpty)
+    assert(Triangles.globalTriangleCount(edgesDf(pairs)) == 0L)
+  }
+
+  test("duplicate, reversed, and self-loop edges do not change counts") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val dirty = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L), (3L, 1L))
+    assert(run(dirty) == run(base))
+    assert(run(base) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("string node ids work (type-generic orientation)") {
+    val df = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    val out = Triangles.nodeTriangleCounts(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+}
