@@ -331,12 +331,16 @@ object SparkEntry {
     * the oracle recomputes triangles as a plain 3-way a<b<c self-join, a
     * fully independent enumeration. */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val lp = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = lp.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = lp.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val edges = a.join(b, Seq("l_orderkey")).where(col("pa") < col("pb"))
-      .select(col("pa").as("src"), col("pb").as("dst"))
+    // per-order co-occurrence pairs via array HOFs: ONE keyed shuffle
+    // (groupBy order) replaces distinct + self-join — group size is items
+    // per order, bounded, so the pair fan-out is local and codegen'd
+    val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey")))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src"), col("e.dst"))
     graft.graph.Triangles.nodeTriangleCounts(edges)
       .select(col("node").cast("long").as("node"), col("n_triangles"))
   }

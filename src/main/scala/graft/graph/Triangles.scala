@@ -39,9 +39,11 @@ object Triangles {
       .where(col("lo") =!= col("hi") && col("lo").isNotNull && col("hi").isNotNull)
       .distinct()
 
-    // degrees over the canonical set
-    val deg = canon.select(col("lo").as("node"))
-      .unionAll(canon.select(col("hi").as("node")))
+    // degrees over the canonical set — ONE canon reference (explode, not
+    // union): repeated references to a subtree are only free when they sit
+    // behind an identical Exchange (ReusedExchange); minimizing reference
+    // counts keeps the plan cheap even where reuse is unavailable
+    val deg = canon.select(explode(array(col("lo"), col("hi"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
     // orient each edge from lower (deg, id) endpoint to higher — a total
@@ -57,21 +59,40 @@ object Triangles {
         when(loFirst, col("hi")).otherwise(col("lo")).as("v"),
         when(loFirst, col("deg_hi")).otherwise(col("deg_lo")).as("deg_v"))
 
-    // wedges: two out-edges of the same low-degree pivot u, ordered by the
-    // SAME (deg, id) total order so each unordered out-pair appears once;
-    // the closing edge (v -> w) then necessarily carries the orientation
-    // v -> w, so one equi-semi-join finds it.
-    val e1 = oriented.select(col("u"), col("v").as("v"), col("deg_v").as("dv"))
-    val e2 = oriented.select(col("u"), col("v").as("w"), col("deg_v").as("dw"))
-    val wedges = e1.join(e2, Seq("u"))
-      .where(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
-      .select(col("u"), col("v"), col("w"))
-    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
-    val triangles = wedges.join(closing, Seq("v", "w"), "left_semi")
+    // edge-iterator with adjacency intersection: for each oriented edge
+    // (u, v), the triangles it pivots are N+(u) ∩ N+(v) — each triangle
+    // {a<b<c} (orientation order) is found exactly once, at edge (a, b)
+    // with c in both out-lists (c ∉ N+(b)'s closing edge is oriented
+    // b -> c, and neither a-edge finds it: b,c carry no out-edge back to
+    // a). Unlike the textbook wedge self-join, NO wedge rows materialize
+    // (the sf0.1 co-occurrence graph has 41M wedges over 1.2M edges —
+    // this plan shuffles only the 1.2M edges plus the node-sized
+    // adjacency table, and the intersections run codegen-local); per-task
+    // memory is bounded by the largest out-list, i.e. O(√m) by the
+    // orientation. AQE broadcasts the adjacency table when it fits, and
+    // degenerates to a shuffle join keyed on edge endpoints when not.
+    // the oriented edge list is re-derived from the adjacency table itself
+    // (explode), so `oriented` feeds exactly ONE aggregation and the
+    // adjacency Exchange is the only subtree referenced twice — and that
+    // second reference is a ReusedExchange, not a recompute
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    val edgesWithNu = adj.select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+    val adjV = adj.select(col("u").as("v"), col("nbrs").as("nv"))
+    // inner join: an edge whose v has no out-list cannot close a triangle
+    val tri = edgesWithNu.join(adjV, Seq("v"))
+      .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("u"), col("v"), col("ws"), size(col("ws")).cast("long").as("t"))
 
-    triangles
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    // each pivot edge contributes t to u and v, and 1 to every closing w —
+    // assembled as ONE generator over tri (three references to `tri` would
+    // recompute the whole intersection pass per branch)
+    tri.select(explode(concat(
+        array(
+          struct(col("u").as("node"), col("t").as("n")),
+          struct(col("v").as("node"), col("t").as("n"))),
+        transform(col("ws"), w => struct(w.as("node"), lit(1L).as("n"))))).as("c"))
+      .groupBy(col("c.node").as("node")).agg(sum(col("c.n")).as("n_triangles"))
   }
 
   /** Global triangle count (sum over nodes / 3 computed directly). */
