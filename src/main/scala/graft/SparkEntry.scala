@@ -323,13 +323,14 @@ object SparkEntry {
       .withColumn("is_duplicate", col("doc_id") =!= col("cluster_id"))
   }
 
-  /** Per-node triangle counts over the part co-occurrence graph (parts
-    * appearing in the same order are connected) — the clustering-density
-    * diagnostic over the same co-occurrence graph family the xref CC
-    * operator canonicalizes. Degree-ordered orientation (graph/Triangles)
-    * bounds wedge fan-out by outdeg ~ O(sqrt m) regardless of hub skew;
-    * the oracle recomputes triangles as a plain 3-way a<b<c self-join, a
-    * fully independent enumeration. */
+  /** Per-node triangle counts + local clustering coefficients over the
+    * part co-occurrence graph (parts appearing in the same order are
+    * connected) — the density diagnostic over the same co-occurrence
+    * graph family the xref CC operator canonicalizes. Degree-ordered
+    * orientation + adjacency intersection (graph/Triangles) bounds wedge
+    * fan-out by outdeg ~ O(sqrt m) regardless of hub skew and never
+    * materializes wedges; the oracle recomputes triangles as a plain
+    * 3-way a<b<c self-join, a fully independent enumeration. */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     // per-order co-occurrence pairs via array HOFs: ONE keyed shuffle
     // (groupBy order) replaces distinct + self-join — group size is items
@@ -341,8 +342,9 @@ object SparkEntry {
         transform(slice(col("ps"), i + lit(2), size(col("ps"))),
           y => struct(x.as("src"), y.as("dst")))))).as("e"))
       .select(col("e.src"), col("e.dst"))
-    graft.graph.Triangles.nodeTriangleCounts(edges)
-      .select(col("node").cast("long").as("node"), col("n_triangles"))
+    graft.graph.Triangles.nodeClustering(edges)
+      .select(col("node").cast("long").as("node"), col("degree"),
+        col("n_triangles"), col("clustering"))
   }
 
   // -------------------------------------------------------- similarity ----
@@ -897,8 +899,15 @@ object SparkEntry {
         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
         |corners AS (SELECT a AS node FROM tri
         |            UNION ALL SELECT b FROM tri
-        |            UNION ALL SELECT c FROM tri)
-        |SELECT node, count(*) AS n_triangles FROM corners GROUP BY node""".stripMargin,
+        |            UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node)
+        |SELECT d.node, d.deg AS degree, coalesce(tc.n_triangles, 0) AS n_triangles,
+        |       CASE WHEN d.deg < 2 THEN 0.0
+        |            ELSE round(coalesce(tc.n_triangles, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+        |       END AS clustering
+        |FROM deg d LEFT JOIN tc USING (node)""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,

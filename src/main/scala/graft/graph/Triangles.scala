@@ -3,17 +3,19 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed triangle counting over an undirected edge relation.
+/** Distributed triangle counting + local clustering coefficients over an
+  * undirected edge relation.
   *
   * Algorithm: degree-ordered orientation (Cohen 2009 / Suri-Vassilvitskii
   * WWW'11 "Counting triangles and the curse of the last reducer") — every
   * undirected edge is directed from its lower-(degree, id) endpoint to the
-  * higher one, which turns the wedge enumeration from O(Σ deg²) on raw
-  * degrees into O(Σ outdeg²) with outdeg ≤ O(√m): the classic skew shield
-  * that keeps a celebrity node from generating deg² wedge candidates in
-  * one task. Three shuffles total (degree agg, wedge self-join, closing
-  * semi-join) — each keyed, combinable, and AQE-splittable; no driver
-  * state, no collect.
+  * higher one, then each oriented edge (u, v) intersects the out-lists of
+  * its endpoints (edge-iterator form): the wedge enumeration that would be
+  * O(Σ deg²) on raw degrees becomes O(Σ outdeg²) with outdeg ≤ O(√m) —
+  * the classic skew shield that keeps a celebrity node from generating
+  * deg² wedge candidates in one task — and NO wedge rows ever materialize
+  * (the intersections run codegen-local; only the edge list and the
+  * node-sized adjacency table are shuffled). No driver state, no collect.
   *
   * KG relevance: triangle counts / clustering coefficients are the
   * standard density diagnostic over co-occurrence graphs (parts bought
@@ -22,15 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Per-node triangle participation counts.
-    *
-    * @param edges two-column DataFrame (src, dst) of UNDIRECTED edges;
-    *              duplicates and self-loops are removed here, and each
-    *              undirected pair may appear in either or both directions.
-    * @return (node, n_triangles) for every node in at least one triangle;
-    *         each triangle contributes 1 to each of its three corners.
-    */
-  def nodeTriangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+  /** Shared internals: (degree relation, per-node triangle counts).
+    * Both outputs are lazy plans over the same subtrees; every repeated
+    * subtree reference sits behind an identical Exchange (ReusedExchange),
+    * so composing them costs no recompute. */
+  private def degAndCounts(edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, DataFrame) = {
     val s = col(srcCol)
     val d = col(dstCol)
     // canonical undirected edge set: (lo, hi), no self-loops, distinct
@@ -56,25 +54,23 @@ object Triangles {
       .join(degLo, Seq("lo")).join(degHi, Seq("hi"))
       .select(
         when(loFirst, col("lo")).otherwise(col("hi")).as("u"),
-        when(loFirst, col("hi")).otherwise(col("lo")).as("v"),
-        when(loFirst, col("deg_hi")).otherwise(col("deg_lo")).as("deg_v"))
+        when(loFirst, col("hi")).otherwise(col("lo")).as("v"))
 
     // edge-iterator with adjacency intersection: for each oriented edge
     // (u, v), the triangles it pivots are N+(u) ∩ N+(v) — each triangle
     // {a<b<c} (orientation order) is found exactly once, at edge (a, b)
-    // with c in both out-lists (c ∉ N+(b)'s closing edge is oriented
-    // b -> c, and neither a-edge finds it: b,c carry no out-edge back to
-    // a). Unlike the textbook wedge self-join, NO wedge rows materialize
-    // (the sf0.1 co-occurrence graph has 41M wedges over 1.2M edges —
-    // this plan shuffles only the 1.2M edges plus the node-sized
-    // adjacency table, and the intersections run codegen-local); per-task
-    // memory is bounded by the largest out-list, i.e. O(√m) by the
-    // orientation. AQE broadcasts the adjacency table when it fits, and
-    // degenerates to a shuffle join keyed on edge endpoints when not.
-    // the oriented edge list is re-derived from the adjacency table itself
-    // (explode), so `oriented` feeds exactly ONE aggregation and the
-    // adjacency Exchange is the only subtree referenced twice — and that
-    // second reference is a ReusedExchange, not a recompute
+    // with c in both out-lists (the closing edge is oriented b -> c, and
+    // neither a-edge finds it: b, c carry no out-edge back to a). The
+    // sf0.1 co-occurrence graph has 41M wedges over 1.2M edges — this
+    // plan shuffles only the 1.2M edges plus the node-sized adjacency
+    // table, and the intersections run codegen-local; per-task memory is
+    // bounded by the largest out-list, i.e. O(√m) by the orientation.
+    // AQE broadcasts the adjacency table when it fits, and degenerates to
+    // a shuffle join keyed on edge endpoints when not. The oriented edge
+    // list is re-derived from the adjacency table itself (explode), so
+    // `oriented` feeds exactly ONE aggregation and the adjacency Exchange
+    // is the only subtree referenced twice — a ReusedExchange, not a
+    // recompute.
     val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
     val edgesWithNu = adj.select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
     val adjV = adj.select(col("u").as("v"), col("nbrs").as("nv"))
@@ -87,12 +83,41 @@ object Triangles {
     // each pivot edge contributes t to u and v, and 1 to every closing w —
     // assembled as ONE generator over tri (three references to `tri` would
     // recompute the whole intersection pass per branch)
-    tri.select(explode(concat(
+    val counts = tri.select(explode(concat(
         array(
           struct(col("u").as("node"), col("t").as("n")),
           struct(col("v").as("node"), col("t").as("n"))),
         transform(col("ws"), w => struct(w.as("node"), lit(1L).as("n"))))).as("c"))
       .groupBy(col("c.node").as("node")).agg(sum(col("c.n")).as("n_triangles"))
+    (deg, counts)
+  }
+
+  /** Per-node triangle participation counts.
+    *
+    * @param edges two-column DataFrame (src, dst) of UNDIRECTED edges;
+    *              duplicates and self-loops are removed here, and each
+    *              undirected pair may appear in either or both directions.
+    * @return (node, n_triangles) for every node in at least one triangle;
+    *         each triangle contributes 1 to each of its three corners.
+    */
+  def nodeTriangleCounts(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    degAndCounts(edges, srcCol, dstCol)._2
+
+  /** Per-node degree, triangle count, and local clustering coefficient
+    * 2T / (deg·(deg−1)) — the fraction of a node's neighbor pairs that
+    * are themselves connected (Watts-Strogatz). Every node of the graph
+    * is returned; nodes with deg < 2 (no neighbor pairs) get 0.0.
+    * The coefficient is one exact integer-input division, so a SQL
+    * recomputation matches bit-for-bit.
+    */
+  def nodeClustering(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val (deg, counts) = degAndCounts(edges, srcCol, dstCol)
+    deg.join(counts, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(round(coalesce(col("n_triangles"), lit(0L)) * lit(2.0) /
+            (col("deg") * (col("deg") - lit(1L))).cast("double"), 6)).as("clustering"))
   }
 
   /** Global triangle count (sum over nodes / 3 computed directly). */

@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
 object BigramLm {
 
   /** Tokens: whitespace split, empties dropped (same contract as
-    * TextAnalysis.tokenCountWs). */
+    * TextAnalysis.tokenCountWs); null text scores like an empty doc
+    * instead of poisoning the row to null. */
   def tokensCol(textCol: Column): Column =
-    filter(split(trim(textCol), "\\s+"), t => length(t) > 0)
+    filter(split(trim(coalesce(textCol, lit(""))), "\\s+"), t => length(t) > 0)
 
   /** Bigram strings "v w" per document, in document order; fewer than two
     * tokens yields an empty array. Tokens cannot contain whitespace, so

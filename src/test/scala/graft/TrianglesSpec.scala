@@ -63,6 +63,23 @@ class TrianglesSpec extends AnyFunSuite {
     assert(run(base) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clustering coefficients: clique=1.0, path=0.0, triangle+tail mixes") {
+    def clus(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+      Triangles.nodeClustering(edgesDf(pairs)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // K5: every node deg 4, 6 triangles, clustering 6*2/(4*3) = 1.0
+    val k5 = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    assert(clus(k5) == (0L until 5L).map(_ -> ((4L, 6L, 1.0))).toMap)
+    // path a-b-c: b has deg 2 and 0 triangles -> 0.0; leaves deg 1 -> 0.0
+    assert(clus(Seq((1L, 2L), (2L, 3L))) ==
+      Map(1L -> ((1L, 0L, 0.0)), 2L -> ((2L, 0L, 0.0)), 3L -> ((1L, 0L, 0.0))))
+    // triangle 1-2-3 with tail 3-4: node 3 deg 3, 1 triangle -> 2/(3*2)=0.333333
+    val t = clus(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(t(3L) == ((3L, 1L, 0.333333)))
+    assert(t(1L) == ((2L, 1L, 1.0)) && t(2L) == ((2L, 1L, 1.0)))
+    assert(t(4L) == ((1L, 0L, 0.0)))
+  }
+
   test("string node ids work (type-generic orientation)") {
     val df = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
       .toDF("src", "dst")
