@@ -510,6 +510,28 @@ object SparkEntry {
       .select(col("c_custkey"), graft.ops.PiiRedact.redact(text).as("redacted"))
   }
 
+  /** Declarative data-quality gate (ops/Validate): seven constraints over
+    * orders — null/set/range/regex/uniqueness in ONE aggregation pass,
+    * plus a referential-integrity check against customer — producing the
+    * long-format report a curation pipeline gates on. The range check is
+    * deliberately tight so it FAILS with a real violation count (13,540
+    * at sf0.01): the oracle comparison proves the counting, not just the
+    * zeros. */
+  def dataValidate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Validate
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    Validate.run(orders,
+      rowChecks = Seq(
+        Validate.notNull("o_orderkey"),
+        Validate.notNull("o_custkey"),
+        Validate.inSet("o_orderstatus", Seq("F", "O", "P")),
+        Validate.inRange("o_totalprice", 0.0, 50000.0),
+        Validate.holds("priority_format", col("o_orderpriority").rlike("^[0-9]-[A-Z ]+$"))),
+      uniqueChecks = Seq(Validate.unique("o_orderkey")),
+      fkChecks = Seq(Validate.foreignKey("o_custkey", customer, "c_custkey")))
+  }
+
   // ------------------------------------------------------- multimodal ----
 
   def mmMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
@@ -741,6 +763,7 @@ object SparkEntry {
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
     "mm_media_features" -> mmMediaFeatures,
+    "data_validate" -> dataValidate,
     "q1_agg" -> q1Agg,
     "q2_join_topk" -> q2JoinTopK,
     "q3_setops" -> q3SetOps,
@@ -1120,6 +1143,30 @@ object SparkEntry {
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n,
         |       CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ROLLUP(event_type, d)""".stripMargin,
+    // every constraint recomputed as plain SQL conditional sums over the
+    // same semantics (null-safe value checks, count-minus-distinct
+    // uniqueness, left-join FK); the tight range check carries a REAL
+    // nonzero violation count so the compare exercises the counting
+    "data_validate" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_ok,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_ck,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 50000.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+        |  CAST(sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_fmt,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uni
+        |  FROM orders),
+        |fk AS (SELECT CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        |              count(*) AS n_rows
+        |       FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |         ON o.o_custkey = c.c_custkey)
+        |SELECT 'not_null:o_orderkey' AS check_name, v_nn_ok AS violations, n_rows, v_nn_ok = 0 AS passed FROM s
+        |UNION ALL SELECT 'not_null:o_custkey', v_nn_ck, n_rows, v_nn_ck = 0 FROM s
+        |UNION ALL SELECT 'in_set:o_orderstatus', v_set, n_rows, v_set = 0 FROM s
+        |UNION ALL SELECT 'in_range:o_totalprice', v_rng, n_rows, v_rng = 0 FROM s
+        |UNION ALL SELECT 'holds:priority_format', v_fmt, n_rows, v_fmt = 0 FROM s
+        |UNION ALL SELECT 'unique:o_orderkey', v_uni, n_rows, v_uni = 0 FROM s
+        |UNION ALL SELECT 'fk:o_custkey', v, n_rows, v = 0 FROM fk""".stripMargin,
     // tf/df/rank recomputed in plain SQL; the score is exact integer
     // arithmetic (tf * (N - df)) so the compare is bit-exact — no
     // transcendental idf to drift by a ulp across engines

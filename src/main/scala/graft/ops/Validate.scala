@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation (the Deequ/Great-Expectations
+  * primitive): constraint checks over a table compiled into ONE
+  * aggregation pass — every row-level check is a conditional sum and
+  * every uniqueness check a count-vs-count-distinct, all map-side
+  * combinable, so N checks cost one corpus scan regardless of N.
+  * Referential-integrity checks each add one anti-join-shaped
+  * aggregation (broadcast when the dimension fits).
+  *
+  * Output is the long-format report a pipeline gate consumes:
+  * (check_name, violations, n_rows, passed) — one row per check.
+  * `n_rows` is the fact-table row count for every check (FK checks
+  * included) so the report is self-describing about coverage.
+  */
+object Validate {
+
+  /** A named row-level constraint: `violates` is true on BAD rows.
+    * Nulls: a null never violates a value constraint (range/set/regex
+    * helpers are null-safe) — pair them with [[notNull]] to forbid nulls,
+    * mirroring SQL CHECK semantics. */
+  final case class RowCheck(name: String, violates: Column)
+
+  /** A named uniqueness constraint: violations = (non-null count) −
+    * (distinct non-null count), i.e. the number of surplus duplicate
+    * rows on the column. */
+  final case class UniqueCheck(name: String, column: String)
+
+  def notNull(c: String): RowCheck =
+    RowCheck(s"not_null:$c", col(c).isNull)
+
+  def inSet(c: String, values: Seq[String]): RowCheck =
+    RowCheck(s"in_set:$c", col(c).isNotNull && !col(c).isin(values: _*))
+
+  def inRange(c: String, lo: Double, hi: Double): RowCheck =
+    RowCheck(s"in_range:$c", col(c).isNotNull && (col(c) < lo || col(c) > hi))
+
+  def matchesRegex(c: String, pattern: String): RowCheck =
+    RowCheck(s"matches:$c", col(c).isNotNull && !col(c).rlike(pattern))
+
+  /** Arbitrary predicate that must HOLD on every row. */
+  def holds(name: String, predicate: Column): RowCheck =
+    RowCheck(s"holds:$name", !coalesce(predicate, lit(false)))
+
+  def unique(c: String): UniqueCheck = UniqueCheck(s"unique:$c", c)
+
+  /** A referential-integrity constraint: every non-null `keyCol` value in
+    * the fact table must exist in `dim(dimKeyCol)`. */
+  final case class FkCheck(name: String, keyCol: String, dim: DataFrame, dimKeyCol: String)
+
+  def foreignKey(keyCol: String, dim: DataFrame, dimKeyCol: String): FkCheck =
+    FkCheck(s"fk:$keyCol", keyCol, dim, dimKeyCol)
+
+  /** Run all checks; returns (check_name, violations, n_rows, passed),
+    * one row per check, deterministic order-free content. */
+  def run(df: DataFrame,
+          rowChecks: Seq[RowCheck] = Nil,
+          uniqueChecks: Seq[UniqueCheck] = Nil,
+          fkChecks: Seq[FkCheck] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueChecks.nonEmpty || fkChecks.nonEmpty,
+      "Validate.run: no checks given")
+    val spark = df.sparkSession
+
+    val aggCols =
+      count(lit(1)).as("__rows") +:
+        (rowChecks.map(rc =>
+          sum(when(rc.violates, 1L).otherwise(0L)).as(s"__rc_${rc.name}")) ++
+          uniqueChecks.map(uc =>
+            (count(col(uc.column)) - countDistinct(col(uc.column))).as(s"__uc_${uc.name}")))
+
+    val reportCols = (rowChecks.map(rc => rc.name -> col(s"`__rc_${rc.name}`")) ++
+      uniqueChecks.map(uc => uc.name -> col(s"`__uc_${uc.name}`")))
+      .map { case (name, c) =>
+        struct(lit(name).as("check_name"), coalesce(c, lit(0L)).as("violations"))
+      }
+
+    val base =
+      if (reportCols.isEmpty) spark.emptyDataFrame.select() // no agg-pass checks
+      else df.agg(aggCols.head, aggCols.tail: _*)
+        .select(col("__rows"), explode(array(reportCols: _*)).as("c"))
+        .select(col("c.check_name").as("check_name"),
+          col("c.violations").as("violations"), col("__rows").as("n_rows"))
+
+    // FK checks: count fact keys missing from the dimension (anti-join
+    // shape as a conditional sum over a left join — broadcast when the
+    // dim fits). n_rows rides along from the same pass.
+    val fkParts = fkChecks.map { fk =>
+      val dimKeys = fk.dim.select(col(fk.dimKeyCol).as("__dim_key")).distinct()
+      df.select(col(fk.keyCol).as("__fact_key"))
+        .join(dimKeys, col("__fact_key") === col("__dim_key"), "left")
+        .agg(
+          sum(when(col("__fact_key").isNotNull && col("__dim_key").isNull, 1L).otherwise(0L))
+            .as("violations"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(fk.name).as("check_name"),
+          coalesce(col("violations"), lit(0L)).as("violations"), col("n_rows"))
+    }
+
+    val all = (if (reportCols.isEmpty) fkParts else base +: fkParts)
+      .reduce(_ unionAll _)
+    all.withColumn("passed", col("violations") === 0L)
+  }
+}

@@ -127,6 +127,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("scoreWithTables"))
   }
 
+  // ----------------------------------------------------------- validation --
+
+  test("validate: every check kind counts its violations exactly") {
+    import graft.ops.Validate
+    val df = Seq(
+      (Some(1L), Some("a"), Some(10.0), "ok-1"),
+      (Some(2L), Some("b"), Some(-5.0), "ok-2"), // range violation
+      (Some(2L), Some("zz"), Some(20.0), "bad"), // dup id + set violation + regex violation
+      (None, None, None, "ok-3") // null id + null cat (nulls do NOT violate set/range)
+    ).toDF("id", "cat", "x", "tag")
+    val dim = Seq("a", "b").toDF("k")
+    val out = Validate.run(df,
+      rowChecks = Seq(
+        Validate.notNull("id"),
+        Validate.inSet("cat", Seq("a", "b", "c")),
+        Validate.inRange("x", 0.0, 100.0),
+        Validate.matchesRegex("tag", "^ok-[0-9]$"),
+        Validate.holds("x_pos", col("x") > 0.0)),
+      uniqueChecks = Seq(Validate.unique("id")),
+      fkChecks = Seq(Validate.foreignKey("cat", dim, "k")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("not_null:id") == ((1L, 4L, false)))
+    assert(out("in_set:cat") == ((1L, 4L, false))) // only "zz"; null cat exempt
+    assert(out("in_range:x") == ((1L, 4L, false))) // only -5.0; null exempt
+    assert(out("matches:tag") == ((1L, 4L, false))) // "bad"
+    // holds: predicate must HOLD — null x rows fail it (coalesce false)
+    assert(out("holds:x_pos") == ((2L, 4L, false))) // -5.0 and null
+    assert(out("unique:id") == ((1L, 4L, false))) // one surplus dup
+    assert(out("fk:cat") == ((1L, 4L, false))) // "zz" not in dim; null exempt
+    assert(out.size == 7)
+  }
+
+  test("validate: clean table passes all checks; FK-only run works") {
+    import graft.ops.Validate
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+    val dim = Seq("a", "b", "c").toDF("k")
+    val all = Validate.run(df,
+      rowChecks = Seq(Validate.notNull("id")),
+      uniqueChecks = Seq(Validate.unique("id")),
+      fkChecks = Seq(Validate.foreignKey("cat", dim, "k")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(all.forall(_._4), all.mkString(","))
+    assert(all.forall(_._3 == 2L))
+    val fkOnly = Validate.run(df, fkChecks = Seq(Validate.foreignKey("cat", dim, "k")))
+      .collect()
+    assert(fkOnly.length == 1 && fkOnly(0).getBoolean(3))
+    intercept[IllegalArgumentException](Validate.run(df))
+  }
+
   // -------------------------------------------------------- PII redaction --
 
   test("pii redaction: each pattern family redacts; clean text unchanged") {
