@@ -716,6 +716,36 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
 
+  /** Cohort retention: users grouped by first-active day; for every
+    * (cohort_day, day_offset) the count of cohort users active that day.
+    * Two keyed shuffles (distinct active days; per-user cohort min) and
+    * one user-keyed join — the shapes stay corpus-sized, never
+    * (users x days). The oracle recomputes cohorts and offsets in SQL. */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = active.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Quantile-threshold anomaly flags: events whose value exceeds their
+    * type's exact p99 — composes the distributed two-pass quantile
+    * operator with a broadcast threshold join (the per-type quantile
+    * table is groups-sized). The oracle re-derives p99 with the same
+    * type-7 rank arithmetic and re-flags independently. */
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val p99 = graft.ops.Quantiles.groupedQuantiles(
+      ev, groupCol = "event_type", valueCol = "value", ps = Seq(0.99))
+      .select(col("event_type"), col(graft.ops.Quantiles.qName(0.99)).as("p99"))
+    ev.join(broadcast(p99), Seq("event_type"))
+      .where(col("value") > col("p99"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"), round(col("p99"), 6).as("p99"))
+  }
+
   def eventsWindowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -776,6 +806,8 @@ object SparkEntry {
     "q10_quantiles" -> q10Quantiles,
     "q11_rollup" -> q11Rollup,
     "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
+    "events_anomaly" -> eventsAnomaly,
     "events_windowed_agg" -> eventsWindowedAgg
   )
 
@@ -1120,6 +1152,32 @@ object SparkEntry {
         |              LEFT JOIN p ON u.user_id = p.user_id)
         |SELECT CAST(funnel_stage AS BIGINT) AS funnel_stage, count(*) AS n_users
         |FROM st GROUP BY funnel_stage""".stripMargin,
+    // cohorts + offsets recomputed in plain SQL (DATE arithmetic)
+    "events_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohort AS (SELECT user_id, min(d) AS cohort_day FROM active GROUP BY user_id)
+        |SELECT c.cohort_day, CAST(a.d - c.cohort_day AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // p99 re-derived with the same type-7 rank arithmetic (the q10
+    // machinery), then the flag decision re-applied independently
+    "events_anomaly" -> {
+      val h = "((CAST(n AS DOUBLE)-1.0)*0.99)"
+      s"""WITH ranked AS (
+         |  SELECT event_type AS g, value AS v,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rank,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |q AS (SELECT g AS event_type,
+         |  sum(CASE WHEN rank = CAST(floor($h) AS BIGINT) AND rank = CAST(ceil($h) AS BIGINT) THEN v
+         |      WHEN rank = CAST(floor($h) AS BIGINT) THEN v*(1.0-($h - floor($h)))
+         |      WHEN rank = CAST(ceil($h) AS BIGINT) THEN v*($h - floor($h)) END) AS p99
+         |  FROM ranked GROUP BY g)
+         |SELECT e.event_id, e.event_type, round(e.value, 6) AS value, round(q.p99, 6) AS p99
+         |FROM events e JOIN q ON q.event_type = e.event_type
+         |WHERE e.value > q.p99""".stripMargin
+    },
     // Identical type-7 interpolation arithmetic over row_number ranks —
     // DuckDB's window rank replaces the Spark side's two-pass distributed
     // rank, so the ranking machinery itself is independently recomputed.

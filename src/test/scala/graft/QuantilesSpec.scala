@@ -71,6 +71,40 @@ class QuantilesSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("events_anomaly flags exactly the >p99 rows (local type-7 replica)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val p99 = raw.groupBy(_._2).map { case (t, rows) =>
+      t -> local(rows.flatMap(_._3).toSeq, 0.99)
+    }
+    val expected = raw.collect {
+      case (id, t, Some(v)) if v > p99(t) => id
+    }.toSet
+    val got = SparkEntry.eventsAnomaly(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // the flag set is real, not vacuous
+  }
+
+  test("events_retention matches a local cohort computation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val active = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    val cohort = active.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val expected = active.toSeq
+      .map { case (u, d) => (cohort(u), java.time.temporal.ChronoUnit.DAYS.between(cohort(u), d)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.eventsRetention(spark, sfDir).collect()
+      .map(r => ((r.getDate(0).toLocalDate, r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expected)
+    // offset 0 row exists for every cohort day (the cohort-defining visit)
+    assert(got.keys.filter(_._2 == 0L).map(_._1).toSet == cohort.values.toSet)
+  }
+
   test("q11 rollup carries subtotals and a grand total consistent with raw counts") {
     val out = SparkEntry.q11Rollup(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
