@@ -509,4 +509,52 @@ class StreamingSpec extends AnyFunSuite {
     // the redaction really fired on the planted PII rows
     assert(streamedRed(0L).contains("<EMAIL>") && streamedRed(0L).contains("<NUM>"))
   }
+
+  test("frozen-threshold anomaly flags + per-batch validation on a stream") {
+    // anomaly: the per-group quantile table is computed on the batch
+    // corpus and joined to the stream as a STATIC side (stream-static
+    // inner joins are stateless in Structured Streaming) — one threshold
+    // policy for batch corpus and live ingest. validation: the
+    // single-pass constraint aggregation runs per micro-batch via
+    // foreachBatch, the deployment shape of a streaming quality monitor.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Validate
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val rows = (0L until 400L).map(i =>
+      (i, s"t${i % 3}", if (i % 97 == 0) 1000.0 + i else (i % 50).toDouble))
+    val batchDf = rows.toDF("event_id", "event_type", "value")
+    val p99 = graft.ops.Quantiles.groupedQuantiles(batchDf, "event_type", "value", Seq(0.99))
+      .select(col("event_type"), col(graft.ops.Quantiles.qName(0.99)).as("p99"))
+
+    val stream = MemoryStream[(Long, String, Double)]
+    val flagged = stream.toDF().toDF("event_id", "event_type", "value")
+      .join(broadcast(p99), Seq("event_type"))
+      .where(col("value") > col("p99"))
+      .select(col("event_id"))
+    val q = flagged.writeStream.format("memory").queryName("anom_stream")
+      .outputMode("append").start()
+
+    val perBatchViolations = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vq = stream.toDF().toDF("event_id", "event_type", "value").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rep = Validate.run(batch,
+          rowChecks = Seq(Validate.inRange("value", 0.0, 999.0)),
+          uniqueChecks = Seq(Validate.unique("event_id")))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        perBatchViolations.synchronized { perBatchViolations += rep("in_range:value") }
+        ()
+      }.start()
+    rows.grouped(100).foreach { chunk =>
+      stream.addData(chunk); q.processAllAvailable(); vq.processAllAvailable()
+    }
+    q.stop(); vq.stop()
+
+    val streamedFlags = spark.table("anom_stream").collect().map(_.getLong(0)).toSet
+    val batchFlags = batchDf.join(broadcast(p99), Seq("event_type"))
+      .where(col("value") > col("p99")).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(streamedFlags == batchFlags && batchFlags.nonEmpty)
+    // per-batch range-violation counts sum to the batch total (the spike
+    // rows planted at i % 97 == 0 exceed the 999.0 bound)
+    assert(perBatchViolations.sum == rows.count(_._3 > 999.0))
+  }
 }
