@@ -412,6 +412,49 @@ object ScalingBench {
     * at nProbe 32 of 256 cells. The df-capped n-gram op is exempt from
     * the giant-tier gates (its 0.0 there is the cap's documented
     * contract) but still precision-gated. */
+  /** Triangle-counting skew gate: a star with one `satellites`-degree hub
+    * (the worst-case celebrity node — naive wedge enumeration would emit
+    * C(satellites, 2) ≈ 5·10^11 wedges at 1M satellites) unioned with a
+    * planted K_clique whose per-node counts are known in closed form.
+    * The degree orientation must make the hub's out-list EMPTY (every
+    * star edge directs satellite -> hub), so the hub contributes zero
+    * wedge work — the run finishing in seconds IS the skew shield, and
+    * the closed-form count assertions are the correctness gate under it.
+    */
+  def trianglesStress(satellites: Int, clique: Int, cores: Int): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, lit}
+    // hub = node 0; satellites 1..S; clique nodes S+1 .. S+C (disjoint)
+    val s = satellites.toLong
+    val star = spark.range(1, s + 1).select(lit(0L).as("src"), col("id").as("dst"))
+    val cliqueEdges = spark.range(clique.toLong * clique)
+      .select((col("id") / clique).cast("long").as("a"), (col("id") % clique).cast("long").as("b"))
+      .where(col("a") < col("b"))
+      .select((col("a") + s + 1).as("src"), (col("b") + s + 1).as("dst"))
+    val edges = star.unionAll(cliqueEdges)
+    val nEdges = s + clique.toLong * (clique - 1) / 2
+    val samples = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val out = graft.graph.Triangles.nodeTriangleCounts(edges.toDF())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+    val (dt, out) = samples.minBy(_._1)
+    val perClique = (clique - 1).toLong * (clique - 2) / 2
+    require(out.size == clique, s"expected $clique triangle-bearing nodes, got ${out.size}")
+    require(out.values.forall(_ == perClique),
+      s"every clique node must sit in C(${clique - 1},2)=$perClique triangles")
+    require(!out.contains(0L), "the hub must have zero triangles")
+    println(s"""{"metric":"triangles_stress","satellites":$satellites,"clique":$clique,""" +
+      s""""cores":$cores,"edges":$nEdges,"sec":$dt,"edges_per_sec":${(nEdges / dt).toLong},""" +
+      s""""naive_hub_wedges":${s * (s - 1) / 2},"gates":"clique counts exact, hub 0"}""")
+    spark.stop()
+  }
+
   def recallStress(nDocs: Int, cores: Int): Unit = {
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -839,6 +882,13 @@ object ScalingBench {
       dedupStress(
         args.lift(1).map(_.toInt).getOrElse(1000000),
         args.lift(2).map(_.toInt).getOrElse(500000),
+        args.lift(3).map(_.toInt).getOrElse(32))
+      return
+    }
+    if (args.headOption.contains("triangles")) {
+      trianglesStress(
+        args.lift(1).map(_.toInt).getOrElse(1000000),
+        args.lift(2).map(_.toInt).getOrElse(500),
         args.lift(3).map(_.toInt).getOrElse(32))
       return
     }
