@@ -491,7 +491,8 @@ object SparkEntry {
     val lm = graft.ops.BigramLm.train(docs, "text")
     val model = graft.ops.BigramLm.collectModel(lm)
     graft.ops.BigramLm.scoreWithModel(docs, "doc_id", "text", model)
-      .select(col("id").cast("long").as("doc_id"), col("n_bigrams"), col("avg_nll"))
+      .select(col("id").cast("long").as("doc_id"), col("n_bigrams"),
+        col("sum_c"), col("sum_ctx"), col("avg_nll"))
   }
 
   /** PII scrubbing (ops/PiiRedact) over a synthesized contact-card text:
@@ -1239,20 +1240,28 @@ object SparkEntry {
          |SELECT doc_id, "rank", term, tf, df, score FROM r WHERE "rank" <= $KwTopK""".stripMargin,
     // the ENTIRE LM is retrained in SQL (bigram counts, context totals,
     // vocabulary size) and every doc rescored — a fully independent
-    // implementation of train + score
+    // implementation of train + score. sum_c/sum_ctx are EXACT integer
+    // sums of the per-bigram lookups (bit-comparable, they pin the
+    // lookup machinery); the transcendental avg_nll compares at round(3)
+    // (boundary-flake probability ~1e-6/run, and a flake could only
+    // move that one column)
     "text_perplexity" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
         |big AS (SELECT doc_id, i, t[i] AS v, t[i+1] AS w FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)),
         |cnt AS (SELECT v, w, count(*) AS c FROM big GROUP BY v, w),
         |ctx AS (SELECT v, count(*) AS n FROM big GROUP BY v),
         |vv AS (SELECT count(DISTINCT u.tok) AS vsz FROM toks, unnest(t) AS u(tok)),
-        |terms AS (SELECT b.doc_id, ln((ctx.n + vv.vsz) * 1.0 / (cnt.c + 1.0)) AS nll
+        |terms AS (SELECT b.doc_id, cnt.c AS c, ctx.n AS x,
+        |                 ln((ctx.n + vv.vsz) * 1.0 / (cnt.c + 1.0)) AS nll
         |          FROM big b JOIN cnt ON cnt.v = b.v AND cnt.w = b.w
         |          JOIN ctx ON ctx.v = b.v CROSS JOIN vv),
-        |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS nll_sum FROM terms GROUP BY doc_id)
+        |s AS (SELECT doc_id, count(*) AS n_bigrams,
+        |             CAST(sum(c) AS BIGINT) AS sum_c, CAST(sum(x) AS BIGINT) AS sum_ctx,
+        |             sum(nll) AS nll_sum FROM terms GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(s.sum_c, 0) AS sum_c, coalesce(s.sum_ctx, 0) AS sum_ctx,
         |       CASE WHEN s.n_bigrams IS NULL THEN NULL
-        |            ELSE round(s.nll_sum / s.n_bigrams, 4) END AS avg_nll
+        |            ELSE round(s.nll_sum / s.n_bigrams, 3) END AS avg_nll
         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
     // the SAME pattern chain (shared PiiRedact.Chain constants — zero
     // drift possible) applied by DuckDB's RE2 engine; byte-equality of

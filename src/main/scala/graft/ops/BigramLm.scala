@@ -36,11 +36,9 @@ import org.apache.spark.sql.functions._
   */
 object BigramLm {
 
-  /** Tokens: whitespace split, empties dropped (same contract as
-    * TextAnalysis.tokenCountWs); null text scores like an empty doc
-    * instead of poisoning the row to null. */
-  def tokensCol(textCol: Column): Column =
-    filter(split(trim(coalesce(textCol, lit(""))), "\\s+"), t => length(t) > 0)
+  /** Tokens: the shared curation tokenizer ([[TextAnalysis.tokensCol]] —
+    * whitespace split, empties dropped, null text = empty doc). */
+  def tokensCol(textCol: Column): Column = TextAnalysis.tokensCol(textCol)
 
   /** Bigram strings "v w" per document, in document order; fewer than two
     * tokens yields an empty array. Tokens cannot contain whitespace, so
@@ -83,14 +81,21 @@ object BigramLm {
 
   /** Collect the trained LM to driver maps for the literal-map scoring
     * path. Refuses models past `maxModelEntries` with a named error —
-    * use [[scoreWithTables]] for unbounded vocabularies. */
+    * use [[scoreWithTables]] for unbounded vocabularies.
+    *
+    * ONE job: the bigram aggregation executes once (take(max+1) is both
+    * the size guard and the collect) and the context totals derive
+    * DRIVER-SIDE from the collected map (ctx(v) = Σ_w c(v,w) — exactly
+    * the relation ctxCounts computes), so the corpus is never rescanned
+    * for the count, the collect, or the contexts. */
   def collectModel(lm: TrainedLm, maxModelEntries: Long = 2000000L): Model = {
-    val nBig = lm.bigramCounts.count()
-    require(nBig <= maxModelEntries,
-      s"bigram LM has $nBig entries > maxModelEntries=$maxModelEntries: " +
+    val guard = math.min(maxModelEntries, Int.MaxValue - 2L).toInt
+    val rows = lm.bigramCounts.take(guard + 1)
+    require(rows.length <= guard,
+      s"bigram LM has > $guard entries (maxModelEntries=$maxModelEntries): " +
         "a literal-map plan this large would bloat every task; use scoreWithTables")
-    val big = lm.bigramCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ctx = lm.ctxCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctx = big.groupMapReduce { case (bg, _) => bg.substring(0, bg.indexOf(' ')) }(_._2)(_ + _)
     Model(big, ctx, lm.vocabSize)
   }
 
@@ -104,23 +109,34 @@ object BigramLm {
     * row folds its bigram array in document order inside one codegen'd
     * projection. Streaming-safe (stateless map — pinned in StreamingSpec).
     *
-    * @return (id, n_bigrams, avg_nll): avg_nll = round(Σ nll / n, 4),
-    *         null when the doc has fewer than two tokens.
+    * @return (id, n_bigrams, sum_c, sum_ctx, avg_nll): `sum_c`/`sum_ctx`
+    *         are the EXACT integer sums of the looked-up bigram counts
+    *         and context totals (order-free, bit-comparable against any
+    *         SQL recomputation — they pin the lookup machinery where the
+    *         transcendental avg can only be compared rounded);
+    *         avg_nll = round(Σ nll / n, 3), null when the doc has fewer
+    *         than two tokens.
     */
   def scoreWithModel(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
     val bigMap = typedlit(model.bigram)
     val ctxMap = typedlit(model.ctx)
-    val term = (bg: Column) => nllTerm(
-      coalesce(element_at(bigMap, bg), lit(0L)),
-      coalesce(element_at(ctxMap, split(bg, " ", 2).getItem(0)), lit(0L)),
-      model.vocabSize)
+    val zero = struct(lit(0.0).as("nll"), lit(0L).as("sc"), lit(0L).as("sx"))
+    val step = (acc: Column, bg: Column) => {
+      val c = coalesce(element_at(bigMap, bg), lit(0L))
+      val x = coalesce(element_at(ctxMap, split(bg, " ", 2).getItem(0)), lit(0L))
+      struct(
+        (acc.getField("nll") + nllTerm(c, x, model.vocabSize)).as("nll"),
+        (acc.getField("sc") + c).as("sc"),
+        (acc.getField("sx") + x).as("sx"))
+    }
     df.select(col(idCol).as("id"), bigramsCol(tokensCol(col(textCol))).as("bgs"))
       .select(col("id"),
         size(col("bgs")).cast("long").as("n_bigrams"),
-        aggregate(col("bgs"), lit(0.0), (acc, bg) => acc + term(bg)).as("nll_sum"))
+        aggregate(col("bgs"), zero, step).as("acc"))
       .select(col("id"), col("n_bigrams"),
+        col("acc.sc").as("sum_c"), col("acc.sx").as("sum_ctx"),
         when(col("n_bigrams") === 0, lit(null).cast("double"))
-          .otherwise(round(col("nll_sum") / col("n_bigrams").cast("double"), 4)).as("avg_nll"))
+          .otherwise(round(col("acc.nll") / col("n_bigrams").cast("double"), 3)).as("avg_nll"))
   }
 
   /** Unbounded-vocabulary scoring: explode (id, pos, bigram), join the
@@ -143,16 +159,22 @@ object BigramLm {
       .withColumn("ctx", split(col("bigram"), " ", 2).getItem(0))
       .join(lm.ctxCounts, Seq("ctx"), "left")
       .select(col("id"), col("pos"),
+        coalesce(col("c"), lit(0L)).as("c"), coalesce(col("n"), lit(0L)).as("x"),
         nllTerm(coalesce(col("c"), lit(0L)), coalesce(col("n"), lit(0L)), lm.vocabSize).as("nll"))
     val sums = scored
       .groupBy("id")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("pos"), col("nll")))),
-        lit(0.0), (acc, x) => acc + x.getField("nll")).as("nll_sum"))
+      .agg(
+        sum(col("c")).as("sum_c"), // integer sums: order-free, exact
+        sum(col("x")).as("sum_ctx"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("nll")))),
+          lit(0.0), (acc, x) => acc + x.getField("nll")).as("nll_sum"))
     base.select(col("id"), col("n_bigrams"))
       .join(sums, Seq("id"), "left")
       .select(col("id"), col("n_bigrams"),
+        coalesce(col("sum_c"), lit(0L)).as("sum_c"),
+        coalesce(col("sum_ctx"), lit(0L)).as("sum_ctx"),
         when(col("n_bigrams") === 0, lit(null).cast("double"))
-          .otherwise(round(col("nll_sum") / col("n_bigrams").cast("double"), 4)).as("avg_nll"))
+          .otherwise(round(col("nll_sum") / col("n_bigrams").cast("double"), 3)).as("avg_nll"))
   }
 }

@@ -44,7 +44,7 @@ object Keywords {
     require(k >= 1, s"k must be >= 1, got $k")
     val n = if (rowCountHint >= 0) rowCountHint else df.count()
     val toks = df.select(col(idCol).as("id"),
-      filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
+      TextAnalysis.tokensCol(col(textCol)).as("toks"))
     val tf = toks
       .select(col("id"), explode(col("toks")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))

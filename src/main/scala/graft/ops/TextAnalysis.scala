@@ -55,6 +55,13 @@ object TextAnalysis {
     when(trim(textCol) === "", lit(0))
       .otherwise(size(split(trim(textCol), "\\s+")))
 
+  /** THE whitespace tokenizer (array form) shared by the curation ops
+    * (Keywords, BigramLm): split on \s+, empties dropped, null text
+    * treated as an empty doc. One definition so keyword and perplexity
+    * tokenization can never silently de-sync. */
+  def tokensCol(textCol: Column): Column =
+    filter(split(trim(coalesce(textCol, lit(""))), "\\s+"), t => length(t) > 0)
+
   /** BPE-ish subword unit count: letter runs, digits, and single
     * punctuation marks each count as one token. Same regex works in
     * DuckDB's RE2. */

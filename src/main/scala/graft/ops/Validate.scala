@@ -62,8 +62,6 @@ object Validate {
           fkChecks: Seq[FkCheck] = Nil): DataFrame = {
     require(rowChecks.nonEmpty || uniqueChecks.nonEmpty || fkChecks.nonEmpty,
       "Validate.run: no checks given")
-    val spark = df.sparkSession
-
     val aggCols =
       count(lit(1)).as("__rows") +:
         (rowChecks.map(rc =>
@@ -77,12 +75,12 @@ object Validate {
         struct(lit(name).as("check_name"), coalesce(c, lit(0L)).as("violations"))
       }
 
-    val base =
-      if (reportCols.isEmpty) spark.emptyDataFrame.select() // no agg-pass checks
-      else df.agg(aggCols.head, aggCols.tail: _*)
+    val base: Option[DataFrame] =
+      if (reportCols.isEmpty) None // FK-only run: no aggregation pass
+      else Some(df.agg(aggCols.head, aggCols.tail: _*)
         .select(col("__rows"), explode(array(reportCols: _*)).as("c"))
         .select(col("c.check_name").as("check_name"),
-          col("c.violations").as("violations"), col("__rows").as("n_rows"))
+          col("c.violations").as("violations"), col("__rows").as("n_rows")))
 
     // FK checks: count fact keys missing from the dimension (anti-join
     // shape as a conditional sum over a left join — broadcast when the
@@ -99,8 +97,7 @@ object Validate {
           coalesce(col("violations"), lit(0L)).as("violations"), col("n_rows"))
     }
 
-    val all = (if (reportCols.isEmpty) fkParts else base +: fkParts)
-      .reduce(_ unionAll _)
+    val all = (base.toSeq ++ fkParts).reduce(_ unionAll _)
     all.withColumn("passed", col("violations") === 0L)
   }
 }

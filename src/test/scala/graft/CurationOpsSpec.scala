@@ -42,9 +42,10 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ----------------------------------------------------------- bigram LM --
 
-  /** Independent local replica: maps + in-order fold, first principles. */
+  /** Independent local replica: maps + in-order fold, first principles.
+    * Returns id -> (n_bigrams, sum_c, sum_ctx, avg_nll). */
   private def localLmScores(corpus: Seq[(Long, String)],
-                            scoreDocs: Seq[(Long, String)]): Map[Long, (Long, Option[Double])] = {
+                            scoreDocs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Option[Double])] = {
     def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
     def bgs(t: Seq[String]) = if (t.size < 2) Seq.empty else t.sliding(2).map(p => (p(0), p(1))).toSeq
     val allBgs = corpus.flatMap(d => bgs(toks(d._2)))
@@ -53,23 +54,27 @@ class CurationOpsSpec extends AnyFunSuite {
     val v = corpus.flatMap(d => toks(d._2)).distinct.size.toLong
     scoreDocs.map { case (id, text) =>
       val b = bgs(toks(text))
-      if (b.isEmpty) id -> ((0L, None))
+      if (b.isEmpty) id -> ((0L, 0L, 0L, None))
       else {
         var sum = 0.0
+        var sc = 0L
+        var sx = 0L
         b.foreach { bg =>
           val c = cnt.getOrElse(bg, 0L)
           val n = ctx.getOrElse(bg._1, 0L)
+          sc += c; sx += n
           sum += math.log((n.toDouble + v.toDouble) / (c.toDouble + 1.0))
         }
-        val avg = BigDecimal(sum / b.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        id -> ((b.size.toLong, Some(avg)))
+        val avg = BigDecimal(sum / b.size).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((b.size.toLong, sc, sx, Some(avg)))
       }
     }.toMap
   }
 
-  private def collectScores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Option[Double])] =
+  private def collectScores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long, Option[Double])] =
     df.collect().map(r => r.getLong(0) ->
-      ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
 
   test("bigram LM: model path matches a first-principles local replica") {
     val corpus = Seq(
@@ -85,8 +90,8 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(model.bigram(("a b")) == 4L)
     val got = collectScores(BigramLm.scoreWithModel(df, "doc_id", "text", model))
     assert(got == localLmScores(corpus, corpus))
-    assert(got(4L) == ((0L, None)))
-    assert(got(5L) == ((0L, None)))
+    assert(got(4L) == ((0L, 0L, 0L, None)))
+    assert(got(5L) == ((0L, 0L, 0L, None)))
   }
 
   test("bigram LM: table path is bit-identical to the model path") {
@@ -108,13 +113,13 @@ class CurationOpsSpec extends AnyFunSuite {
     // held-out doc, all-unseen tokens: every term is -ln(1/V) = ln 3
     val held = Seq((9L, "p q r")).toDF("doc_id", "text")
     val got = collectScores(BigramLm.scoreWithModel(held, "doc_id", "text", model))
-    val expected = BigDecimal(math.log(3.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got(9L) == ((2L, Some(expected))))
+    val expected = BigDecimal(math.log(3.0)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(9L) == ((2L, 0L, 0L, Some(expected))))
     // seen context, unseen next word: -ln((0+1)/(ctx(a)+V)) = ln(1+3)
     val held2 = Seq((10L, "a z")).toDF("doc_id", "text")
     val got2 = collectScores(BigramLm.scoreWithModel(held2, "doc_id", "text", model))
-    val exp2 = BigDecimal(math.log(4.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got2(10L) == ((1L, Some(exp2))))
+    val exp2 = BigDecimal(math.log(4.0)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got2(10L) == ((1L, 0L, 1L, Some(exp2))))
   }
 
   test("bigram LM: collectModel refuses oversized models with a named error") {

@@ -496,9 +496,11 @@ class StreamingSpec extends AnyFunSuite {
     q1.stop(); q2.stop()
 
     val streamedScores = spark.table("lm_stream").collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
     val batchScores = BigramLm.scoreWithModel(batchDf, "doc_id", "text", model).collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
     assert(streamedScores == batchScores)
 
     val streamedRed = spark.table("pii_stream").collect()

@@ -19,7 +19,6 @@ class TrianglesSpec extends AnyFunSuite {
     }.toSet
     val adj = canon.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val nodes = adj.keys.toSeq.sorted
     val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     for {
       (a, b) <- canon.toSeq
