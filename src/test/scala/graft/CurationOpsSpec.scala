@@ -132,6 +132,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("scoreWithTables"))
   }
 
+  test("curation ops are partitioning-invariant (keywords, LM score, validate)") {
+    val docs = (0L until 150L).map(i =>
+      (i, (0 to (i % 13).toInt).map(j => s"w${(i * 7 + j) % 19}").mkString(" ")))
+    val a = docs.toDF("doc_id", "text")
+    val b = docs.toDF("doc_id", "text").repartition(7)
+    def kw(df: org.apache.spark.sql.DataFrame) =
+      Keywords.topKeywords(df, "doc_id", "text", k = 3, rowCountHint = 150L).collect().toSet
+    assert(kw(a) == kw(b))
+    val lm = BigramLm.train(a, "text")
+    val model = BigramLm.collectModel(lm)
+    assert(collectScores(BigramLm.scoreWithModel(a, "doc_id", "text", model)) ==
+      collectScores(BigramLm.scoreWithModel(b, "doc_id", "text", model)))
+    import graft.ops.Validate
+    def vd(df: org.apache.spark.sql.DataFrame) =
+      Validate.run(df, rowChecks = Seq(Validate.notNull("text")),
+        uniqueChecks = Seq(Validate.unique("doc_id"))).collect().toSet
+    assert(vd(a) == vd(b))
+  }
+
+  test("pii redaction: no pattern survives the chain on seeded adversarial text") {
+    val rnd = new scala.util.Random(42)
+    val frags = Seq(
+      () => s"u${rnd.nextInt(1000)}@${Seq("a","bb","ccc")(rnd.nextInt(3))}.org",
+      () => s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}",
+      () => (100000 + rnd.nextInt(900000000)).toString,
+      () => s"+${1 + rnd.nextInt(99)} ${rnd.nextInt(900) + 100}-${rnd.nextInt(900) + 100}-${rnd.nextInt(9000) + 1000}",
+      () => Seq("plain", "words", "only", "here")(rnd.nextInt(4)))
+    val rows = (0L until 60L).map(i =>
+      (i, (0 to 4).map(_ => frags(rnd.nextInt(frags.length))()).mkString(" ")))
+    val out = rows.toDF("id", "text")
+      .select(col("id"), PiiRedact.redact(col("text")).as("r"))
+    val survivors = PiiRedact.Chain.map { case (pat, _) =>
+      out.where(col("r").rlike(pat)).count()
+    }
+    assert(survivors.forall(_ == 0L), s"pattern survivors: $survivors")
+  }
+
   // ----------------------------------------------------------- validation --
 
   test("validate: every check kind counts its violations exactly") {

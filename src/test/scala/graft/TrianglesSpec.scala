@@ -79,6 +79,14 @@ class TrianglesSpec extends AnyFunSuite {
     assert(t(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("partitioning invariance: same counts at 1 and 7 input partitions") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val one = Triangles.nodeTriangleCounts(edgesDf(pairs).coalesce(1)).collect().toSet
+    val seven = Triangles.nodeTriangleCounts(edgesDf(pairs).repartition(7)).collect().toSet
+    assert(one == seven && one.nonEmpty)
+  }
+
   test("string node ids work (type-generic orientation)") {
     val df = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
       .toDF("src", "dst")
