@@ -533,6 +533,39 @@ object SparkEntry {
       fkChecks = Seq(Validate.foreignKey("o_custkey", customer, "c_custkey")))
   }
 
+  // pipeline sampling knobs (salt decorrelated from sample_stratified)
+  private val CpFractions = Map("en" -> 0.5, "de" -> 0.25)
+  private val CpDefault = 0.1
+  private val CpSalt = "graft-r5pipe"
+
+  /** The CAPSTONE composition — a full training-data curation pipeline in
+    * ONE declarative plan: quality filter -> language filter -> PII scrub
+    * -> exact dedup (min-id per content hash) -> deterministic stratified
+    * sample -> per-language corpus stats. Every stage is an
+    * independently-oracled operator; this query pins their COMPOSITION
+    * against a single SQL recomputation of the whole flow. Catalyst fuses
+    * the scan+filters+redaction into one codegen stage; the only
+    * shuffles are the dedup window and the final aggregate. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = TextAnalysis.qualityColumns(col("text")).find(_._1 == "quality_score").get._2
+    // stratify on the table's lang column (real strata at every scale);
+    // the language-ID PREDICTION rides along as an output dimension so
+    // the lang-id operator stays in the composed plan
+    val kept = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("q", quality)
+      .withColumn("lang_pred", TextAnalysis.predictLang(col("text")))
+      .where(col("q") >= 0.5 && col("lang").isin("en", "de", "fr"))
+      .withColumn("redacted", graft.ops.PiiRedact.redact(col("text")))
+    val w = Window.partitionBy(md5(col("redacted")))
+    val deduped = kept
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("keeper"))
+    Sampling.stratifiedSample(deduped, "doc_id", "lang", CpFractions, CpDefault, CpSalt)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
+  }
+
   // ------------------------------------------------------- multimodal ----
 
   def mmMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
@@ -795,6 +828,7 @@ object SparkEntry {
     "sample_weighted" -> sampleWeighted,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
+    "curation_pipeline" -> curationPipeline,
     "q1_agg" -> q1Agg,
     "q2_join_topk" -> q2JoinTopK,
     "q3_setops" -> q3SetOps,
@@ -1202,6 +1236,49 @@ object SparkEntry {
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n,
         |       CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ROLLUP(event_type, d)""".stripMargin,
+    // the ENTIRE five-stage pipeline recomputed in one SQL flow from the
+    // same shared constants (quality CASE, lang-id CASE, PII chain,
+    // md5 keep-hash thresholds) — the composition check
+    "curation_pipeline" -> {
+      val en = markerSqlEn.map(w =>
+        s"(len(string_split_regex(' '||lower(text)||' ', '\\s$w\\s'))-1)").mkString(" + ")
+      val qualityCase =
+        s"""(CASE WHEN length(text) BETWEEN 50 AND 50000 THEN 0.25 ELSE 0.0 END
+           | + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+           | + CASE WHEN ($en) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+           | + CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)""".stripMargin
+      val langCase =
+        s"""CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |     WHEN (${hitsSql("en")}) >= greatest(${Seq("en", "de", "es", "fr").map(hitsSql).mkString(", ")}) THEN 'en'
+           |     WHEN (${hitsSql("de")}) >= greatest(${Seq("en", "de", "es", "fr").map(hitsSql).mkString(", ")}) THEN 'de'
+           |     WHEN (${hitsSql("es")}) >= greatest(${Seq("en", "de", "es", "fr").map(hitsSql).mkString(", ")}) THEN 'es'
+           |     ELSE 'fr' END""".stripMargin
+      val redactChain = graft.ops.PiiRedact.Chain.foldLeft("text") { case (e, (pat, rep)) =>
+        s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      val sampleCases = CpFractions.toSeq.sortBy(_._1).map { case (cls, f) =>
+        s"WHEN '$cls' THEN ${Sampling.threshold(f)}"
+      }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, lang, $qualityCase AS q, $langCase AS lang_pred
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, text, lang, lang_pred, $redactChain AS redacted
+         |  FROM scored WHERE q >= 0.5 AND lang IN ('en', 'de', 'fr')),
+         |dedup AS (
+         |  SELECT doc_id, text, lang, lang_pred FROM (
+         |    SELECT doc_id, text, lang, lang_pred,
+         |           min(doc_id) OVER (PARTITION BY md5(redacted)) AS keeper FROM kept)
+         |  WHERE doc_id = keeper),
+         |sampled AS (
+         |  SELECT lang, lang_pred, text FROM dedup
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$CpSalt'), 1, 8)) AS BIGINT)
+         |    < CASE lang $sampleCases ELSE ${Sampling.threshold(CpDefault)} END)
+         |SELECT lang, lang_pred, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+         |                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+         |FROM sampled GROUP BY lang, lang_pred""".stripMargin
+    },
     // every constraint recomputed as plain SQL conditional sums over the
     // same semantics (null-safe value checks, count-minus-distinct
     // uniqueness, left-join FK); the tight range check carries a REAL

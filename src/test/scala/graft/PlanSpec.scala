@@ -220,6 +220,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("curation pipeline capstone: lang pushed to scan, exactly two shuffles") {
+    val df = SparkEntry.curationPipeline(spark, sfDir)
+    val p = plan(df)
+    // the language whitelist reaches the parquet scan as a pushed filter
+    assert(p.contains("PushedFilters: [In(lang"), p)
+    // quality + lang-id + PII-redaction fuse into the scan stage; the only
+    // wide ops are the dedup window hash and the final aggregate exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the redaction never materializes: it collapses into the window key
+    assert(!p.toLowerCase.contains("redacted"), p)
+  }
+
+  test("curation pipeline capstone is partitioning-invariant end-to-end") {
+    val tmp = java.nio.file.Files.createTempDirectory("cap-inv").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(7).write.parquet(s"$tmp/documents.parquet")
+    val base = SparkEntry.curationPipeline(spark, sfDir).collect().toSet
+    val re = SparkEntry.curationPipeline(spark, tmp).collect().toSet
+    assert(base.nonEmpty)
+    assert(base == re)
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_discount") > 0.01)
