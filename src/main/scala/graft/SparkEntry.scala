@@ -543,27 +543,38 @@ object SparkEntry {
     * -> exact dedup (min-id per content hash) -> deterministic stratified
     * sample -> per-language corpus stats. Every stage is an
     * independently-oracled operator; this query pins their COMPOSITION
-    * against a single SQL recomputation of the whole flow. Catalyst fuses
-    * the scan+filters+redaction into one codegen stage; the only
-    * shuffles are the dedup window and the final aggregate. */
+    * against a single SQL recomputation of the whole flow.
+    *
+    * Scale shape: nothing downstream of the dedup needs the text itself —
+    * only (doc_id, lang, lang_pred, token_count). So EVERY text-derived
+    * value (quality score, language ID, PII-scrub hash, token count) is
+    * computed inside the scan's codegen stage and the rows that reach the
+    * first exchange are ~40 bytes. The dedup is a groupBy(hash) with
+    * min/min_by — map-side partial aggregation collapses duplicate
+    * documents BEFORE the shuffle (a window would shuffle every row and
+    * sort). Two thin hash exchanges total; the corpus text never leaves
+    * the scan stage, which is what survives a 100 TB input. */
   def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val quality = TextAnalysis.qualityColumns(col("text")).find(_._1 == "quality_score").get._2
     // stratify on the table's lang column (real strata at every scale);
     // the language-ID PREDICTION rides along as an output dimension so
     // the lang-id operator stays in the composed plan
-    val kept = spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("q", quality)
-      .withColumn("lang_pred", TextAnalysis.predictLang(col("text")))
-      .where(col("q") >= 0.5 && col("lang").isin("en", "de", "fr"))
-      .withColumn("redacted", graft.ops.PiiRedact.redact(col("text")))
-    val w = Window.partitionBy(md5(col("redacted")))
-    val deduped = kept
-      .withColumn("keeper", min(col("doc_id")).over(w))
-      .where(col("doc_id") === col("keeper"))
+    val enriched = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(quality >= 0.5 && col("lang").isin("en", "de", "fr"))
+      .select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.predictLang(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"),
+        md5(graft.ops.PiiRedact.redact(col("text"))).as("h"))
+    val deduped = enriched
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(struct(col("lang"), col("lang_pred"), col("toks")), col("doc_id")).as("p"))
+      .select(col("doc_id"), col("p.lang").as("lang"),
+        col("p.lang_pred").as("lang_pred"), col("p.toks").as("toks"))
     Sampling.stratifiedSample(deduped, "doc_id", "lang", CpFractions, CpDefault, CpSalt)
       .groupBy(col("lang"), col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
   }
 
   // ------------------------------------------------------- multimodal ----

@@ -220,17 +220,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("curation pipeline capstone: lang pushed to scan, exactly two shuffles") {
+  test("curation pipeline capstone: lang pushed to scan, exactly two thin shuffles") {
     val df = SparkEntry.curationPipeline(spark, sfDir)
     val p = plan(df)
     // the language whitelist reaches the parquet scan as a pushed filter
     assert(p.contains("PushedFilters: [In(lang"), p)
-    // quality + lang-id + PII-redaction fuse into the scan stage; the only
-    // wide ops are the dedup window hash and the final aggregate exchange
+    // quality + lang-id + redaction-hash + token count all fuse into the
+    // scan stage; the only wide ops are the dedup groupBy(hash) and the
+    // final aggregate exchange
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the redaction never materializes: it collapses into the window key
-    assert(!p.toLowerCase.contains("redacted"), p)
+    // duplicates collapse map-side BEFORE the shuffle (partial min/min_by),
+    // unlike a window which would shuffle + sort every row
+    assert(p.contains("partial_min"), p)
+    // the scale property itself: no exchange carries document text — every
+    // text-derived value is reduced to a scalar inside the scan stage
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case o => o
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.size == 2, exchanges.mkString("\n"))
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name.toLowerCase)
+      assert(!names.exists(n => n.contains("text") || n.contains("redact")),
+        s"wide payload in exchange: ${names.mkString(",")}")
+      val width = e.output.map(_.dataType.defaultSize).sum
+      assert(width <= 128, s"exchange row estimate $width bytes: ${e.output.mkString(",")}")
+    }
   }
 
   test("curation pipeline capstone is partitioning-invariant end-to-end") {
