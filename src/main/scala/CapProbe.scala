@@ -1,62 +1,46 @@
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-import graft.ops.{PiiRedact, Sampling}
-import graft.ops.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler._
+import scala.collection.mutable
 
-/** Ad-hoc probe: interleaved A/B of the capstone's dedup shape
-  * (wide window shuffle vs thin map-side-combined groupBy) so host
-  * weather cancels. */
+/** Ad-hoc probe: per-stage wall/task breakdown of the capstone, to
+  * separate parallelizable work from serial/driver overhead. */
 object CapProbe {
-  def time(tag: String)(f: => Unit): Double = {
-    val t0 = System.nanoTime(); f
-    val s = (System.nanoTime() - t0) / 1e9
-    println(s"PROBE $tag $s"); s
-  }
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val dir = args.headOption.getOrElse("/tmp/graft_sf10")
     val cores = args.lift(1).getOrElse("32")
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toInt)
       .config("spark.ui.enabled", false).appName("capprobe").getOrCreate()
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    spark.sparkContext.setLogLevel("WARN")
+    case class St(var tasks: Int = 0, var taskTime: Long = 0, var maxTask: Long = 0,
+                  var wall: Long = 0)
+    val stages = mutable.LinkedHashMap[Int, St]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        val s = stages.getOrElseUpdate(t.stageId, St())
+        s.tasks += 1; s.taskTime += t.taskInfo.duration
+        s.maxTask = math.max(s.maxTask, t.taskInfo.duration)
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+        val i = sc.stageInfo
+        val s = stages.getOrElseUpdate(i.stageId, St())
+        s.wall = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
+      }
     })
-    def drainShuffle(tag: String): Unit = {
-      Thread.sleep(2000) // let the listener bus drain
-      println(s"PROBE shuffle_bytes_$tag ${shuffleBytes.getAndSet(0L)}")
+    def full = graft.SparkEntry.curationPipeline(spark, dir)
+    full.collect() // warm
+    Thread.sleep(1500); stages.clear()
+    val t0 = System.nanoTime()
+    full.collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1500)
+    println(f"PROBE total_wall $wall%.2f cores $cores")
+    var stageWallSum = 0L
+    stages.foreach { case (id, s) =>
+      stageWallSum += s.wall
+      println(f"PROBE stage $id tasks ${s.tasks} wall ${s.wall / 1e3}%.2f taskTime ${s.taskTime / 1e3}%.2f maxTask ${s.maxTask / 1e3}%.2f")
     }
-    val fr = Map("en" -> 0.5, "de" -> 0.25)
-    def oldShape: DataFrame = {
-      val quality = TextAnalysis.qualityColumns(col("text")).find(_._1 == "quality_score").get._2
-      val kept = spark.read.parquet(s"$dir/documents.parquet")
-        .withColumn("q", quality)
-        .withColumn("lang_pred", TextAnalysis.predictLang(col("text")))
-        .where(col("q") >= 0.5 && col("lang").isin("en", "de", "fr"))
-        .withColumn("redacted", PiiRedact.redact(col("text")))
-      val w = Window.partitionBy(md5(col("redacted")))
-      val deduped = kept.withColumn("keeper", min(col("doc_id")).over(w))
-        .where(col("doc_id") === col("keeper"))
-      Sampling.stratifiedSample(deduped, "doc_id", "lang", fr, 0.1, "graft-r5pipe")
-        .groupBy(col("lang"), col("lang_pred"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
-    }
-    def newShape: DataFrame = graft.SparkEntry.curationPipeline(spark, dir)
-    time("warm")(newShape.collect())
-    drainShuffle("new")
-    time("warm")(oldShape.collect())
-    drainShuffle("old")
-    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
-    val (as, bs) = (Array.ofDim[Double](rounds), Array.ofDim[Double](rounds))
-    for (i <- 0 until rounds) {
-      bs(i) = time(s"old_$i")(oldShape.collect())
-      as(i) = time(s"new_$i")(newShape.collect())
-    }
-    println(f"PROBE SUMMARY old_min ${bs.min}%.2f new_min ${as.min}%.2f old_med ${bs.sorted.apply(rounds / 2)}%.2f new_med ${as.sorted.apply(rounds / 2)}%.2f")
+    println(f"PROBE gap_outside_stages ${wall - stageWallSum / 1e3}%.2f")
     spark.stop()
   }
 }

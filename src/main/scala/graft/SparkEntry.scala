@@ -553,7 +553,14 @@ object SparkEntry {
     * min/min_by — map-side partial aggregation collapses duplicate
     * documents BEFORE the shuffle (a window would shuffle every row and
     * sort). Two thin hash exchanges total; the corpus text never leaves
-    * the scan stage, which is what survives a 100 TB input. */
+    * the scan stage, which is what survives a 100 TB input.
+    *
+    * The min_by(struct) buffer is not UnsafeRow-mutable, so the dedup agg
+    * compiles to SortAggregate rather than HashAggregate — an accepted
+    * trade: the sort runs over the ~40-byte projected rows (the regex
+    * work above dominates the stage), and the alternative (min(doc_id)
+    * only + a join back for the keeper's payload) would add a third
+    * exchange. */
   def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val quality = TextAnalysis.qualityColumns(col("text")).find(_._1 == "quality_score").get._2
     // stratify on the table's lang column (real strata at every scale);

@@ -54,10 +54,17 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val files = args.lift(3).map(_.toInt).getOrElse(cores.toInt)
     for ((table, keys) <- KeyCols) {
       val in = spark.read.parquet(s"$src/$table.parquet")
       val out = if (keys.isEmpty) in else scaleTable(in, factor, keys)
-      out.write.mode("overwrite").parquet(s"$dest/$table.parquet")
+      // realistic file layout: the sf0.1 source is a single small file, and
+      // a broadcast cross-join preserves its 1-split parallelism — without
+      // this, every scaled table lands as ONE file and every scan stage of
+      // every bench runs as a single task (a 100 TB input has millions of
+      // splits; a 1-file replica is the opposite of the thing it models)
+      val writer = if (keys.isEmpty) out else out.repartition(files)
+      writer.write.mode("overwrite").parquet(s"$dest/$table.parquet")
       println(s"[scale] $table: ${in.count()} -> ${spark.read.parquet(s"$dest/$table.parquet").count()}")
     }
     spark.stop()
