@@ -302,6 +302,26 @@ object SparkEntry {
       .select(col("doc_id"), col("weight"))
   }
 
+  // token-budget packing knobs: per-language token budgets (the "fill
+  // each language to its target token count" mix construction step)
+  private val BpBudgets = Map("en" -> 5000L, "de" -> 1500L)
+  private val BpDefault = 2000L
+  private val BpSalt = "graft-r5bp"
+
+  /** Token-BUDGET corpus packing: per language, keep docs in
+    * deterministic hash order until the language's token budget is
+    * exhausted ([[Sampling.budgetPack]] — thin bucket histogram, driver
+    * cut table, window only over the boundary bucket). The DuckDB oracle
+    * recomputes the decision with a genuinely different plan: one global
+    * ANSI window (SUM OVER PARTITION BY lang ORDER BY hash, id) — so the
+    * two-pass bucket-cut machinery is checked against the definition
+    * itself, not a shared kernel. */
+  def sampleBudgetPack(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.budgetPack(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "lang",
+      TextAnalysis.tokenCountWs(col("text")), BpBudgets, BpDefault, BpSalt)
+      .select(col("doc_id"), col("lang"), col("n_tokens").as("n_tokens_ws"))
+
   /** Near-duplicate CLUSTERING — the op a curation pipeline actually ends
     * with: minhash-LSH pairs (same parameters as `dedup_minhash_lsh`)
     * become edges of the near-dup graph, connected components pick one
@@ -844,6 +864,7 @@ object SparkEntry {
     "text_decontaminate" -> decontaminate,
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
+    "sample_budget_pack" -> sampleBudgetPack,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
     "curation_pipeline" -> curationPipeline,
@@ -952,6 +973,26 @@ object SparkEntry {
          |SELECT doc_id, weight FROM scored
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$SwSalt'), 1, 8)) AS BIGINT)
          |  < CAST(floor(least(greatest(weight, 0.0), 1.0) * 4294967296.0) AS BIGINT)""".stripMargin
+    },
+    // token-budget packing: DuckDB recomputes the EXACT prefix-cut
+    // definition with one global ANSI window — a genuinely different
+    // plan from the Spark side's bucket-histogram + boundary-only sort
+    "sample_budget_pack" -> {
+      val cases = BpBudgets.toSeq.sortBy(_._1).map { case (cls, b) =>
+        s"WHEN '$cls' THEN $b"
+      }.mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$BpSalt'), 1, 8)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens_ws FROM (
+         |  SELECT doc_id, lang, n_tokens_ws,
+         |    SUM(n_tokens_ws) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM toks)
+         |WHERE c <= CASE lang $cases ELSE $BpDefault END""".stripMargin
     },
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),

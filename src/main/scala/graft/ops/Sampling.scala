@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, hash-based corpus sampling — the training-data-mix
@@ -62,6 +63,120 @@ object Sampling {
     val thr = floor(least(greatest(col(weightCol), lit(0.0)), lit(1.0)) *
       lit(4294967296.0)).cast("long")
     df.filter(keepHash(col(idCol), salt) < thr)
+  }
+
+  /** Token-budget corpus packing: per stratum, keep documents in
+    * deterministic hash order until the stratum's TOKEN budget is
+    * exhausted — the "fill each language/source to its target token
+    * count" primitive of training-data mix construction. The kept set is
+    * exactly the maximal prefix of the stratum's docs ordered by
+    * (keepHash(id, salt), id) whose running token sum stays <= budget:
+    * keep a doc iff SUM(tokens) OVER (PARTITION BY class
+    * ORDER BY hash, id ROWS UNBOUNDED PRECEDING) <= budget(class) —
+    * expressible as one ANSI window, so an independent engine can
+    * recompute the decision exactly. Like every Sampling decision it is
+    * task-retry stable, partitioning-invariant, salt-decorrelated, and
+    * NESTED in the budget (at one salt, the pack at budget b is a prefix
+    * of the pack at any b' >= b — growing a mix never churns rows).
+    *
+    * A literal global window would sort the whole corpus inside each
+    * stratum — a full shuffle whose per-class partitions are exactly the
+    * skew of the class distribution. Instead, two passes that exploit the
+    * uniformity of the hash:
+    *
+    *  1. a THIN histogram (class, hash-bucket) -> token sum: one map-side
+    *     combined shuffle of <= classes x `buckets` rows; the driver
+    *     prefix-sums each class's buckets to find the one BOUNDARY bucket
+    *     where the budget is crossed and the token carry consumed before
+    *     it (O(classes x buckets) driver work, collected via a hard
+    *     `maxDriverRows` limit so pathological class cardinality fails
+    *     loudly instead of OOMing the driver);
+    *  2. docs in buckets BELOW the boundary are kept by a codegen'd
+    *     filter (no sort, no shuffle beyond the broadcast cut table);
+    *     only the boundary bucket — an expected 1/`buckets` of each
+    *     stratum — pays the window sort, seeded with the carry.
+    *
+    * At 10^12 rows the sorted fraction is ~0.02% (buckets=4096) of the
+    * corpus; everything else is scan + filter. The branches re-read the
+    * projected input (id, class, tokens) — callers packing many strata
+    * off one expensive scan should persist that slim projection first.
+    *
+    * `tokens` is any non-negative integer Column (e.g.
+    * [[graft.ops.TextAnalysis.tokenCountWs]]). Null classes pack under
+    * the null stratum (null-safe join). Output: (idCol, classCol,
+    * n_tokens) for kept rows.
+    */
+  def budgetPack(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      tokens: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+      salt: String,
+      buckets: Int = 4096,
+      maxDriverRows: Int = 4000000): DataFrame = {
+    require(buckets >= 1 && (4294967296L % buckets) == 0,
+      s"buckets $buckets must divide 2^32 (use a power of two)")
+    val bucketWidth = 4294967296L / buckets
+    def budgetOf(cls: String): Long = {
+      val b = budgets.getOrElse(cls, defaultBudget)
+      require(b >= 0, s"negative budget $b for class $cls"); b
+    }
+
+    val slim = df.select(
+      col(idCol), col(classCol),
+      tokens.cast("long").as("n_tokens"),
+      keepHash(col(idCol), salt).as("_bp_h"))
+      .withColumn("_bp_bucket", (col("_bp_h") / lit(bucketWidth)).cast("int"))
+
+    // pass 1: thin histogram. limit() bounds driver memory BEFORE collect.
+    val hist = slim.groupBy(col(classCol), col("_bp_bucket"))
+      .agg(sum("n_tokens").as("toks"))
+      .limit(maxDriverRows + 1)
+      .collect()
+    require(hist.length <= maxDriverRows,
+      s"budgetPack histogram exceeds maxDriverRows=$maxDriverRows " +
+        s"(classes x buckets too large): lower `buckets` or raise the bound")
+
+    // driver cut table: per class, the boundary bucket (first bucket whose
+    // cumulative tokens exceed the budget; `buckets` = never crossed, all
+    // kept outright) and the carry consumed strictly before it.
+    val cuts = hist
+      .map(r => (if (r.isNullAt(0)) null else r.get(0).toString,
+        r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (cls, rows) =>
+        val budget = budgetOf(cls)
+        var cum = 0L
+        var cutBucket = buckets
+        var carry = 0L
+        for ((_, b, t) <- rows.sortBy(_._2) if cutBucket == buckets) {
+          if (cum + t > budget) { cutBucket = b; carry = cum }
+          else cum += t
+        }
+        (cls, cutBucket, carry, budget)
+      }.toSeq
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutsDf = broadcast(
+      cuts.toDF("_bp_cls", "_bp_cut", "_bp_carry", "_bp_budget"))
+    val joined = slim.join(cutsDf, col(classCol) <=> col("_bp_cls"))
+
+    val outCols = Seq(col(idCol), col(classCol), col("n_tokens"))
+    val keptOutright = joined
+      .filter(col("_bp_bucket") < col("_bp_cut"))
+      .select(outCols: _*)
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col("_bp_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = joined
+      .filter(col("_bp_bucket") === col("_bp_cut"))
+      .withColumn("_bp_cum", sum(col("n_tokens")).over(w) + col("_bp_carry"))
+      .filter(col("_bp_cum") <= col("_bp_budget"))
+      .select(outCols: _*)
+    keptOutright.union(boundaryKept)
   }
 
   /** Stratified deterministic sample: per-class keep fractions (classes

@@ -814,6 +814,63 @@ class OpsSpec extends AnyFunSuite {
     assert(kept(df.repartition(13)) == k)
   }
 
+  test("budget packing: parity with the global-window definition, invariant, nested, maximal") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 3000
+    val langs = Array("en", "de", "fr", "zh")
+    val rows = (0L until n).map(i => (i, langs((i % 4).toInt), 1L + i % 17))
+    val df = rows.toDF("id", "lang", "tok")
+    val budgets = Map("en" -> 800L, "de" -> 0L)
+    val default = 1200L
+    def pack(d: org.apache.spark.sql.DataFrame, bks: Int, dflt: Long = default) =
+      Sampling.budgetPack(d, "id", "lang", col("tok"), budgets, dflt, "bp-t", buckets = bks)
+    val kept = pack(df, 64).collect().map(_.getLong(0)).toSet
+
+    // the DEFINITION, computed directly: one global window per class
+    val w = Window.partitionBy("lang")
+      .orderBy(Sampling.keepHash(col("id"), "bp-t"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetCol = budgets.foldLeft(lit(default)) { case (acc, (c, b)) =>
+      when(col("lang") === c, lit(b)).otherwise(acc) }
+    val naive = df.withColumn("c", sum("tok").over(w))
+      .filter(col("c") <= budgetCol)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == naive, "bucket-cut plan must equal the window definition")
+    assert(kept.nonEmpty && kept.size < n)
+    assert(!rows.filter(_._2 == "de").map(_._1).exists(kept.contains)) // budget 0 keeps none
+
+    // plan shape: ONE Window (boundary bucket only), never over the full corpus
+    val plan = pack(df, 64).queryExecution.executedPlan.toString
+    assert(plan.split("\\bWindow\\b").length - 1 <= 1, s"expected <=1 Window in:\n$plan")
+
+    // bucket count is a plan knob, not a semantics knob (1 = pure window path)
+    assert(pack(df, 1).collect().map(_.getLong(0)).toSet == kept)
+    assert(pack(df, 4096).collect().map(_.getLong(0)).toSet == kept)
+    // partitioning-invariant
+    assert(pack(df.repartition(13), 64).collect().map(_.getLong(0)).toSet == kept)
+    // nested in the budget: smaller default budget keeps a SUBSET
+    assert(pack(df, 64, dflt = 400L).collect().map(_.getLong(0)).toSet.subsetOf(kept))
+    // budget >= stratum total keeps the whole stratum
+    val frTotal = rows.filter(_._2 == "fr").map(_._3).sum
+    val allFr = Sampling.budgetPack(df, "id", "lang", col("tok"),
+      Map("fr" -> frTotal), 0L, "bp-t", buckets = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(allFr == rows.filter(_._2 == "fr").map(_._1).toSet)
+    // maximality: for each class, the first EXCLUDED doc in hash order
+    // would not have fit (cum at that doc exceeds the budget)
+    val hashed = df.withColumn("h", Sampling.keepHash(col("id"), "bp-t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for (cls <- Seq("en", "fr", "zh")) {
+      val budget = budgets.getOrElse(cls, default)
+      val ordered = hashed.filter(_._2 == cls).sortBy(t => (t._4, t._1))
+      var cum = 0L
+      for ((id, _, tok, _) <- ordered) {
+        cum += tok
+        assert(kept.contains(id) == (cum <= budget), s"doc $id of $cls at cum=$cum")
+      }
+    }
+  }
+
   test("rowCount hint changes no pairs (minhash thin/wide forced by hint; simhash sizing)") {
     val df = docsDf(docs)
     def pairSet(d: org.apache.spark.sql.DataFrame) =
