@@ -322,6 +322,25 @@ object SparkEntry {
       TextAnalysis.tokenCountWs(col("text")), BpBudgets, BpDefault, BpSalt)
       .select(col("doc_id"), col("lang"), col("n_tokens").as("n_tokens_ws"))
 
+  // sequence-packing knobs: context-window length in whitespace tokens
+  private val SpSeqLen = 512L
+  private val SpSalt = "graft-r5sp"
+
+  /** Deterministic sequence PACKING (concat-and-chunk): per language,
+    * docs laid head-to-tail in hash order and chopped into 512-token
+    * context windows — every doc gets its exact (token_offset, seq_id,
+    * seq_offset) ([[Sampling.packSequences]]: distributed prefix sum —
+    * bucket histogram + broadcast bases + per-bucket-local windows, one
+    * hash shuffle, no global sort). The DuckDB oracle recomputes every
+    * offset with one global ANSI window — the definition itself, a
+    * genuinely different plan. */
+  def samplePackSequences(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.packSequences(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "lang",
+      TextAnalysis.tokenCountWs(col("text")), SpSeqLen, SpSalt)
+      .select(col("doc_id"), col("lang"), col("n_tokens").as("n_tokens_ws"),
+        col("token_offset"), col("seq_id"), col("seq_offset"))
+
   /** Near-duplicate CLUSTERING — the op a curation pipeline actually ends
     * with: minhash-LSH pairs (same parameters as `dedup_minhash_lsh`)
     * become edges of the near-dup graph, connected components pick one
@@ -865,6 +884,7 @@ object SparkEntry {
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
     "sample_budget_pack" -> sampleBudgetPack,
+    "sample_seq_pack" -> samplePackSequences,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
     "curation_pipeline" -> curationPipeline,
@@ -994,6 +1014,23 @@ object SparkEntry {
          |  FROM toks)
          |WHERE c <= CASE lang $cases ELSE $BpDefault END""".stripMargin
     },
+    // sequence packing: DuckDB recomputes every token offset with one
+    // global ANSI window (the definition); // is DuckDB integer division
+    "sample_seq_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$SpSalt'), 1, 8)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens_ws, token_offset,
+         |  token_offset // $SpSeqLen AS seq_id,
+         |  token_offset % $SpSeqLen AS seq_offset
+         |FROM (
+         |  SELECT doc_id, lang, n_tokens_ws,
+         |    CAST(SUM(n_tokens_ws) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens_ws AS token_offset
+         |  FROM toks)""".stripMargin,
     "kg_ner_mentions" ->
       s"""WITH gaz(syn, entity_class, obj) AS (VALUES ${allTermValues}),
          |g2 AS (SELECT DISTINCT syn, entity_class FROM gaz)

@@ -179,6 +179,91 @@ object Sampling {
     keptOutright.union(boundaryKept)
   }
 
+  /** Deterministic sequence packing (concat-and-chunk): within each
+    * stratum, docs are laid head-to-tail in (keepHash(id, salt), id)
+    * order and chopped into fixed `seqLen`-token training sequences —
+    * each doc gets its exact global `token_offset` (exclusive prefix sum
+    * of tokens in that order), from which `seq_id` = offset / seqLen and
+    * `seq_offset` = offset % seqLen. This is the standard "pack the
+    * corpus into context windows" step after the mix is chosen (docs may
+    * span a boundary; the offset tells the consumer exactly where). Same
+    * determinism contract as every Sampling decision — the layout is a
+    * pure function of (ids, tokens, salt), stable under retries and any
+    * partitioning, and reproducible by one ANSI window, so an
+    * independent engine can recompute every offset.
+    *
+    * Scale design — a distributed prefix sum, NOT a global sort: the
+    * thin (class, hash-bucket) token histogram (one map-side combined
+    * shuffle, <= classes x `buckets` rows) gives the driver each
+    * bucket's EXCLUSIVE base offset; rows then hash-shuffle once on
+    * (class, bucket) and sort only within their bucket (~1/`buckets` of
+    * the stratum, `buckets` independent tasks per class, no merge or
+    * range exchange). Unlike a per-class global window — one task per
+    * class, the skew of the class distribution — parallelism here is
+    * data-sized at any stratum skew.
+    *
+    * Output: (idCol, classCol, n_tokens, token_offset, seq_id,
+    * seq_offset).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      tokens: Column,
+      seqLen: Long,
+      salt: String,
+      buckets: Int = 4096,
+      maxDriverRows: Int = 4000000): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    require(buckets >= 1 && (4294967296L % buckets) == 0,
+      s"buckets $buckets must divide 2^32 (use a power of two)")
+    val bucketWidth = 4294967296L / buckets
+
+    val slim = df.select(
+      col(idCol), col(classCol),
+      tokens.cast("long").as("n_tokens"),
+      keepHash(col(idCol), salt).as("_bp_h"))
+      .withColumn("_bp_bucket", (col("_bp_h") / lit(bucketWidth)).cast("int"))
+
+    val hist = slim.groupBy(col(classCol), col("_bp_bucket"))
+      .agg(sum("n_tokens").as("toks"))
+      .limit(maxDriverRows + 1)
+      .collect()
+    require(hist.length <= maxDriverRows,
+      s"packSequences histogram exceeds maxDriverRows=$maxDriverRows " +
+        s"(classes x buckets too large): lower `buckets` or raise the bound")
+
+    // per (class, bucket): the exclusive base offset = tokens in all
+    // earlier buckets of the same class
+    val bases = hist
+      .map(r => (if (r.isNullAt(0)) null else r.get(0).toString,
+        r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .flatMap { case (cls, rows) =>
+        var cum = 0L
+        rows.sortBy(_._2).toVector.map { case (_, b, t) =>
+          val base = cum; cum += t; (cls, b, base)
+        }
+      }.toSeq
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val basesDf = broadcast(bases.toDF("_bp_cls", "_bp_bkt", "_bp_base"))
+    val w = Window.partitionBy(col(classCol), col("_bp_bucket"))
+      .orderBy(col("_bp_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slim.join(basesDf,
+        col(classCol) <=> col("_bp_cls") && col("_bp_bucket") === col("_bp_bkt"))
+      .withColumn("token_offset",
+        col("_bp_base") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col(classCol), col("n_tokens"),
+        col("token_offset"),
+        // `div` = integral division: exact on longs at any corpus size
+        // (a double round-trip loses exactness past 2^53 tokens)
+        expr(s"token_offset div ${seqLen}L").as("seq_id"),
+        (col("token_offset") % lit(seqLen)).as("seq_offset"))
+  }
+
   /** Stratified deterministic sample: per-class keep fractions (classes
     * absent from the map fall back to `defaultFraction`). The class →
     * threshold mapping is a dimension-sized CASE expression, not a join —

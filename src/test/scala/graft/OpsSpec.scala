@@ -871,6 +871,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: offsets equal the window definition, contiguous, invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 2500
+    val langs = Array("en", "de", "fr")
+    val rows = (0L until n).map(i => (i, langs((i % 3).toInt), i % 23)) // incl. 0-token docs
+    val df = rows.toDF("id", "lang", "tok")
+    def pack(d: org.apache.spark.sql.DataFrame, bks: Int) =
+      Sampling.packSequences(d, "id", "lang", col("tok"), 128L, "sp-t", buckets = bks)
+    def offs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val got = offs(pack(df, 64))
+
+    // the DEFINITION: one global exclusive-prefix-sum window per class
+    val w = Window.partitionBy("lang")
+      .orderBy(Sampling.keepHash(col("id"), "sp-t"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("o", sum("tok").over(w) - col("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.size == n)
+    for ((id, (tok, off, seqId, seqOff)) <- got) {
+      assert(off == naive(id), s"doc $id offset $off != definition ${naive(id)}")
+      assert(seqId == off / 128 && seqOff == off % 128)
+      assert(tok == rows(id.toInt)._3)
+    }
+    // contiguity: per class, sorted offsets tile the token stream exactly
+    for (cls <- langs) {
+      // zero-token docs share their successor's offset: ties sort 0-first
+      val ordered = rows.filter(_._2 == cls)
+        .map(r => (got(r._1)._2, got(r._1)._1)).sortBy(identity)
+      var expect = 0L
+      for ((off, tok) <- ordered) { assert(off == expect); expect += tok }
+    }
+    // bucket count is a plan knob, not a semantics knob; partitioning-invariant
+    assert(offs(pack(df, 1)) == got)
+    assert(offs(pack(df, 4096)) == got)
+    assert(offs(pack(df.repartition(17), 64)) == got)
+  }
+
   test("rowCount hint changes no pairs (minhash thin/wide forced by hint; simhash sizing)") {
     val df = docsDf(docs)
     def pairSet(d: org.apache.spark.sql.DataFrame) =
