@@ -341,6 +341,28 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_tokens").as("n_tokens_ws"),
         col("token_offset"), col("seq_id"), col("seq_offset"))
 
+  // mix-allocation knobs: total token target + per-language cap
+  private val MaTotal = 10000L
+  private val MaCap = 3000L
+  private val MaSalt = "graft-r5ma"
+
+  /** Proportional mix ALLOCATION + packing: each language gets
+    * min(cap, floor(total * its_tokens / all_tokens)) of a 10k-token
+    * target — exact BigInt arithmetic ([[Sampling
+    * .allocateProportionalBudgets]], one thin aggregate) — then
+    * [[Sampling.budgetPack]] materializes the mix. The DuckDB oracle
+    * recomputes BOTH stages independently: the allocation as HUGEINT
+    * integer division in a CTE and the prefix cut as one global ANSI
+    * window. */
+  def sampleMixAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val budgets = Sampling.allocateProportionalBudgets(
+      docs, "lang", TextAnalysis.tokenCountWs(col("text")), MaTotal, MaCap)
+    Sampling.budgetPack(docs, "doc_id", "lang",
+      TextAnalysis.tokenCountWs(col("text")), budgets, 0L, MaSalt)
+      .select(col("doc_id"), col("lang"), col("n_tokens").as("n_tokens_ws"))
+  }
+
   /** Near-duplicate CLUSTERING — the op a curation pipeline actually ends
     * with: minhash-LSH pairs (same parameters as `dedup_minhash_lsh`)
     * become edges of the near-dup graph, connected components pick one
@@ -885,6 +907,7 @@ object SparkEntry {
     "sample_weighted" -> sampleWeighted,
     "sample_budget_pack" -> sampleBudgetPack,
     "sample_seq_pack" -> samplePackSequences,
+    "sample_mix_alloc" -> sampleMixAlloc,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
     "curation_pipeline" -> curationPipeline,
@@ -1014,6 +1037,27 @@ object SparkEntry {
          |  FROM toks)
          |WHERE c <= CASE lang $cases ELSE $BpDefault END""".stripMargin
     },
+    // mix allocation + packing: DuckDB recomputes the allocation (HUGEINT
+    // integer division — exact, same values as the Scala BigInt path) AND
+    // the prefix cut (global ANSI window), both genuinely independent
+    "sample_mix_alloc" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$MaSalt'), 1, 8)) AS BIGINT) AS h
+         |  FROM documents),
+         |alloc AS (
+         |  SELECT lang,
+         |    least($MaCap, CAST(($MaTotal * SUM(n_tokens_ws)) // (SELECT SUM(n_tokens_ws) FROM toks) AS BIGINT)) AS b
+         |  FROM toks GROUP BY lang)
+         |SELECT doc_id, lang, n_tokens_ws FROM (
+         |  SELECT doc_id, lang, n_tokens_ws,
+         |    SUM(n_tokens_ws) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM toks) t
+         |JOIN alloc USING (lang)
+         |WHERE t.c <= alloc.b""".stripMargin,
     // sequence packing: DuckDB recomputes every token offset with one
     // global ANSI window (the definition); // is DuckDB integer division
     "sample_seq_pack" ->

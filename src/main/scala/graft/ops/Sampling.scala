@@ -179,6 +179,37 @@ object Sampling {
     keptOutright.union(boundaryKept)
   }
 
+  /** Proportional token-budget allocation with a per-stratum cap — the
+    * "give each language its fair share of a total token target, but
+    * downsample the over-represented ones" mix knob. Each stratum gets
+    * budget_c = min(cap, floor(totalBudget * tokens_c / tokens_total)),
+    * computed in exact BigInt arithmetic (no floating point: the same
+    * integer expression is recomputable bit-for-bit by any engine —
+    * float pow/ratio allocations can flip a floor at an integer boundary
+    * across engines). One thin map-side-combined aggregate (classes
+    * rows) is the only job; compose the result with [[budgetPack]] to
+    * materialize the mix and [[packSequences]] to chunk it.
+    */
+  def allocateProportionalBudgets(
+      df: DataFrame,
+      classCol: String,
+      tokens: Column,
+      totalBudget: Long,
+      cap: Long): Map[String, Long] = {
+    require(totalBudget >= 0 && cap >= 0, "totalBudget and cap must be >= 0")
+    val totals = df.select(col(classCol).cast("string").as("cls"),
+        tokens.cast("long").as("n_tokens"))
+      .groupBy("cls").agg(sum("n_tokens").as("toks"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1)))
+    val grand = totals.map(t => BigInt(t._2)).sum
+    if (grand <= 0) totals.map { case (c, _) => (c, 0L) }.toMap
+    else totals.map { case (c, t) =>
+      val share = (BigInt(totalBudget) * BigInt(t) / grand).toLong
+      (c, math.min(cap, share))
+    }.toMap
+  }
+
   /** Deterministic sequence packing (concat-and-chunk): within each
     * stratum, docs are laid head-to-tail in (keepHash(id, salt), id)
     * order and chopped into fixed `seqLen`-token training sequences —

@@ -910,6 +910,35 @@ class OpsSpec extends AnyFunSuite {
     assert(offs(pack(df.repartition(17), 64)) == got)
   }
 
+  test("proportional budget allocation: exact integer shares, capped, zero-total safe") {
+    val rows = Seq((1L, "en", 600L), (2L, "en", 400L), (3L, "de", 250L),
+      (4L, "de", 250L), (5L, "fr", 100L), (6L, "fr", 0L))
+    val df = rows.toDF("id", "lang", "tok")
+    // totals: en 1000, de 500, fr 100, grand 1600; T=800, cap=450
+    val a = Sampling.allocateProportionalBudgets(df, "lang", col("tok"), 800L, 450L)
+    assert(a == Map("en" -> 450L, "de" -> 250L, "fr" -> 50L)) // en: 500 capped to 450
+    // floor semantics: T=799 -> en floor(799*1000/1600)=499, de 249, fr 49
+    val b = Sampling.allocateProportionalBudgets(df, "lang", col("tok"), 799L, 10000L)
+    assert(b == Map("en" -> 499L, "de" -> 249L, "fr" -> 49L))
+    // zero grand total -> all-zero budgets, no division
+    val z = Sampling.allocateProportionalBudgets(
+      df.withColumn("t0", lit(0L)), "lang", col("t0"), 800L, 450L)
+    assert(z.values.forall(_ == 0L))
+    // BigInt path: products past Long.MaxValue stay exact
+    val big = Sampling.allocateProportionalBudgets(
+      Seq((1L, "a", 4000000000000000000L), (2L, "b", 4000000000000000000L))
+        .toDF("id", "lang", "tok"),
+      "lang", col("tok"), 1000000000000L, Long.MaxValue)
+    assert(big == Map("a" -> 500000000000L, "b" -> 500000000000L))
+    // composition = budgetPack with the allocated budgets, verbatim
+    val viaAlloc = Sampling.budgetPack(df, "id", "lang", col("tok"), a, 0L, "ma-t")
+      .collect().map(_.getLong(0)).toSet
+    val direct = Sampling.budgetPack(df, "id", "lang", col("tok"),
+      Map("en" -> 450L, "de" -> 250L, "fr" -> 50L), 0L, "ma-t")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaAlloc == direct && viaAlloc.nonEmpty)
+  }
+
   test("rowCount hint changes no pairs (minhash thin/wide forced by hint; simhash sizing)") {
     val df = docsDf(docs)
     def pairSet(d: org.apache.spark.sql.DataFrame) =
