@@ -363,6 +363,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_tokens").as("n_tokens_ws"))
   }
 
+  // chunking knobs: RAG / context-window splitter (chars, not tokens —
+  // deterministic across engines and multi-byte-safe)
+  private val CkSize = 200
+  private val CkOverlap = 40
+
+  /** Fixed-size character CHUNKING with overlap ([[TextAnalysis
+    * .chunkText]]): one explode + substring per doc — pure codegen, zero
+    * shuffle, streaming-safe unchanged. The DuckDB oracle recomputes
+    * every chunk with a lateral range() + substr — character-indexed in
+    * both engines, so the zh docs pin multi-byte correctness. */
+  def textChunks(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunkText(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      CkSize, CkOverlap)
+
   /** Near-duplicate CLUSTERING — the op a curation pipeline actually ends
     * with: minhash-LSH pairs (same parameters as `dedup_minhash_lsh`)
     * become edges of the near-dup graph, connected components pick one
@@ -908,6 +923,7 @@ object SparkEntry {
     "sample_budget_pack" -> sampleBudgetPack,
     "sample_seq_pack" -> samplePackSequences,
     "sample_mix_alloc" -> sampleMixAlloc,
+    "text_chunks" -> textChunks,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
     "curation_pipeline" -> curationPipeline,
@@ -1036,6 +1052,16 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
          |  FROM toks)
          |WHERE c <= CASE lang $cases ELSE $BpDefault END""".stripMargin
+    },
+    // chunking: DuckDB recomputes every chunk via lateral range() + substr
+    // (character-indexed in both engines; // is integer division)
+    "text_chunks" -> {
+      val stride = CkSize - CkOverlap
+      s"""SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+         |  substr(text, CAST(t.i*$stride+1 AS BIGINT), $CkSize) AS chunk,
+         |  CAST(length(substr(text, CAST(t.i*$stride+1 AS BIGINT), $CkSize)) AS BIGINT) AS n_chars
+         |FROM documents, LATERAL (SELECT unnest(range((length(text)+${stride - 1})//$stride)) AS i) t
+         |WHERE length(text) > 0""".stripMargin
     },
     // mix allocation + packing: DuckDB recomputes the allocation (HUGEINT
     // integer division — exact, same values as the Scala BigInt path) AND

@@ -140,8 +140,38 @@ object TextAnalysis {
         .otherwise(lit(0.0)))
   }
 
-  /** Rolling polynomial fingerprint (Rabin-style) of the normalized text —
-    * the non-cryptographic doc fingerprint. Pure Scala (used via Dataset
+  /** Fixed-size character chunking with overlap — the RAG / context-window
+    * splitter: chunk k of a doc is `substring(text, k*stride + 1,
+    * chunkSize)` for k in [0, ceil(len/stride)), stride = chunkSize −
+    * overlap, empty docs emit nothing. Chunk count uses integral `div`
+    * (never a float ceil, which an engine-rounding ulp could flip at exact
+    * multiples). One explode + substring per row: pure codegen, zero
+    * shuffle, zero state — embarrassingly parallel at any corpus size and
+    * STREAMING-SAFE unchanged (stateless row-local work). Character (not
+    * byte) indexing in both Spark and the SQL oracle, so multi-byte text
+    * (zh) chunks identically.
+    *
+    * Output: (idCol, chunk_idx, chunk, n_chars).
+    */
+  def chunkText(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    df.filter(length(col(textCol)) > 0)
+      .withColumn("_ck_n",
+        expr(s"(length($textCol) + ${stride - 1}) div $stride"))
+      .select(col(idCol),
+        explode(expr("sequence(0L, _ck_n - 1L)")).as("chunk_idx"),
+        col(textCol))
+      .select(col(idCol), col("chunk_idx"),
+        expr(s"substring($textCol, cast(chunk_idx * $stride + 1 as int), $chunkSize)")
+          .as("chunk"))
+      .withColumn("n_chars", length(col("chunk")).cast("long"))
+  }
+
+  /** Rolling polynomial hash over the normalized text (used by the gold
     * map), exact counterpart tested against Cleanup.normalizedFingerprint
     * for the md5 variant. */
   def rollingFingerprint(text: String): Long = {

@@ -939,6 +939,37 @@ class OpsSpec extends AnyFunSuite {
     assert(viaAlloc == direct && viaAlloc.nonEmpty)
   }
 
+  test("text chunking: local reference parity, overlap, multi-byte, empty docs") {
+    def localChunks(text: String, size: Int, overlap: Int): Seq[(Long, String)] = {
+      val stride = size - overlap
+      if (text.isEmpty) Nil
+      else (0 until ((text.length + stride - 1) / stride)).map { k =>
+        (k.toLong, text.substring(k * stride, math.min(k * stride + size, text.length)))
+      }
+    }
+    val texts = Seq(
+      1L -> "abcdefghijklmnopqrstuvwxyz",       // multiple chunks, ragged tail
+      2L -> "short",                            // single partial chunk
+      3L -> "",                                 // empty: no chunks
+      4L -> "0123456789",                       // exact multiple of stride
+      5L -> "数据库查询引擎分布式系统数据库查询引擎分布式系统") // multi-byte chars
+    val df = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.chunkText(df, "doc_id", "text", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = texts.flatMap { case (id, t) =>
+      localChunks(t, 8, 3).map { case (k, c) => (id, k, c, c.length.toLong) } }
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected.sortBy(t => (t._1, t._2)))
+    // consecutive chunks overlap by exactly `overlap` chars
+    val byDoc = got.filter(_._1 == 1L).sortBy(_._2)
+    for (pair <- byDoc.sliding(2) if pair.length == 2 && pair(1)._3.length >= 3)
+      assert(pair(0)._3.takeRight(3) == pair(1)._3.take(3))
+    assert(!got.exists(_._1 == 3L)) // empty doc emits nothing
+    // stateless row-local work: plan has no Exchange
+    val plan = TextAnalysis.chunkText(df, "doc_id", "text", 8, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("rowCount hint changes no pairs (minhash thin/wide forced by hint; simhash sizing)") {
     val df = docsDf(docs)
     def pairSet(d: org.apache.spark.sql.DataFrame) =

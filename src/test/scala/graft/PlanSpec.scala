@@ -271,4 +271,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project"), p)
     assert(p.contains("*(1) Filter"), p)
   }
+
+  test("mix trio plans: one thin shuffle each, text never crosses an exchange") {
+    def shuffles(df: DataFrame) = {
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case o => o
+      }
+      root.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+    }
+    // budgetPack: the returned plan's ONLY shuffle is the boundary-bucket
+    // window partitioning; kept-outright rows are scan+filter (the
+    // histogram pass is a separate thin job at call time)
+    val bp = SparkEntry.sampleBudgetPack(spark, sfDir)
+    val bpx = shuffles(bp)
+    assert(bpx.size == 1, bpx.mkString("\n"))
+    // packSequences: exactly one hash shuffle on (class, bucket)
+    val sp = SparkEntry.samplePackSequences(spark, sfDir)
+    val spx = shuffles(sp)
+    assert(spx.size == 1, spx.mkString("\n"))
+    // neither shuffle carries document text — only ids, class, counts, hash
+    (bpx ++ spx).foreach { e =>
+      val names = e.output.map(_.name.toLowerCase)
+      assert(!names.exists(_.contains("text")), names.mkString(","))
+      val width = e.output.map(_.dataType.defaultSize).sum
+      assert(width <= 128, s"exchange row estimate $width bytes: ${e.output.mkString(",")}")
+    }
+  }
 }

@@ -400,6 +400,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(streamedWider))
   }
 
+  test("text chunking is streaming-safe: per-batch chunks match batch exactly") {
+    // TextAnalysis.chunkText is stateless row-local work (explode +
+    // substring), so it applies to a streaming DataFrame UNCHANGED and
+    // micro-batch boundaries cannot move a single chunk.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.TextAnalysis
+    val rows = (0L until 90L).map(i => (i, ("w" + i + " ") * (i % 13).toInt))
+    val stream = MemoryStream[(Long, String)]
+    val out = TextAnalysis.chunkText(stream.toDF().toDF("id", "text"), "id", "text", 12, 4)
+    val query = out.writeStream
+      .format("memory").queryName("stream_chunks").outputMode("append").start()
+    rows.grouped(30).foreach { chunk => stream.addData(chunk); query.processAllAvailable() }
+    query.stop()
+    val streamed = spark.table("stream_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = TextAnalysis.chunkText(
+      spark.createDataset(rows).toDF("id", "text"), "id", "text", 12, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming funnel emits stage transitions; furthest stage == batch fold") {
     import graft.streaming.StreamingJobs.Event
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
