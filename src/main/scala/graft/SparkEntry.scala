@@ -194,9 +194,19 @@ object SparkEntry {
   private val IvfTrainMod = 4
   // top-k keywords per doc (tf-rarity ranking, exact integer score)
   private val KwTopK = 3
+  // span length for exact-substring duplication coverage (docs are 10-99
+  // tokens in the test corpus; production text uses ~50 per Lee et al.)
+  private val SpanK = 10
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+
+  /** Span-level exact-substring duplication coverage (Lee et al. 2022
+    * ExactSubstr signal) — thin path: the duplicate decision shuffles 8-byte
+    * span hashes, never span text. */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicateSpanCoverage(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k = SpanK)
 
   def dedupFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -902,6 +912,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_spans" -> dedupSpans,
     "ann_topk" -> annTopK,
     "ann_topk_rel" -> annTopKRel,
     "ann_ivf_topk" -> annIvfTopK,
@@ -992,6 +1003,30 @@ object SparkEntry {
     "dedup_clusters" -> GoldOracles.dedupClusters(
       sfDir, MhNumHashes, MhBands, MhShingle, MhThreshold, LshCap),
     "dedup_simhash" -> GoldOracles.dedupSimhash(sfDir, ShMaxHamming, LshCap),
+    // plain-SQL oracle: DuckDB regrows the span relation from the raw text
+    // (string_split + generate_series + list slice), groups by the span
+    // STRING (the Spark side shuffles xxhash64(span) — a genuinely
+    // different duplicate decision), and recomputes the merged-interval
+    // coverage with a window lag instead of the Spark side's sorted-array
+    // fold
+    "dedup_spans" -> {
+      val K = SpanK
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |spans AS (SELECT doc_id, i, array_to_string(t[i:i+${K - 1}], ' ') AS span
+         |          FROM toks, unnest(generate_series(1, len(t)-$K+1)) AS g(i)),
+         |dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+         |ds AS (SELECT s.doc_id, s.i FROM spans s JOIN dup USING (span)),
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+         |               CAST(SUM(CASE WHEN prev IS NULL THEN $K ELSE LEAST(i - prev, $K) END) AS BIGINT) AS covered_tokens
+         |        FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM ds) t
+         |        GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |       COALESCE(c.dup_spans, CAST(0 AS BIGINT)) AS dup_spans,
+         |       COALESCE(c.covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
+         |       CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_frac
+         |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin
+    },
     "graph_pagerank" -> GoldOracles.graphPagerank(sfDir, PrIters),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(
       sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),

@@ -936,4 +936,85 @@ object Dedup {
         .select(col("id").as(idCol), col("hits"))
     }
   }
+
+  /** Span-level exact-substring duplication coverage — the ExactSubstr
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"). Doc-level MinHash ([[minhashLsh]]) answers "is this
+    * DOC a near-copy of another"; this answers "how much of this doc's TEXT
+    * occurs verbatim elsewhere" — the signal that catches boilerplate,
+    * license headers, and quoted passages that survive doc-level dedup
+    * because the surrounding document differs.
+    *
+    * Definition (single-space tokenization, shared with the DuckDB oracle):
+    * a k-token span is DUPLICATED if it occurs >= 2 times corpus-wide
+    * (within-doc repeats count, as in the reference algorithm). Per doc:
+    *   - `dup_spans`      = span starts whose span is duplicated
+    *   - `covered_tokens` = tokens under >= 1 duplicated span — the exact
+    *     merged-interval length: for sorted starts s_1 < ... < s_m it is
+    *     k + SUM_i min(s_{i+1} - s_i, k)
+    *   - `dup_frac`       = covered_tokens / n_tokens (one IEEE division of
+    *     exact integer counts, so it is bit-equal across engines)
+    *
+    * Plan (thin path, default): span text never crosses an exchange — each
+    * row emits (doc_id, pos, xxhash64(span)) map-side, the global duplicate
+    * decision is a map-side-combined count on the 8-byte hash, and the only
+    * corpus-sized shuffle carries ~24 B per token position. The coverage
+    * fold is one groupBy(doc) over the (much smaller) duplicated-position
+    * subset with a sorted-array `aggregate` — per-doc state bounded by doc
+    * length, no global window. The reference algorithm's suffix automaton
+    * is inherently single-node; at fixed k the hashed-span relation is its
+    * scale-out equivalent. The spans relation is consumed twice (count +
+    * probe) — at corpus scale persist the input or accept the second scan;
+    * both stay embarrassingly parallel.
+    *
+    * `wide = true` groups by the span STRING (no collision exposure,
+    * text-sized shuffle) — the oracle-parity twin; OpsSpec pins the two
+    * paths identical. 64-bit hashing risks one false "duplicated" mark at
+    * the birthday bound (~4e9 DISTINCT spans for p~0.5 of a single
+    * collision corpus-wide) — fine for a trim/filter signal; choose wide
+    * (or a second seed) when exactness outweighs shuffle width.
+    *
+    * Output: (idCol, n_tokens, dup_spans, covered_tokens, dup_frac) — one
+    * row per input row, zero-filled for docs with no duplicated span.
+    */
+  def duplicateSpanCoverage(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      wide: Boolean = false): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val kL = k.toLong
+    val base = df
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+    // positions are 1-based to match the SQL oracle's generate_series
+    val spanOf = s"concat_ws(' ', slice(_toks, cast(i AS int), $k))"
+    val key = if (wide) spanOf else s"xxhash64($spanOf)"
+    val spans = base.filter(col("n_tokens") >= kL)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1L, size(_toks) - ${k - 1}L), i -> struct(i AS pos, $key AS s))"))
+        .as("sp"))
+      .select(col(idCol), col("sp.pos").as("pos"), col("sp.s").as("s"))
+    val dup = spans.groupBy("s").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select("s")
+    val cov = spans.join(dup, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_spans"),
+        sort_array(collect_list(col("pos"))).as("_starts"))
+      .withColumn("covered_tokens",
+        aggregate(col("_starts"),
+          struct(lit(-1L).as("prev"), lit(0L).as("cov")),
+          (acc, s) => struct(
+            s.as("prev"),
+            (acc.getField("cov") +
+              when(acc.getField("prev") < 0L, lit(kL))
+                .otherwise(least(s - acc.getField("prev"), lit(kL)))).as("cov")),
+          acc => acc.getField("cov")))
+      .select(col(idCol), col("dup_spans"), col("covered_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
 }

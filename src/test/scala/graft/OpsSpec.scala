@@ -1012,4 +1012,41 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(docsDf(rows), "id", "text",
       shingleSize = 3, threshold = 0.01, maxShingleDf = 3).count() == 0L)
   }
+
+  test("duplicateSpanCoverage: hand-computed fixture (merge, gaps, within-doc, short)") {
+    // k=3. Shared spans: "a b c" (d1@1, d2@2, d6@1, d6@9), "b c d" (d1@2,
+    // d2@3); "m m m" repeats WITHIN d4 (starts 1..5) — within-doc counts.
+    val rows = Seq(
+      1L -> "a b c d e f",                  // dup starts {1,2} -> covered 4
+      2L -> "x a b c d y",                  // dup starts {2,3} -> covered 4
+      3L -> "p q r s",                      // no dup span
+      4L -> "m m m m m m m",                // starts 1..5 -> covered 7 (all)
+      5L -> "z z",                          // shorter than k: zero-filled
+      6L -> "a b c x1 x2 x3 x4 x5 a b c")   // gapped starts {1,9} -> 3+3=6
+    val got = Dedup.duplicateSpanCoverage(docsDf(rows), "id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((6L, 2L, 4L, 4.0 / 6.0)))
+    assert(got(2L) == ((6L, 2L, 4L, 4.0 / 6.0)))
+    assert(got(3L) == ((4L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((7L, 5L, 7L, 1.0)))
+    assert(got(5L) == ((2L, 0L, 0L, 0.0)))
+    assert(got(6L) == ((11L, 2L, 6L, 6.0 / 11.0)))
+  }
+
+  test("duplicateSpanCoverage: thin (hash) and wide (string) paths identical; partitioning-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val thin = norm(Dedup.duplicateSpanCoverage(docs, "doc_id", "text", k = 10))
+    val wide = norm(Dedup.duplicateSpanCoverage(docs, "doc_id", "text", k = 10, wide = true))
+    assert(thin.size == docs.count())
+    assert(thin.values.exists(_._2 > 0L), "fixture corpus should contain duplicated spans")
+    assert(thin == wide)
+    val repart = norm(Dedup.duplicateSpanCoverage(
+      docs.repartition(7), "doc_id", "text", k = 10))
+    assert(repart == thin)
+  }
 }

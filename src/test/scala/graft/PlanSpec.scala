@@ -300,4 +300,29 @@ class PlanSpec extends AnyFunSuite {
       assert(width <= 128, s"exchange row estimate $width bytes: ${e.output.mkString(",")}")
     }
   }
+
+  test("dedup_spans thin path: no string column crosses any exchange") {
+    val df = SparkEntry.dedupSpans(spark, sfDir)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case o => o
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.nonEmpty)
+    // the span relation shuffles (doc_id, pos, xxhash64(span)) and every
+    // later stage is ids + counts — span TEXT is hashed map-side and never
+    // serialized into a shuffle at any corpus size
+    exchanges.foreach { e =>
+      val strings = e.output.filter(
+        _.dataType == org.apache.spark.sql.types.StringType)
+      assert(strings.isEmpty,
+        s"string column in exchange: ${e.output.mkString(",")}")
+      // widest exchange: the coverage groupBy's partial collect_list buffer
+      // (bounded by duplicated positions per doc, estimated 116 B)
+      val width = e.output.map(_.dataType.defaultSize).sum
+      assert(width <= 128, s"exchange row estimate $width bytes: ${e.output.mkString(",")}")
+    }
+  }
 }
