@@ -208,6 +208,11 @@ object SparkEntry {
     Dedup.duplicateSpanCoverage(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k = SpanK)
 
+  /** ExactSubstr deletion: rewrite docs with duplicated k-spans removed. */
+  def dedupSpansTrim(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.trimDuplicateSpans(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k = SpanK)
+
   def dedupFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), Dedup.normalizedFingerprint(col("text")).as("fingerprint"))
@@ -913,6 +918,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_trim" -> dedupSpansTrim,
     "ann_topk" -> annTopK,
     "ann_topk_rel" -> annTopKRel,
     "ann_ivf_topk" -> annIvfTopK,
@@ -1026,6 +1032,30 @@ object SparkEntry {
          |       COALESCE(c.covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
          |       CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_frac
          |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin
+    },
+    // trim twin: DuckDB rebuilds the kept-token list positionally (NOT
+    // EXISTS against the duplicated-span starts + string_agg ORDER BY i) —
+    // no interval merge at all, so the Spark side's merged-interval
+    // rewrite is checked against the definition's per-token membership
+    "dedup_spans_trim" -> {
+      val K = SpanK
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |spans AS (SELECT doc_id, i, array_to_string(t[i:i+${K - 1}], ' ') AS span
+         |          FROM toks, unnest(generate_series(1, len(t)-$K+1)) AS g(i)),
+         |dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+         |ds AS (SELECT s.doc_id, s.i FROM spans s JOIN dup USING (span)),
+         |tokpos AS (SELECT doc_id, i, t[i] AS tok FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+         |keptat AS (SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+         |           WHERE NOT EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = tp.doc_id
+         |                             AND tp.i BETWEEN ds.i AND ds.i + $K - 1)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |               COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS text_trimmed
+         |        FROM keptat GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |       COALESCE(a.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+         |       COALESCE(a.text_trimmed, '') AS text_trimmed
+         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
     "graph_pagerank" -> GoldOracles.graphPagerank(sfDir, PrIters),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(

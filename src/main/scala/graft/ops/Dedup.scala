@@ -977,15 +977,17 @@ object Dedup {
     * Output: (idCol, n_tokens, dup_spans, covered_tokens, dup_frac) — one
     * row per input row, zero-filled for docs with no duplicated span.
     */
-  def duplicateSpanCoverage(
+  /** Shared machinery for the span-duplication family: (base relation with
+    * `_toks`/`n_tokens`, per-doc SORTED duplicated-span starts). Positions
+    * are 1-based to match the SQL oracle's generate_series. */
+  private def dupSpanStarts(
       df: DataFrame, idCol: String, textCol: String, k: Int,
-      wide: Boolean = false): DataFrame = {
+      wide: Boolean): (DataFrame, DataFrame) = {
     require(k >= 1, s"need k >= 1, got $k")
     val kL = k.toLong
     val base = df
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
-    // positions are 1-based to match the SQL oracle's generate_series
     val spanOf = s"concat_ws(' ', slice(_toks, cast(i AS int), $k))"
     val key = if (wide) spanOf else s"xxhash64($spanOf)"
     val spans = base.filter(col("n_tokens") >= kL)
@@ -995,10 +997,19 @@ object Dedup {
       .select(col(idCol), col("sp.pos").as("pos"), col("sp.s").as("s"))
     val dup = spans.groupBy("s").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2L).select("s")
-    val cov = spans.join(dup, "s")
+    val starts = spans.join(dup, "s")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_spans"),
         sort_array(collect_list(col("pos"))).as("_starts"))
+    (base, starts)
+  }
+
+  def duplicateSpanCoverage(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      wide: Boolean = false): DataFrame = {
+    val kL = k.toLong
+    val (base, starts) = dupSpanStarts(df, idCol, textCol, k, wide)
+    val cov = starts
       .withColumn("covered_tokens",
         aggregate(col("_starts"),
           struct(lit(-1L).as("prev"), lit(0L).as("cov")),
@@ -1016,5 +1027,58 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
+  /** The ExactSubstr DELETION step (Lee et al. 2022 apply their signal by
+    * removing the duplicated substrings, not the documents): rewrite each
+    * doc with every token under a duplicated k-span dropped, keeping the
+    * remainder in order. [[duplicateSpanCoverage]] is the measure; this is
+    * the action.
+    *
+    * Plan: the duplicate decision is [[dupSpanStarts]]'s thin hash shuffle
+    * (span text never crosses an exchange); per doc the sorted starts fold
+    * into MERGED intervals (array of [s, e], adjacent runs coalesced), and
+    * the rewrite is a row-local filter of the token array against them —
+    * O(n_tokens x intervals) inside one task, no window. The final join
+    * brings intervals to the text: the intervals relation holds ONLY docs
+    * that contain duplicated spans, so when that subset is small it
+    * broadcasts (AQE decides); a corpus where most docs need trimming pays
+    * one corpus shuffle on the id — the floor for an op that must rewrite
+    * text. Docs with nothing to trim pass through byte-identical
+    * (single-space tokenization is lossless under split/concat_ws, empty
+    * tokens included).
+    *
+    * Output: (idCol, n_tokens, kept_tokens, text_trimmed) — one row per
+    * input row; a fully-duplicated doc keeps 0 tokens and empty text.
+    */
+  def trimDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      wide: Boolean = false): DataFrame = {
+    val kL = k.toLong
+    val (base, starts) = dupSpanStarts(df, idCol, textCol, k, wide)
+    val emptyIvs = array().cast("array<struct<s:bigint,e:bigint>>")
+    val ivs = starts.withColumn("_iv",
+      aggregate(col("_starts"), emptyIvs,
+        (acc, p) => {
+          val last = element_at(acc, -1)
+          when(size(acc) > 0 && last.getField("e") >= p - 1L,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(last.getField("s").as("s"),
+                greatest(last.getField("e"), p + kL - 1L).as("e")))))
+            .otherwise(concat(acc, array(struct(p.as("s"), (p + kL - 1L).as("e")))))
+        }))
+      .select(col(idCol), col("_iv"))
+    base.join(ivs, Seq(idCol), "left")
+      .withColumn("_iv", coalesce(col("_iv"), emptyIvs))
+      .withColumn("_kept", filter(
+        transform(col("_toks"),
+          (t, i) => struct(t.as("tok"), (i.cast("long") + 1L).as("pos"))),
+        x => !exists(col("_iv"),
+          v => v.getField("s") <= x.getField("pos") &&
+            x.getField("pos") <= v.getField("e"))))
+      .select(col(idCol), col("n_tokens"),
+        size(col("_kept")).cast("long").as("kept_tokens"),
+        concat_ws(" ", transform(col("_kept"), x => x.getField("tok")))
+          .as("text_trimmed"))
   }
 }

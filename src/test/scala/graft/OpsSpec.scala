@@ -1049,4 +1049,42 @@ class OpsSpec extends AnyFunSuite {
       docs.repartition(7), "doc_id", "text", k = 10))
     assert(repart == thin)
   }
+
+  test("trimDuplicateSpans: rewrites match the per-token definition") {
+    // same fixture as the coverage test — expected texts hand-derived from
+    // the dup starts there (k=3)
+    val rows = Seq(
+      1L -> "a b c d e f",                  // drop tokens 1-4 -> "e f"
+      2L -> "x a b c d y",                  // drop tokens 2-5 -> "x y"
+      3L -> "p q r s",                      // untouched, byte-identical
+      4L -> "m m m m m m m",                // fully covered -> ""
+      5L -> "z z",                          // shorter than k: untouched
+      6L -> "a b c x1 x2 x3 x4 x5 a b c")   // drop 1-3 and 9-11
+    val got = Dedup.trimDuplicateSpans(docsDf(rows), "id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((6L, 2L, "e f")))
+    assert(got(2L) == ((6L, 2L, "x y")))
+    assert(got(3L) == ((4L, 4L, "p q r s")))
+    assert(got(4L) == ((7L, 0L, "")))
+    assert(got(5L) == ((2L, 2L, "z z")))
+    assert(got(6L) == ((11L, 5L, "x1 x2 x3 x4 x5")))
+    // kept_tokens + covered_tokens == n_tokens, per doc, by construction
+    val cov = Dedup.duplicateSpanCoverage(docsDf(rows), "id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    got.foreach { case (id, (n, kept, _)) => assert(kept + cov(id) == n) }
+    // thin == wide on the real corpus; lossless pass-through for untouched
+    // docs (split/concat_ws round-trip)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val thin = norm(Dedup.trimDuplicateSpans(docs, "doc_id", "text", k = 10))
+    assert(thin == norm(Dedup.trimDuplicateSpans(docs, "doc_id", "text", k = 10, wide = true)))
+    val orig = docs.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    thin.foreach { case (id, (n, kept, t)) =>
+      if (kept == n) assert(t == orig(id), s"untouched doc $id must round-trip")
+    }
+  }
 }
