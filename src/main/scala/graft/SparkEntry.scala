@@ -197,6 +197,11 @@ object SparkEntry {
   // span length for exact-substring duplication coverage (docs are 10-99
   // tokens in the test corpus; production text uses ~50 per Lee et al.)
   private val SpanK = 10
+  // DSIR importance scoring: word-bigram features hashed into 4096
+  // buckets (DSIR's own memory bound); target slice = German docs
+  private val DsirN = 2
+  private val DsirBuckets = 4096
+  private val DsirTargetLang = "de"
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
@@ -212,6 +217,15 @@ object SparkEntry {
   def dedupSpansTrim(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.trimDuplicateSpans(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k = SpanK)
+
+  /** DSIR importance scores: every doc scored by hashed-bigram resemblance
+    * to the `lang='de'` target slice relative to the whole corpus. */
+  def sampleImportance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.ops.Dsir.importanceScores(
+      docs, docs.filter(col("lang") === DsirTargetLang),
+      "doc_id", "text", n = DsirN, buckets = DsirBuckets)
+  }
 
   def dedupFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -940,6 +954,7 @@ object SparkEntry {
     "sample_budget_pack" -> sampleBudgetPack,
     "sample_seq_pack" -> samplePackSequences,
     "sample_mix_alloc" -> sampleMixAlloc,
+    "sample_importance" -> sampleImportance,
     "text_chunks" -> textChunks,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
@@ -1056,6 +1071,29 @@ object SparkEntry {
          |       COALESCE(a.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
          |       COALESCE(a.text_trimmed, '') AS text_trimmed
          |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
+    // DSIR importance scores: DuckDB recomputes the hashed-bigram
+    // bucketing ITSELF (same md5-hex contract as sample_stratified — the
+    // bucket of an n-gram is bit-identical in both engines), rebuilds both
+    // count vectors, and re-derives every mass; score is one IEEE division
+    // of exact integers
+    "sample_importance" -> {
+      val (n, b) = (DsirN, DsirBuckets)
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |ng AS (SELECT doc_id, lang,
+         |              CAST(('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 8)) AS BIGINT) % $b AS b
+         |       FROM toks, unnest(generate_series(1, len(t)-$n+1)) AS g(i)),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM ng WHERE lang = '$DsirTargetLang' GROUP BY b),
+         |sc AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM ng GROUP BY b),
+         |agg AS (SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |               CAST(SUM(COALESCE(tc.ct, 0)) AS BIGINT) AS target_mass,
+         |               CAST(SUM(sc.cs) AS BIGINT) AS source_mass
+         |        FROM ng LEFT JOIN tc USING (b) JOIN sc USING (b) GROUP BY ng.doc_id)
+         |SELECT d.doc_id, COALESCE(a.n_ngrams, CAST(0 AS BIGINT)) AS n_ngrams,
+         |       COALESCE(a.target_mass, CAST(0 AS BIGINT)) AS target_mass,
+         |       COALESCE(a.source_mass, CAST(0 AS BIGINT)) AS source_mass,
+         |       CAST(COALESCE(a.target_mass, 0) + 1 AS DOUBLE) / CAST(COALESCE(a.source_mass, 0) + 1 AS DOUBLE) AS score
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
     "graph_pagerank" -> GoldOracles.graphPagerank(sfDir, PrIters),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance scoring for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"): score
+  * every corpus doc by how much its hashed n-gram profile resembles a
+  * TARGET domain relative to the SOURCE corpus, then select/resample on
+  * the score. The hashing trick is the scale lever DSIR itself introduces:
+  * n-grams hash into a FIXED number of buckets, so the two "language
+  * models" are bounded integer count vectors no matter how large either
+  * corpus is.
+  *
+  * Determinism contract (shared with [[Sampling]]): the bucket of an
+  * n-gram is the first 32 bits of md5(ngram) mod `buckets` — md5-hex is
+  * bit-identical in every engine, so the DuckDB oracle recomputes the SAME
+  * bucketing in SQL, fully independently. All masses are exact integers;
+  * the score is ONE IEEE division of exact integers
+  * ((target_mass + 1) / (source_mass + 1), add-one smoothed), so it is
+  * bit-equal across engines. It is a monotone transform of the
+  * likelihood-ratio family DSIR logs — take `ln` downstream if log-space
+  * weights are wanted; ranking and thresholding are unchanged.
+  *
+  * Plan shape at 100 TB:
+  *  - two count aggregations (target, source) — full scans but
+  *    MAP-SIDE-COMBINED into <= `buckets` rows each (the shuffle after
+  *    partial aggregation is bucket-bounded, not corpus-bounded);
+  *  - both count relations are <= `buckets` rows, so the per-doc joins
+  *    BROADCAST by construction (no sort-merge join can appear at any
+  *    corpus size — the hashing trick bounds the build side);
+  *  - one corpus-sized thin shuffle for the per-doc sums: (id, 3 longs),
+  *    map-side combined; n-gram text never crosses an exchange (hashed
+  *    map-side, same property PlanSpec pins for the span family).
+  */
+object Dsir {
+
+  /** Hashed bucket of an n-gram: first 32 bits of md5, mod `buckets`. */
+  def bucketOf(ngram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(ngram), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** Array of the doc's word-n-gram buckets (single-space tokenization,
+    * 1-based span starts — the conventions every text op here shares). */
+  def ngramBucketArray(textCol: Column, n: Int, buckets: Int): Column = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val toks = split(textCol, " ")
+    // sequence(1, m) with m < 1 runs DESCENDING (negative-step semantics),
+    // so docs shorter than n need the explicit empty branch
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => bucketOf(concat_ws(" ", slice(toks, i, lit(n))), buckets)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Per-bucket n-gram counts of a corpus: <= `buckets` output rows. */
+  private def bucketCounts(
+      df: DataFrame, textCol: String, n: Int, buckets: Int, cntName: String): DataFrame =
+    df.select(explode(ngramBucketArray(col(textCol), n, buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as(cntName))
+
+  /** Importance scores: for each corpus row, the dot products of its
+    * hashed-n-gram counts with the target and source bucket counts, and
+    * the smoothed mass ratio. Rows whose text has no n-gram (shorter than
+    * n) score (0 + 1) / (0 + 1) = 1.0 — neutral.
+    *
+    * Output: (idCol, n_ngrams, target_mass, source_mass, score).
+    */
+  def importanceScores(
+      corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      n: Int, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val tc = bucketCounts(target, textCol, n, buckets, "ct")
+    val sc = bucketCounts(corpus, textCol, n, buckets, "cs")
+    val occ = corpus.select(col(idCol),
+      explode(ngramBucketArray(col(textCol), n, buckets)).as("b"))
+    val masses = occ
+      .join(broadcast(tc), Seq("b"), "left")
+      .join(broadcast(sc), Seq("b")) // every corpus n-gram is in the source counts
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("ct"), lit(0L))).as("target_mass"),
+        sum(col("cs")).as("source_mass"))
+    corpus.select(col(idCol))
+      .join(masses, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("target_mass"), lit(0L)).as("target_mass"),
+        coalesce(col("source_mass"), lit(0L)).as("source_mass"),
+        ((coalesce(col("target_mass"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("source_mass"), lit(0L)) + 1L).cast("double")).as("score"))
+  }
+}

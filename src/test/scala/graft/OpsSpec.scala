@@ -1087,4 +1087,56 @@ class OpsSpec extends AnyFunSuite {
       if (kept == n) assert(t == orig(id), s"untouched doc $id must round-trip")
     }
   }
+
+  test("Dsir importance scores: local md5 replay parity, subset bound, neutral short docs") {
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta", // duplicate of the target doc
+      3L -> "omega psi chi phi",
+      4L -> "x", // shorter than n=2 -> neutral score 1.0
+      5L -> "alpha beta zeta eta")
+    val B = 64
+    val df = docsDf(corpus)
+    val out = Dsir.importanceScores(
+      df, df.filter(col("id") === 1L), "id", "text", n = 2, buckets = B)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // independent local replay of the md5 bucketing + mass arithmetic
+    def buckets(text: String): Seq[Long] = {
+      val t = text.split(" ", -1)
+      (0 to t.length - 2).map { i =>
+        val s = t.slice(i, i + 2).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+        java.lang.Long.parseLong(hex, 16) % B
+      }
+    }
+    val tCounts = corpus.filter(_._1 == 1L).flatMap(c => buckets(c._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sCounts = corpus.flatMap(c => buckets(c._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    corpus.foreach { case (id, text) =>
+      val bs = buckets(text)
+      val tm = bs.map(b => tCounts.getOrElse(b, 0L)).sum
+      val sm = bs.map(b => sCounts(b)).sum
+      assert(out(id) == ((bs.size.toLong, tm, sm,
+        (tm + 1).toDouble / (sm + 1).toDouble)), s"doc $id")
+    }
+    // target is a subset of source, so pointwise ct <= cs and the masses
+    // inherit the bound
+    out.values.foreach { case (_, tm, sm, _) => assert(tm <= sm) }
+    assert(out(4L) == ((0L, 0L, 0L, 1.0)))
+    // the doc identical to the target scores above the unrelated one
+    assert(out(2L)._4 > out(3L)._4)
+    // partitioning invariance
+    val repart = Dsir.importanceScores(
+      df.repartition(5), df.filter(col("id") === 1L).repartition(3),
+      "id", "text", n = 2, buckets = B)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(repart == out)
+  }
 }

@@ -325,4 +325,23 @@ class PlanSpec extends AnyFunSuite {
       assert(width <= 128, s"exchange row estimate $width bytes: ${e.output.mkString(",")}")
     }
   }
+
+  test("sample_importance: bucket-count joins broadcast, no string in any exchange") {
+    val df = SparkEntry.sampleImportance(spark, sfDir)
+    val p = plan(df)
+    // the two <= `buckets`-row count relations must be broadcast builds —
+    // the hashing trick bounds them at ANY corpus size, so a sort-merge
+    // join on the n-gram occurrences would be a plan regression
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case o => o
+    }
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.dataType == org.apache.spark.sql.types.StringType),
+        s"string column in exchange: ${e.output.mkString(",")}")
+    }
+  }
 }
