@@ -65,6 +65,55 @@ object Dsir {
     *
     * Output: (idCol, n_ngrams, target_mass, source_mass, score).
     */
+  /** Frozen importance model: both bucket-count vectors collected to
+    * driver maps. Driver state is bounded BY CONSTRUCTION — each map has
+    * <= `buckets` entries no matter how large either corpus is (the same
+    * hashing-trick bound that makes the joins broadcastable). */
+  case class FrozenModel(
+      target: Map[Long, Long], source: Map[Long, Long], n: Int, buckets: Int)
+
+  /** Train a frozen model: two aggregation jobs, <= `buckets` rows each
+    * collected. The production flow for CONTINUOUS selection: freeze the
+    * model over the reference corpora once, then score any stream or
+    * later batch with [[scoreWithModel]] — the frozen-quantizer / frozen-LM
+    * pattern this library uses for every trained artifact. */
+  def freeze(
+      corpus: DataFrame, target: DataFrame, textCol: String,
+      n: Int, buckets: Int): FrozenModel = {
+    require(buckets >= 1 && buckets <= (1 << 24),
+      s"buckets must be in [1, 2^24] for a collectable model, got $buckets")
+    def collectCounts(df: DataFrame, name: String) =
+      bucketCounts(df, textCol, n, buckets, name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    FrozenModel(collectCounts(target, "ct"), collectCounts(corpus, "cs"), n, buckets)
+  }
+
+  /** Zero-shuffle scoring against a frozen model: the count vectors ride
+    * the plan as literal maps, each row folds its bucket array inside one
+    * codegen'd projection — stateless, so STREAMING-SAFE unchanged
+    * (pinned in StreamingSpec) and embarrassingly parallel at any corpus
+    * size. Same output contract as [[importanceScores]], and
+    * bit-identical to it when the model was frozen from the same
+    * (corpus, target) — pinned in OpsSpec. */
+  def scoreWithModel(
+      df: DataFrame, idCol: String, textCol: String, model: FrozenModel): DataFrame = {
+    val tMap = typedlit(model.target)
+    val sMap = typedlit(model.source)
+    val zero = struct(lit(0L).as("tm"), lit(0L).as("sm"))
+    val folded = df
+      .select(col(idCol), ngramBucketArray(col(textCol), model.n, model.buckets).as("_bs"))
+      .select(col(idCol),
+        size(col("_bs")).cast("long").as("n_ngrams"),
+        aggregate(col("_bs"), zero, (acc, b) => struct(
+          (acc.getField("tm") + coalesce(element_at(tMap, b), lit(0L))).as("tm"),
+          (acc.getField("sm") + coalesce(element_at(sMap, b), lit(0L))).as("sm"))).as("_acc"))
+    folded.select(col(idCol), col("n_ngrams"),
+      col("_acc.tm").as("target_mass"),
+      col("_acc.sm").as("source_mass"),
+      ((col("_acc.tm") + 1L).cast("double") /
+        (col("_acc.sm") + 1L).cast("double")).as("score"))
+  }
+
   def importanceScores(
       corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
       n: Int, buckets: Int): DataFrame = {

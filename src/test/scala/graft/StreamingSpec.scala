@@ -533,6 +533,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedRed(0L).contains("<EMAIL>") && streamedRed(0L).contains("<NUM>"))
   }
 
+  test("frozen DSIR scoring is streaming-safe: per-batch == batch == unfrozen") {
+    // scoreWithModel is a stateless literal-map fold, so scoring a stream
+    // against a model frozen over reference corpora must equal both the
+    // batch frozen path AND the distributed importanceScores plan — one
+    // selection policy for the static corpus and its streaming ingest.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Dsir
+    import org.apache.spark.sql.functions.col
+    val corpus = (0L until 80L).map(i =>
+      (i, (0 to (i % 9).toInt + 1).map(j => s"w${(i * 3 + j) % 17}").mkString(" ")))
+    val batchDf = corpus.toDF("doc_id", "text")
+    val target = batchDf.filter(col("doc_id") % 5 === 0)
+    val model = Dsir.freeze(batchDf, target, "text", n = 2, buckets = 64)
+    assert(model.source.size <= 64 && model.target.size <= 64)
+
+    val stream = MemoryStream[(Long, String)]
+    val scored = Dsir.scoreWithModel(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = scored.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    corpus.grouped(25).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val streamed = spark.table("dsir_stream").collect().map(key).toMap
+    val frozen = Dsir.scoreWithModel(batchDf, "doc_id", "text", model).collect().map(key).toMap
+    val unfrozen = Dsir.importanceScores(batchDf, target, "doc_id", "text",
+      n = 2, buckets = 64).collect().map(key).toMap
+    assert(streamed == frozen)
+    assert(frozen == unfrozen)
+  }
+
   test("frozen-threshold anomaly flags + per-batch validation on a stream") {
     // anomaly: the per-group quantile table is computed on the batch
     // corpus and joined to the stream as a STATIC side (stream-static
