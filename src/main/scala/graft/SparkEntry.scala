@@ -202,6 +202,9 @@ object SparkEntry {
   private val DsirN = 2
   private val DsirBuckets = 4096
   private val DsirTargetLang = "de"
+  // pretrain-mix capstone: drop post-trim husks, salt for the weighted keep
+  private val PmMinTokens = 5L
+  private val PmSalt = "pretrain-mix-r5"
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
@@ -217,6 +220,32 @@ object SparkEntry {
   def dedupSpansTrim(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.trimDuplicateSpans(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k = SpanK)
+
+  /** Pretraining-mix capstone — the round-5 ops composed into ONE
+    * declarative plan, oracled end to end:
+    *   1. ExactSubstr trim (duplicated 10-token spans deleted), husks with
+    *      fewer than `PmMinTokens` surviving tokens dropped;
+    *   2. DSIR importance scoring over the TRIMMED text (target = the
+    *      trimmed `lang='de'` slice — selection happens after dedup, the
+    *      order real pipelines use so boilerplate can't inflate masses);
+    *   3. importance-WEIGHTED deterministic sampling: per-doc keep
+    *      probability = its score (score <= 1 by target subset-of source;
+    *      the md5 keep decision and the score x 2^32 threshold are both
+    *      cross-engine exact — x 2^32 only shifts the exponent).
+    * Output: the selected mix, one row per kept doc. */
+  def pretrainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val trimmed = Dedup.trimDuplicateSpans(docs, "doc_id", "text", k = SpanK)
+      .filter(col("kept_tokens") >= PmMinTokens)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("kept_tokens"), col("text_trimmed"))
+    val scored = graft.ops.Dsir.importanceScores(
+      trimmed, trimmed.filter(col("lang") === DsirTargetLang),
+      "doc_id", "text_trimmed", n = DsirN, buckets = DsirBuckets)
+      .join(trimmed.select(col("doc_id"), col("lang"), col("kept_tokens")), Seq("doc_id"))
+    Sampling.weightedSample(scored, "doc_id", "score", PmSalt)
+      .select(col("doc_id"), col("lang"), col("kept_tokens"), col("score"))
+  }
 
   /** DSIR importance scores: every doc scored by hashed-bigram resemblance
     * to the `lang='de'` target slice relative to the whole corpus. */
@@ -955,6 +984,7 @@ object SparkEntry {
     "sample_seq_pack" -> samplePackSequences,
     "sample_mix_alloc" -> sampleMixAlloc,
     "sample_importance" -> sampleImportance,
+    "pretrain_mix" -> pretrainMix,
     "text_chunks" -> textChunks,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
@@ -1094,6 +1124,47 @@ object SparkEntry {
          |       COALESCE(a.source_mass, CAST(0 AS BIGINT)) AS source_mass,
          |       CAST(COALESCE(a.target_mass, 0) + 1 AS DOUBLE) / CAST(COALESCE(a.source_mass, 0) + 1 AS DOUBLE) AS score
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
+    // pretrain-mix capstone: the whole trim -> score -> weighted-keep
+    // composition re-derived in ONE plain-SQL query (positional trim, md5
+    // bucketing, integer masses, md5 keep vs floor(score x 2^32) — every
+    // stage cross-engine exact, so the composed row set must match
+    // bit-for-bit)
+    "pretrain_mix" -> {
+      val (k, n, b) = (SpanK, DsirN, DsirBuckets)
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |base AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |spans AS (SELECT doc_id, i, array_to_string(t[i:i+${k - 1}], ' ') AS span
+         |          FROM toks, unnest(generate_series(1, len(t)-$k+1)) AS g(i)),
+         |dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+         |ds AS (SELECT s.doc_id, s.i FROM spans s JOIN dup USING (span)),
+         |tokpos AS (SELECT doc_id, i, t[i] AS tok FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+         |keptat AS (SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+         |           WHERE NOT EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = tp.doc_id
+         |                             AND tp.i BETWEEN ds.i AND ds.i + $k - 1)),
+         |trimagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |                   COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS text_trimmed
+         |            FROM keptat GROUP BY doc_id),
+         |trimdocs AS (SELECT b.doc_id, b.lang, a.kept_tokens, a.text_trimmed
+         |             FROM base b JOIN trimagg a USING (doc_id)
+         |             WHERE a.kept_tokens >= $PmMinTokens),
+         |t2 AS (SELECT doc_id, lang, string_split(text_trimmed, ' ') AS t FROM trimdocs),
+         |ng AS (SELECT doc_id, lang,
+         |              CAST(('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 8)) AS BIGINT) % $b AS b
+         |       FROM t2, unnest(generate_series(1, len(t)-$n+1)) AS g(i)),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM ng WHERE lang = '$DsirTargetLang' GROUP BY b),
+         |sc AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM ng GROUP BY b),
+         |masses AS (SELECT ng.doc_id,
+         |                  CAST(SUM(COALESCE(tc.ct, 0)) AS BIGINT) AS target_mass,
+         |                  CAST(SUM(sc.cs) AS BIGINT) AS source_mass
+         |           FROM ng LEFT JOIN tc USING (b) JOIN sc USING (b) GROUP BY ng.doc_id),
+         |scored AS (SELECT td.doc_id, td.lang, td.kept_tokens,
+         |                  CAST(COALESCE(m.target_mass, 0) + 1 AS DOUBLE) /
+         |                  CAST(COALESCE(m.source_mass, 0) + 1 AS DOUBLE) AS score
+         |           FROM trimdocs td LEFT JOIN masses m USING (doc_id))
+         |SELECT doc_id, lang, kept_tokens, score FROM scored
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$PmSalt'), 1, 8)) AS BIGINT)
+         |  < CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 4294967296.0) AS BIGINT)""".stripMargin
     },
     "graph_pagerank" -> GoldOracles.graphPagerank(sfDir, PrIters),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(

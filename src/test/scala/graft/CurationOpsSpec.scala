@@ -265,4 +265,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(counts.getAs[Long]("n_nums") == 1L)
     assert(counts.getAs[Long]("n_phones") == 1L)
   }
+
+  test("pretrain_mix capstone: deterministic, stage invariants hold end to end") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    def collectMix() = SparkEntry.pretrainMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val mix = collectMix()
+    assert(mix.nonEmpty)
+    // rerun is bit-identical (every stage decision is a pure hash/integer
+    // function — no rand(), no partitioning sensitivity)
+    assert(collectMix() == mix)
+    // stage invariants: husk floor respected; scores in (0, 1] (target is
+    // a subset of source so masses bound each other); the kept set is
+    // exactly the md5-threshold subset of the scored relation
+    mix.values.foreach { case (_, kept, score) =>
+      assert(kept >= 5L)
+      assert(score > 0.0 && score <= 1.0)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val trimmed = graft.ops.Dedup.trimDuplicateSpans(docs, "doc_id", "text", k = 10)
+      .filter(col("kept_tokens") >= 5L)
+    assert(mix.keySet.subsetOf(
+      trimmed.select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
 }
