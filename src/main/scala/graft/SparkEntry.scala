@@ -232,13 +232,22 @@ object SparkEntry {
     *      probability = its score (score <= 1 by target subset-of source;
     *      the md5 keep decision and the score x 2^32 threshold are both
     *      cross-engine exact — x 2^32 only shifts the exponent).
-    * Output: the selected mix, one row per kept doc. */
+    * Output: the selected mix, one row per kept doc.
+    *
+    * The trimmed relation is MATERIALIZED once (persist): DSIR scans its
+    * corpus three times (source counts, per-doc masses, id frame) and the
+    * target + lang join-back add three more — without a barrier Catalyst
+    * duplicates the whole ExactSubstr subtree into every reference (20
+    * parquet scans / 32 exchanges measured; sf0.1 wall 65→5 s class). At
+    * 100 TB this intermediate is a snapshot-table write, paid once, for
+    * the same reason. */
   def pretrainMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val trimmed = Dedup.trimDuplicateSpans(docs, "doc_id", "text", k = SpanK)
       .filter(col("kept_tokens") >= PmMinTokens)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("kept_tokens"), col("text_trimmed"))
+      .persist()
     val scored = graft.ops.Dsir.importanceScores(
       trimmed, trimmed.filter(col("lang") === DsirTargetLang),
       "doc_id", "text_trimmed", n = DsirN, buckets = DsirBuckets)

@@ -114,6 +114,13 @@ object Dsir {
         (col("_acc.sm") + 1L).cast("double")).as("score"))
   }
 
+  /** Multi-pass scoring: `corpus` is scanned THREE times (source counts,
+    * per-doc masses, id frame) and `target` once more — hand it a
+    * MATERIALIZED relation (a table scan, a persisted/cached frame, a
+    * snapshot read), never an expensive lazy lineage: Catalyst duplicates
+    * an unmaterialized subtree into every reference (the pretrain-mix
+    * capstone measured 20 scans/32 exchanges and a 15x wall before its
+    * persist barrier — BENCH.md coda-6). */
   def importanceScores(
       corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
       n: Int, buckets: Int): DataFrame = {
