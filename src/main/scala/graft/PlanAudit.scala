@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-shape audit: physical-plan stats (parquet scans, exchanges,
+  * reused exchanges, plan size) for every driver query, without executing
+  * any of them. The canary for multiply-referenced expensive lineage —
+  * `pretrain_mix` showed 20 scans / 32 exchanges before its persist
+  * barrier (BENCH.md coda-6); any query whose scan count drifts far past
+  * its input-table count deserves the same look. Counts are over the
+  * plan STRING: a persisted subtree still prints its full child plan
+  * under InMemoryRelation (check `InMemoryTableScan` occurrences to see
+  * the dedup), and AQE exchange reuse happens at runtime, so `reused`
+  * reads 0 pre-execution. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .appName("plan-audit").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      try {
+        val df = SparkEntry.queries(name)(spark, sf)
+        val plan = df.queryExecution.executedPlan.toString
+        val scans = "Scan parquet".r.findAllIn(plan).length
+        val ex = "Exchange".r.findAllIn(plan).length
+        val reused = "ReusedExchange".r.findAllIn(plan).length
+        println(f"AUDIT $name%-24s scans=$scans%3d exchanges=$ex%3d reused=$reused%3d planlen=${plan.length}%7d")
+      } catch {
+        case e: Throwable => println(s"AUDIT $name ERROR ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}
