@@ -589,6 +589,42 @@ object SparkEntry {
     }.drop("text")
   }
 
+  /** StarCoder-rule code-quality signals (ops/CodeCuration) over a
+    * deterministically multi-line view of the corpus: docs with
+    * doc_id%5 <= 2 get sentence breaks turned into newlines (so line
+    * stats exercise real variance) and every 5th doc additionally gets an
+    * autogen banner (so the keep rule trips on every branch). Pure
+    * codegen projection — zero shuffle. */
+  def codeQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m5 = pmod(col("doc_id"), lit(5L))
+    val multiline = replace(col("text"), lit(". "), lit("\n"))
+    val content = when(m5 === 0L,
+        concat(lit(graft.ops.CodeCuration.DemoAutogenBanner + "\n"), multiline))
+      .when(m5 <= 2L, multiline)
+      .otherwise(col("text"))
+    graft.ops.CodeCuration.qualityColumns(content)
+      .foldLeft(docs.select(col("doc_id"), col("text"))) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }.drop("text")
+  }
+
+  /** License-family detection (ops/CodeCuration) — doc_id%9 picks a demo
+    * header family (8 = none) so every detector branch is exercised
+    * deterministically; detection reads only the bounded file head. */
+  def codeLicense(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m9 = pmod(col("doc_id"), lit(9L))
+    val content = graft.ops.CodeCuration.DemoHeaders.zipWithIndex
+      .foldRight(col("text")) { case ((h, i), rest) =>
+        when(m9 === i.toLong, concat(lit(h + "\n"), col("text"))).otherwise(rest)
+      }
+    graft.ops.CodeCuration.licenseColumns(content)
+      .foldLeft(docs.select(col("doc_id"), col("text"))) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }.drop("text")
+  }
+
   /** Per-doc 64-bit SimHash via the native codegen expression (ops/
     * Simhash64) — document fingerprinting as a first-class Catalyst
     * column; the whole query is one WholeStageCodegen scan+project. */
@@ -994,6 +1030,8 @@ object SparkEntry {
     "sample_mix_alloc" -> sampleMixAlloc,
     "sample_importance" -> sampleImportance,
     "pretrain_mix" -> pretrainMix,
+    "code_quality" -> codeQuality,
+    "code_license" -> codeLicense,
     "text_chunks" -> textChunks,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
@@ -1238,6 +1276,57 @@ object SparkEntry {
     },
     // chunking: DuckDB recomputes every chunk via lateral range() + substr
     // (character-indexed in both engines; // is integer division)
+    // code curation: DuckDB recomputes the multi-line view, every line
+    // stat, the autogen disjunction, and the StarCoder keep rule from the
+    // same shared constants (newline counting avoids split semantics; the
+    // keep rule compares the ROUNDED columns in both engines)
+    "code_quality" -> {
+      val banner = graft.ops.CodeCuration.DemoAutogenBanner
+      val markers = graft.ops.CodeCuration.AutogenMarkers
+        .map(m => s"contains(lower(content), '$m')").mkString(" OR ")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$banner' || chr(10) || replace(text, '. ', chr(10))
+         |         WHEN doc_id % 5 <= 2 THEN replace(text, '. ', chr(10))
+         |         ELSE text END AS content
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, content, length(content) AS n_chars,
+         |    length(content) - length(replace(content, chr(10), '')) AS n_nl
+         |  FROM c),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(n_nl + 1 AS BIGINT) AS n_lines,
+         |    CAST(coalesce(list_max(list_transform(string_split(content, chr(10)), l -> length(l))), 0) AS BIGINT) AS max_line_len,
+         |    round((n_chars - n_nl) * 1.0 / (n_nl + 1), 6) AS avg_line_len,
+         |    round(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) * 1.0 / greatest(n_chars, 1), 6) AS alnum_frac,
+         |    ($markers) AS is_autogen
+         |  FROM m)
+         |SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac, is_autogen,
+         |  (avg_line_len <= ${graft.ops.CodeCuration.MaxAvgLineLen}
+         |   AND max_line_len <= ${graft.ops.CodeCuration.MaxMaxLineLen}
+         |   AND alnum_frac >= ${graft.ops.CodeCuration.MinAlnumFrac}
+         |   AND NOT is_autogen) AS "keep"
+         |FROM q""".stripMargin
+    },
+    "code_license" -> {
+      val hdrCase = graft.ops.CodeCuration.DemoHeaders.zipWithIndex
+        .map { case (h, i) => s"WHEN doc_id % 9 = $i THEN '$h' || chr(10) || text" }
+        .mkString("\n         ")
+      val famCase = graft.ops.CodeCuration.LicenseMarkers
+        .map { case (mk, tag) => s"WHEN contains(header, '$mk') THEN '$tag'" }
+        .mkString("\n         ")
+      val permissive = graft.ops.CodeCuration.PermissiveFamilies.toSeq.sorted
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id, CASE $hdrCase ELSE text END AS content FROM documents),
+         |h AS (SELECT doc_id,
+         |  lower(substr(content, 1, ${graft.ops.CodeCuration.LicenseHeaderChars})) AS header FROM c)
+         |SELECT doc_id,
+         |  CASE $famCase ELSE 'none' END AS license,
+         |  (CASE $famCase ELSE 'none' END) IN ($permissive) AS permissive
+         |FROM h""".stripMargin
+    },
     "text_chunks" -> {
       val stride = CkSize - CkOverlap
       s"""SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,

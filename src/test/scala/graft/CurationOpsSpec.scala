@@ -290,4 +290,59 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(mix.keySet.subsetOf(
       trimmed.select("doc_id").collect().map(_.getLong(0)).toSet))
   }
+
+  // ------------------------------------------------------- code curation --
+
+  test("code quality: hand-computed line stats, autogen flip, StarCoder keep rule") {
+    val src =
+      "def f(x):\n    return x + 1\n\n# short module"                  // 4 lines, keeps
+    val gen = "// DO NOT EDIT: machine output\nx = 1"                  // autogen -> dropped
+    val wall = ("y" * 1500) + "\nok"                                   // 1500-char line -> dropped
+    val sym = "@@@ $$$ %%% ^^^ &&& ***\n(((("                          // alnum 0 -> dropped
+    val docs = Seq((1L, src), (2L, gen), (3L, wall), (4L, sym), (5L, ""))
+      .toDF("id", "content")
+    val out = graft.ops.CodeCuration.withCodeQuality(docs, "content").drop("content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc1: 32 non-newline chars over 4 lines
+    assert(out(1L).getLong(1) == 4L)                                   // n_lines
+    assert(out(1L).getLong(2) == "    return x + 1".length.toLong)     // max_line_len
+    assert(out(1L).getDouble(3) == math.rint(src.replace("\n", "").length / 4.0 * 1e6) / 1e6)
+    assert(out(1L).getBoolean(5) == false && out(1L).getBoolean(6) == true)
+    assert(out(2L).getBoolean(5) == true && out(2L).getBoolean(6) == false)
+    assert(out(3L).getLong(2) == 1500L && out(3L).getBoolean(6) == false)
+    assert(out(4L).getDouble(4) == 0.0 && out(4L).getBoolean(6) == false)
+    // empty doc: 1 line of length 0, alnum 0 via the greatest(n,1) guard
+    assert(out(5L).getLong(1) == 1L && out(5L).getLong(2) == 0L && out(5L).getDouble(4) == 0.0)
+  }
+
+  test("code license: every family detected; LGPL precedes GPL; bounded header") {
+    val cases = graft.ops.CodeCuration.DemoHeaders
+      .zip(graft.ops.CodeCuration.LicenseMarkers.map(_._2))
+    val rows = cases.zipWithIndex.map { case ((hdr, _), i) =>
+      (i.toLong, s"$hdr\ncode body") } ++ Seq(
+      (100L, "plain file, no license"),
+      // both LGPL and GPL phrases present -> first marker in order wins
+      (101L, "GNU Lesser General Public License; see also the GNU General Public License"),
+      // marker PAST the bounded header window is not seen
+      (102L, ("x" * graft.ops.CodeCuration.LicenseHeaderChars) + " mit license"))
+    val out = graft.ops.CodeCuration.withLicense(rows.toDF("id", "content"), "content")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    cases.zipWithIndex.foreach { case ((_, tag), i) =>
+      assert(out(i.toLong)._1 == tag, s"case $i")
+      assert(out(i.toLong)._2 == graft.ops.CodeCuration.PermissiveFamilies.contains(tag))
+    }
+    assert(out(100L) == (("none", false)))
+    assert(out(101L)._1 == "lgpl")
+    assert(out(102L)._1 == "none")
+  }
+
+  test("code curation: zero-shuffle plans (per-row signals never cost an exchange)") {
+    val docs = Seq((1L, "a\nb")).toDF("id", "content")
+    for (df <- Seq(
+        graft.ops.CodeCuration.withCodeQuality(docs, "content"),
+        graft.ops.CodeCuration.withLicense(docs, "content"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(400))
+    }
+  }
 }
