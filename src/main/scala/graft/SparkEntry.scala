@@ -947,6 +947,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
 
+  /** Corpus data card — the per-language reporting artifact a curation
+    * run ships: doc counts, token mass, mean quality, StarCoder keep
+    * counts, autogen + email exposure, in ONE pass. Every signal is a
+    * pure codegen column fused into the scan; the rollup is a single
+    * map-side-combinable aggregation producing per-lang rows AND the
+    * grand total in the same shuffle (at 10^12 files the scan dominates
+    * and the agg state is languages-sized). avg_quality is cross-engine
+    * deterministic: quality_score is a multiple of 0.25 — exact in
+    * binary — so the sum is exact in any order and the average is one
+    * IEEE division. */
+  def corpusDatacard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val quality = TextAnalysis.qualityColumns(col("text")).toMap
+    val cq = graft.ops.CodeCuration.qualityColumns(col("text")).toMap
+    val emails = graft.ops.PiiRedact.redactionCounts(col("text")).head._2
+    docs.select(col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_toks"),
+        quality("quality_score").as("q"),
+        cq("keep").as("k"), cq("is_autogen").as("a"),
+        emails.as("e"))
+      .rollup(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(avg(col("q")), 6).as("avg_quality"),
+        sum(col("k").cast("long")).as("n_keep"),
+        sum(col("a").cast("long")).as("n_autogen"),
+        sum(col("e")).as("n_emails"))
+  }
+
   /** Cohort retention: users grouped by first-active day; for every
     * (cohort_day, day_offset) the count of cohort users active that day.
     * Two keyed shuffles (distinct active days; per-user cohort min) and
@@ -1032,6 +1061,7 @@ object SparkEntry {
     "pretrain_mix" -> pretrainMix,
     "code_quality" -> codeQuality,
     "code_license" -> codeLicense,
+    "corpus_datacard" -> corpusDatacard,
     "text_chunks" -> textChunks,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
@@ -1326,6 +1356,43 @@ object SparkEntry {
          |  CASE $famCase ELSE 'none' END AS license,
          |  (CASE $famCase ELSE 'none' END) IN ($permissive) AS permissive
          |FROM h""".stripMargin
+    },
+    // data card: DuckDB recomputes every per-doc signal (token count,
+    // quality CASE sum, line stats, autogen, email regex) AND the rollup
+    // independently; sums cast to BIGINT so dtypes align across engines
+    "corpus_datacard" -> {
+      val en = markerSqlEn.map(w =>
+        s"(len(string_split_regex(' '||lower(text)||' ', '\\s$w\\s'))-1)").mkString(" + ")
+      val markers = graft.ops.CodeCuration.AutogenMarkers
+        .map(m => s"contains(lower(text), '$m')").mkString(" OR ")
+      val email = graft.ops.PiiRedact.EmailPattern
+      s"""WITH m AS (
+         |  SELECT lang,
+         |    CAST(CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS BIGINT) AS n_toks,
+         |    (CASE WHEN length(text) BETWEEN 50 AND 50000 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN ($en) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+         |     + CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS q,
+         |    length(text) - length(replace(text, chr(10), '')) AS n_nl,
+         |    coalesce(list_max(list_transform(string_split(text, chr(10)), l -> length(l))), 0) AS max_line_len,
+         |    round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS alnum_frac,
+         |    ($markers) AS is_autogen,
+         |    length(text) AS n_chars,
+         |    CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails
+         |  FROM documents),
+         |k AS (
+         |  SELECT lang, n_toks, q, is_autogen, n_emails,
+         |    (round((n_chars - n_nl) * 1.0 / (n_nl + 1), 6) <= ${graft.ops.CodeCuration.MaxAvgLineLen}
+         |     AND max_line_len <= ${graft.ops.CodeCuration.MaxMaxLineLen}
+         |     AND alnum_frac >= ${graft.ops.CodeCuration.MinAlnumFrac}
+         |     AND NOT is_autogen) AS "keep"
+         |  FROM m)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  round(avg(q), 6) AS avg_quality,
+         |  CAST(sum(CASE WHEN "keep" THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN is_autogen THEN 1 ELSE 0 END) AS BIGINT) AS n_autogen,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails
+         |FROM k GROUP BY ROLLUP(lang)""".stripMargin
     },
     "text_chunks" -> {
       val stride = CkSize - CkOverlap

@@ -336,6 +336,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(102L)._1 == "none")
   }
 
+  test("corpus datacard: per-lang rows sum to the grand total; one aggregation pass") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("corpus_datacard")(spark, sfDir).collect()
+    val (total, langs) = rows.partition(_.isNullAt(0))
+    assert(total.length == 1 && langs.nonEmpty)
+    for (i <- Seq(1, 2, 4, 5, 6)) // count + the four long sums
+      assert(langs.map(_.getLong(i)).sum == total.head.getLong(i), s"col $i")
+    // avg_quality of the total row = token-weighted... no: doc-weighted mean
+    val nd = langs.map(_.getLong(1))
+    val wavg = langs.map(r => r.getDouble(3) * r.getLong(1)).sum / nd.sum
+    assert(math.abs(total.head.getDouble(3) - wavg) < 1e-4)
+    // single rollup aggregation: exactly one Exchange in the plan
+    val plan = SparkEntry.queries("corpus_datacard")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan.take(300))
+  }
+
   test("code curation: zero-shuffle plans (per-row signals never cost an exchange)") {
     val docs = Seq((1L, "a\nb")).toDF("id", "content")
     for (df <- Seq(
