@@ -947,6 +947,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
 
+  // BM25 query terms: two common corpus words, one mid-frequency, one
+  // absent (the absent term's tf = 0 contributes exactly 0 to every doc)
+  private val BmQuery = Seq("spark", "hash", "window", "zzqq")
+  private val BmK = 50
+
+  /** BM25 top-k retrieval (ops/Bm25): Lucene-default Okapi scoring as two
+    * scan-bound passes — query-term tf inside the scan, one single-row
+    * stats aggregation broadcast back, TakeOrderedAndProject top-k. */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Bm25.bm25TopK(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", BmQuery, BmK)
+
   /** Corpus data card — the per-language reporting artifact a curation
     * run ships: doc counts, token mass, mean quality, StarCoder keep
     * counts, autogen + email exposure, in ONE pass. Every signal is a
@@ -1062,6 +1074,7 @@ object SparkEntry {
     "code_quality" -> codeQuality,
     "code_license" -> codeLicense,
     "corpus_datacard" -> corpusDatacard,
+    "text_bm25" -> textBm25,
     "text_chunks" -> textChunks,
     "mm_media_features" -> mmMediaFeatures,
     "data_validate" -> dataValidate,
@@ -1356,6 +1369,33 @@ object SparkEntry {
          |  CASE $famCase ELSE 'none' END AS license,
          |  (CASE $famCase ELSE 'none' END) IN ($permissive) AS permissive
          |FROM h""".stripMargin
+    },
+    // BM25: DuckDB recomputes tokenization, per-term tf, the single-row
+    // stats, and the score expression MIRRORED term by term (same literal
+    // folds, fixed summation order), then the same (bm25 desc, id) top-k
+    "text_bm25" -> {
+      val k1 = graft.ops.Bm25.K1
+      val b = graft.ops.Bm25.B
+      val tfDefs = BmQuery.indices.map(i =>
+        s"CAST(len(list_filter(t, x -> x = '${BmQuery(i)}')) AS BIGINT) AS tf$i").mkString(",\n         |  ")
+      val dfDefs = BmQuery.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val scoreTerms = BmQuery.indices.map { i =>
+        s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+          s" * (CAST(tf$i AS DOUBLE) * ($k1 + 1.0))" +
+          s" / (CAST(tf$i AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE)" +
+          s" / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+      }.mkString("\n         |   + ")
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t FROM documents),
+         |tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |  $tfDefs
+         |  FROM w),
+         |s AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfDefs FROM tf)
+         |SELECT doc_id, dl AS n_tokens,
+         |  round($scoreTerms, 6) AS bm25
+         |FROM tf, s
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT $BmK""".stripMargin
     },
     // data card: DuckDB recomputes every per-doc signal (token count,
     // quality CASE sum, line stats, autogen, email regex) AND the rollup

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BM25 document ranking against a fixed query (Robertson &
+  * Zaragoza 2009, the Okapi BM25 used by Lucene/Elasticsearch) — the
+  * classic retrieval scorer, as two scan-bound passes with NO
+  * corpus-sized shuffle:
+  *
+  *   1. per-doc term frequencies of the QUERY'S terms only — an
+  *      array-filter count per term, pure codegen inside the scan (the
+  *      corpus token stream is never exploded, let alone shuffled);
+  *   2. ONE map-side-combinable aggregation producing a SINGLE row of
+  *      global stats (N, total token count, one df per query term —
+  *      2+|q| longs), broadcast-cross-joined back;
+  *   3. the score expression per row, then a TakeOrderedAndProject
+  *      top-k (per-partition heaps, never a global sort).
+  *
+  * The corpus is scanned twice (stats, then scoring) — the canonical
+  * two-pass shape; like [[Dsir.importanceScores]], hand it a
+  * materialized relation so the second pass re-reads a table rather
+  * than re-paying an expensive lineage.
+  *
+  * Cross-engine determinism: tf/df/N/dl are exact integers; idf uses
+  * the robust +1 form ln(1 + (N - df + 0.5)/(df + 0.5)) so an absent
+  * term contributes 0 (tf = 0) instead of a negative weight; the score
+  * is a FIXED-ORDER sum of |q| terms whose expression tree mirrors the
+  * SQL oracle's, rounded once at 6 digits; ties after rounding break by
+  * id. k1 = 1.2, b = 0.75 (the Lucene defaults).
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int): DataFrame = {
+    require(query.nonEmpty, "need at least one query term")
+    require(query.distinct == query, s"duplicate query terms: $query")
+    val toks = TextAnalysis.tokensCol(col(textCol))
+    val tfCols = query.zipWithIndex.map { case (t, i) =>
+      size(filter(col("_t"), x => x === t)).cast("long").as(s"_tf$i")
+    }
+    val withTf = df
+      .select(col(idCol), toks.as("_t"))
+      .select(col(idCol) +: size(col("_t")).cast("long").as("_dl") +: tfCols: _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_sumdl") +:
+        query.indices.map(i => sum((col(s"_tf$i") > 0L).cast("long")).as(s"_df$i")): _*)
+    val n = col("_n").cast("double")
+    val avgdl = col("_sumdl").cast("double") / n
+    val score = query.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
+      val dfT = col(s"_df$i").cast("double")
+      val idf = log(lit(1.0) + (n - dfT + 0.5) / (dfT + 0.5))
+      idf * (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("_dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col(idCol), col("_dl").as("n_tokens"), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -353,6 +353,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).length == 1, plan.take(300))
   }
 
+  test("bm25: first-principles local replica parity; top-k plan has no global sort") {
+    val docs = Seq(
+      (1L, "spark runs fast spark spark"),
+      (2L, "hash join beats sort join"),
+      (3L, "spark hash partitions"),
+      (4L, "unrelated words entirely"),
+      (5L, ""))
+    val query = Seq("spark", "hash", "zzq")
+    val out = graft.ops.Bm25.bm25TopK(docs.toDF("id", "text"), "id", "text", query, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // local replica with the same formula
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = docs.length.toDouble
+    val sumdl = toks.values.map(_.length).sum.toDouble
+    def score(id: Long): Double = {
+      val dl = toks(id).length.toDouble
+      val s = query.map { term =>
+        val tf = toks(id).count(_ == term).toDouble
+        val df = toks.values.count(_.contains(term)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * (graft.ops.Bm25.K1 + 1.0)) /
+          (tf + graft.ops.Bm25.K1 * (1.0 - graft.ops.Bm25.B +
+            graft.ops.Bm25.B * dl / (sumdl / n)))
+      }.sum
+      math.rint(s * 1e6) / 1e6
+    }
+    val expected = docs.map(_._1).map(id => id -> score(id))
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(out.toSeq == expected)
+    // doc3 (both real terms once, short) must outrank doc2 (one term)
+    assert(out.head._1 == 3L)
+    // plan: top-k via TakeOrderedAndProject, never a global Sort+Exchange
+    val plan = graft.ops.Bm25.bm25TopK(docs.toDF("id", "text"), "id", "text", query, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+  }
+
   test("code curation: zero-shuffle plans (per-row signals never cost an exchange)") {
     val docs = Seq((1L, "a\nb")).toDF("id", "content")
     for (df <- Seq(
