@@ -214,7 +214,8 @@ object GoldOracles {
     * the same df-cap drop contract; pair counting is a hash-map walk, an
     * independent formulation of the distributed posting-list groupBy +
     * combination emit + partial agg. */
-  def dedupWinnow(sfDir: String, k: Int, w: Int, threshold: Double, cap: Int): String = {
+  private def winnowVerifiedPairs(
+      sfDir: String, k: Int, w: Int, threshold: Double, cap: Int): Seq[(Long, Long, Long, Double)] = {
     val docs = readDocs(sfDir)
     val fps = docs.map { case (id, t) => id -> graft.ops.Winnow.fingerprints(t, k, w) }.toMap
     val inv = scala.collection.mutable.HashMap
@@ -227,13 +228,34 @@ object GoldOracles {
       val key = (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
       shared(key) = shared.getOrElse(key, 0L) + 1L
     }
-    val out = shared.toSeq.flatMap { case ((a, b), s) =>
+    shared.toSeq.flatMap { case ((a, b), s) =>
       val jac = s.toDouble / (fps(a).length + fps(b).length - s)
       if (jac >= threshold) Some((a, b, s, jac)) else None
     }.sortBy(p => (p._1, p._2))
+  }
+
+  def dedupWinnow(sfDir: String, k: Int, w: Int, threshold: Double, cap: Int): String = {
+    val out = winnowVerifiedPairs(sfDir, k, w, threshold, cap)
     valuesSql(Seq("id_a", "id_b", "n_shared", "jaccard"), out.map(p =>
       s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), CAST(${p._3} AS BIGINT), CAST(${round6(p._4)} AS DOUBLE))"),
       "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS DOUBLE))")
+  }
+
+  /** Expected rows of SparkEntry.winnowClusters — the clone-cluster
+    * composition: local winnow pairs (above) -> local union-find ->
+    * canonical doc per component, the same independent formulation the
+    * minhash dedupClusters gold uses. */
+  def winnowClusters(sfDir: String, k: Int, w: Int, threshold: Double, cap: Int): String = {
+    val find = localUnionFind(
+      winnowVerifiedPairs(sfDir, k, w, threshold, cap)
+        .map(p => (p._1.toString, p._2.toString)))
+    val out = readDocs(sfDir).map { case (id, _) =>
+      val cluster = find(id.toString).toLong
+      (id, cluster, id != cluster)
+    }.sortBy(_._1)
+    valuesSql(Seq("doc_id", "cluster_id", "is_clone"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT), ${p._3})"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), false)")
   }
 
   /** Expected rows of SparkEntry.dedupSimhash — same adaptive block count,

@@ -299,6 +299,23 @@ object SparkEntry {
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"),
         col("n_shared"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Code-clone CLUSTERS: winnow pairs -> distributed union-find ->
+    * canonical doc per component (the end-of-pipeline step of MOSS-style
+    * clone detection — same composition shape as dedup_clusters, driven
+    * by the reformat-immune winnowing signal instead of minhash). */
+  def winnowClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.ops.Winnow.winnowPairs(docs, "doc_id", "text",
+      k = WnK, w = WnW, threshold = WnThreshold, maxFpDf = WnCap)
+    val comps = graft.graph.ConnectedComponents.runUnionFind(
+      pairs.select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst")))
+    docs.select(col("doc_id").cast("string").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").cast("long").as("doc_id"),
+        coalesce(col("component"), col("id")).cast("long").as("cluster_id"))
+      .withColumn("is_clone", col("doc_id") =!= col("cluster_id"))
+  }
+
   def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLsh(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
       numHashes = MhNumHashes, bands = MhBands, shingleSize = MhShingle,
@@ -1042,6 +1059,7 @@ object SparkEntry {
     "dedup_fingerprint" -> dedupFingerprint,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_winnow" -> dedupWinnow,
+    "winnow_clusters" -> winnowClusters,
     "text_winnow" -> textWinnow,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_clusters" -> dedupClusters,
@@ -1266,6 +1284,7 @@ object SparkEntry {
     "text_simhash" -> GoldOracles.textSimhash(sfDir),
     "text_winnow" -> GoldOracles.textWinnow(sfDir, WnK, WnW),
     "dedup_winnow" -> GoldOracles.dedupWinnow(sfDir, WnK, WnW, WnThreshold, WnCap),
+    "winnow_clusters" -> GoldOracles.winnowClusters(sfDir, WnK, WnW, WnThreshold, WnCap),
     "text_decontaminate" -> GoldOracles.decontaminate(
       sfDir, DcShingle, DcMinHits, DcBenchMod),
     // plain-SQL oracle: DuckDB recomputes the md5 keep decision itself —

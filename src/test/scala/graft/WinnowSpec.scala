@@ -86,4 +86,22 @@ class WinnowSpec extends AnyFunSuite {
     val uncapped = Winnow.winnowPairs(docs, "id", "text", K, W, threshold = 0.3, maxFpDf = 0)
     assert(uncapped.count() == 45) // all 10-choose-2 pairs at jaccard 1.0
   }
+
+  test("clone clusters: winnow pairs -> union-find -> canonical; singletons self-canonical") {
+    val base = "for i in range n acc plus equals weights index i times inputs index i end return acc"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.toUpperCase),                      // normalized clone of 1
+      (3L, "unrelated gardening text about tulips and watering cans in spring sunshine"),
+      (4L, "FOR i IN RANGE n acc plus equals weights index i times inputs index i END return acc"))
+    val pairs = Winnow.winnowPairs(docs.toDF("id", "text"), "id", "text", K, W, threshold = 0.3)
+    val comps = graft.graph.ConnectedComponents.runUnionFind(
+      pairs.select(org.apache.spark.sql.functions.col("id_a").as("src"),
+        org.apache.spark.sql.functions.col("id_b").as("dst")))
+      .collect().map(r => r.getString(0).toLong -> r.getString(1).toLong).toMap
+    // 1, 2, 4 are one clone family canonicalized to 1; 3 never appears
+    assert(comps.getOrElse(1L, 1L) == 1L)
+    assert(comps(2L) == 1L && comps(4L) == 1L)
+    assert(!comps.contains(3L))
+  }
 }
