@@ -34,34 +34,79 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  def bm25TopK(
-      df: DataFrame, idCol: String, textCol: String,
-      query: Seq[String], k: Int): DataFrame = {
+  /** Frozen global stats — N, total token count, one df per query term —
+    * the frozen-quantizer / frozen-LM pattern applied to retrieval:
+    * score continuous ingest under ONE fixed ranking policy. Bounded by
+    * construction (2 + |query| longs). */
+  final case class Stats(query: Seq[String], n: Long, sumdl: Long, dfs: Seq[Long])
+
+  /** (id, _dl, _tf0.._tfq) — query-term tfs as array-filter counts inside
+    * the scan; the corpus token stream is never exploded. */
+  private def withTf(
+      df: DataFrame, idCol: String, textCol: String, query: Seq[String]): DataFrame = {
     require(query.nonEmpty, "need at least one query term")
     require(query.distinct == query, s"duplicate query terms: $query")
     val toks = TextAnalysis.tokensCol(col(textCol))
     val tfCols = query.zipWithIndex.map { case (t, i) =>
       size(filter(col("_t"), x => x === t)).cast("long").as(s"_tf$i")
     }
-    val withTf = df
-      .select(col(idCol), toks.as("_t"))
+    df.select(col(idCol), toks.as("_t"))
       .select(col(idCol) +: size(col("_t")).cast("long").as("_dl") +: tfCols: _*)
-    val stats = withTf.agg(
-      count(lit(1)).as("_n"),
-      sum(col("_dl")).as("_sumdl") +:
-        query.indices.map(i => sum((col(s"_tf$i") > 0L).cast("long")).as(s"_df$i")): _*)
-    val n = col("_n").cast("double")
-    val avgdl = col("_sumdl").cast("double") / n
-    val score = query.indices.map { i =>
+  }
+
+  /** The score expression over `_dl`/`_tf*` columns; `n`/`sumdl`/`dfOf`
+    * supply the global stats (aggregated columns in [[bm25TopK]],
+    * literals in [[scoreWithStats]]) — ONE expression shape, so the two
+    * paths are bit-identical on equal stats. */
+  private def scoreExpr(
+      query: Seq[String], nCol: org.apache.spark.sql.Column,
+      sumdlCol: org.apache.spark.sql.Column,
+      dfOf: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = nCol.cast("double")
+    val avgdl = sumdlCol.cast("double") / n
+    query.indices.map { i =>
       val tf = col(s"_tf$i").cast("double")
-      val dfT = col(s"_df$i").cast("double")
+      val dfT = dfOf(i).cast("double")
       val idf = log(lit(1.0) + (n - dfT + 0.5) / (dfT + 0.5))
       idf * (tf * lit(K1 + 1.0)) /
         (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("_dl").cast("double") / avgdl))
     }.reduce(_ + _)
-    withTf.crossJoin(broadcast(stats))
+  }
+
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int): DataFrame = {
+    val tf = withTf(df, idCol, textCol, query)
+    val stats = tf.agg(
+      count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_sumdl") +:
+        query.indices.map(i => sum((col(s"_tf$i") > 0L).cast("long")).as(s"_df$i")): _*)
+    val score = scoreExpr(query, col("_n"), col("_sumdl"), i => col(s"_df$i"))
+    tf.crossJoin(broadcast(stats))
       .select(col(idCol), col("_dl").as("n_tokens"), round(score, 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Train-once: executes the stats aggregation ONCE and freezes it. */
+  def freeze(df: DataFrame, idCol: String, textCol: String, query: Seq[String]): Stats = {
+    val r = withTf(df, idCol, textCol, query).agg(
+      count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_sumdl") +:
+        query.indices.map(i => sum((col(s"_tf$i") > 0L).cast("long")).as(s"_df$i")): _*)
+      .head()
+    require(r.getLong(0) > 0L, "cannot freeze BM25 stats from an empty corpus")
+    Stats(query, r.getLong(0), r.getLong(1), query.indices.map(i => r.getLong(2 + i)))
+  }
+
+  /** Stateless scoring against frozen stats: literal-only globals, zero
+    * shuffle, STREAMING-SAFE unchanged — per-batch scores equal the batch
+    * scores row for row (pinned in StreamingSpec). Ranking (top-k) is the
+    * batch operator's job; a stream scores and lets the sink rank. */
+  def scoreWithStats(
+      df: DataFrame, idCol: String, textCol: String, stats: Stats): DataFrame = {
+    val score = scoreExpr(stats.query, lit(stats.n), lit(stats.sumdl), i => lit(stats.dfs(i)))
+    withTf(df, idCol, textCol, stats.query)
+      .select(col(idCol), col("_dl").as("n_tokens"), round(score, 6).as("bm25"))
   }
 }

@@ -613,4 +613,38 @@ class StreamingSpec extends AnyFunSuite {
     // rows planted at i % 97 == 0 exceed the 999.0 bound)
     assert(perBatchViolations.sum == rows.count(_._3 > 999.0))
   }
+
+  test("frozen-stats BM25 scoring is streaming-safe and equals batch bit for bit") {
+    // Bm25.scoreWithStats is a stateless literal-global projection — the
+    // frozen-LM/frozen-quantizer pattern applied to retrieval: one fixed
+    // ranking policy scores continuous ingest with zero shuffle and no
+    // state store.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Bm25
+    val vocab = Seq("spark", "hash", "scan", "merge", "row", "sort")
+    val rows = (0L until 120L).map { i =>
+      (i, (0 until (i % 9).toInt).map(j => vocab(((i + j) % 6).toInt)).mkString(" "))
+    }
+    val ref = spark.createDataset(rows).toDF("id", "text")
+    val stats = Bm25.freeze(ref, "id", "text", Seq("spark", "hash", "zzq"))
+    assert(stats.n == 120L && stats.dfs.last == 0L)
+
+    val stream = MemoryStream[(Long, String)]
+    val out = Bm25.scoreWithStats(stream.toDF().toDF("id", "text"), "id", "text", stats)
+    val query = out.writeStream
+      .format("memory").queryName("stream_bm25").outputMode("append").start()
+    rows.grouped(40).foreach { chunk => stream.addData(chunk); query.processAllAvailable() }
+    query.stop()
+    val streamed = spark.table("stream_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Bm25.scoreWithStats(ref, "id", "text", stats).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && batch.exists(_._3 > 0.0))
+    // the frozen path agrees with the batch operator's own scores: every
+    // top-k row's bm25 equals the frozen score for that id
+    val topk = Bm25.bm25TopK(ref, "id", "text", Seq("spark", "hash", "zzq"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val frozenById = batch.map(t => t._1 -> t._3).toMap
+    topk.foreach { case (id, s) => assert(frozenById(id) == s, s"id $id") }
+  }
 }
