@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repository-grain deduplication: fork / mirror detection by file-content
+  * overlap. GitHub-scale corpora are dominated by forks — near-identical
+  * repos that file-grain dedup sees as millions of unrelated duplicate
+  * pairs; the curation decision ("keep one repo per fork family") needs the
+  * REPO-level signal: Jaccard similarity of the two repos' sets of distinct
+  * file-content fingerprints.
+  *
+  * Plan shape (all shuffles thin — fingerprint + repo id, never content):
+  *   1. per-row fingerprint = unhex(md5(content)) — 16 bytes, computed
+  *      map-side inside the scan; 128 bits so identity holds at 10^12
+  *      files (a 64-bit hash WOULD false-merge at that scale);
+  *   2. distinct (repo, fp) — one thin shuffle;
+  *   3. fingerprints present in more than `maxReposPerHash` repos are
+  *      dropped from the similarity universe BEFORE pair generation. This
+  *      bounds the self-join fanout per fingerprint at cap^2/2 (the skew
+  *      guard: empty files, standard LICENSE/README boilerplate would
+  *      otherwise each generate |repos|^2 pairs) and is semantically what
+  *      fork detection wants — boilerplate shared by everyone is not fork
+  *      evidence;
+  *   4. pairs = self-join on fingerprint, count shared per (repo_a,
+  *      repo_b); set sizes join back (repo-count-sized relation — AQE
+  *      broadcasts it); jaccard = shared / (|A| + |B| - shared), rounded
+  *      once at 6 digits so the threshold decides identically cross-engine.
+  *
+  * Set sizes are measured over the SAME capped universe the pairs come
+  * from, so jaccard is a true Jaccard of the capped sets (an uncapped
+  * denominator would deflate similarity for repos full of boilerplate).
+  *
+  * The DuckDB oracle recomputes the whole thing from raw content-string
+  * equality — no md5 anywhere — a genuinely independent formulation of the
+  * same set semantics. */
+object RepoDedup {
+
+  /** Repo pairs with capped-set Jaccard >= `minJaccard`.
+    * Output: (repo_a, repo_b, shared, sz_a, sz_b, jaccard), repo_a < repo_b. */
+  def forkPairs(
+      files: DataFrame,
+      repoCol: String,
+      contentCol: String,
+      minJaccard: Double,
+      maxReposPerHash: Int = 1000): DataFrame = {
+    require(minJaccard > 0.0, "minJaccard must be positive (0 would emit the full cross product)")
+    require(maxReposPerHash >= 2, "maxReposPerHash < 2 drops every shareable fingerprint")
+    val fp = files.select(
+      col(repoCol).cast("string").as("repo"),
+      unhex(md5(col(contentCol))).as("fp"))
+      .distinct()
+    // fingerprint ubiquity; the filter keeps the per-key join fanout bounded
+    val kept = fp.join(
+      fp.groupBy("fp").agg(count(lit(1)).as("nr"))
+        .filter(col("nr") <= maxReposPerHash)
+        .select("fp"),
+      Seq("fp"))
+    val sizes = kept.groupBy("repo").agg(count(lit(1)).as("sz"))
+    val pairs = kept.select(col("fp"), col("repo").as("repo_a"))
+      .join(kept.select(col("fp"), col("repo").as("repo_b")), Seq("fp"))
+      .filter(col("repo_a") < col("repo_b"))
+      .groupBy("repo_a", "repo_b")
+      .agg(count(lit(1)).as("shared"))
+    val denom = col("sz_a") + col("sz_b") - col("shared")
+    pairs
+      .join(sizes.select(col("repo").as("repo_a"), col("sz").as("sz_a")), Seq("repo_a"))
+      .join(sizes.select(col("repo").as("repo_b"), col("sz").as("sz_b")), Seq("repo_b"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / denom.cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("repo_a", "repo_b", "shared", "sz_a", "sz_b", "jaccard")
+  }
+}
