@@ -712,6 +712,94 @@ object SparkEntry {
       minJaccard = 0.3, maxReposPerHash = 10)
   }
 
+  /** Fork FAMILIES over the fork-pair graph: pairs → distributed
+    * union-find → one canonical repo per family (the curation decision
+    * repo-grain dedup exists to make: keep one repo per family). Every
+    * repo in the corpus gets a row; singletons are their own family. */
+  def repoForkFamilies(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = repoForks(spark, sfDir)
+    val comps = graft.graph.ConnectedComponents.runUnionFind(
+      pairs.select(col("repo_a").as("src"), col("repo_b").as("dst")))
+    val repos = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(lit("r"), pmod(col("doc_id"), lit(40L)).cast("string")).as("repo"))
+      .distinct()
+    repos
+      .join(comps.select(col("id").as("repo"), col("component").as("family")),
+        Seq("repo"), "left")
+      .select(col("repo"), coalesce(col("family"), col("repo")).as("family"))
+      .withColumn("is_fork", col("repo") =!= col("family"))
+  }
+
+  /** Symbol-definition extraction (ops/CodeCuration.defSymbols) — the
+    * entity primitive of the code KG (file --defines--> symbol), emitted
+    * in (subj, pred, obj) triple shape. doc_id mod 5 == 4 stays
+    * injection-free (empty-extraction branch); everyone else gets one
+    * def, one indented def, one class and one function line so every
+    * pattern family and the indentation anchor are exercised. */
+  def codeDefs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val header = concat(
+      lit("def fn"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit("(x):\n  def helper"), pmod(col("doc_id"), lit(2L)).cast("string"),
+      lit("(y):\nclass Cls"), pmod(col("doc_id"), lit(3L)).cast("string"),
+      lit(":\nfunction render"), pmod(col("doc_id"), lit(4L)).cast("string"),
+      lit("() {\n"))
+    val content = when(pmod(col("doc_id"), lit(5L)) === 4L, col("text"))
+      .otherwise(concat(header, col("text")))
+    docs.select(col("doc_id"),
+        explode(graft.ops.CodeCuration.defSymbols(content)).as("symbol"))
+      .select(
+        concat(lit("doc:"), col("doc_id").cast("string")).as("subj"),
+        lit("defines").as("pred"),
+        col("symbol").as("obj"))
+  }
+
+  /** Import→definition resolution (ops/CodeKg.resolveImports) — the
+    * entity-linking step of the code KG. The same synthesized import
+    * edges as `code_imports`; the provider side synthesizes paths for
+    * docs with doc_id mod 50 < 7 (`mod<k>/core.py` provides `mod<k>.core`,
+    * ten claimants per module at sf0.01 so the min-id canonicalization is
+    * exercised), while the `pkg<k>` imports stay external — both resolve
+    * branches land in the output. Providers broadcast; the edge relation
+    * never shuffles. */
+  def codeXref(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val header = concat(
+      lit("import mod"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".core\nfrom pkg"), pmod(col("doc_id"), lit(3L)).cast("string"),
+      lit(" import util\n"))
+    val content = when(pmod(col("doc_id"), lit(5L)) === 4L, col("text"))
+      .otherwise(concat(header, col("text")))
+    val edges = docs.select(col("doc_id"),
+        explode(graft.ops.CodeCuration.importTargets(content)).as("module"))
+      .select(concat(lit("doc:"), col("doc_id").cast("string")).as("subj"), col("module"))
+    val files = docs.filter(pmod(col("doc_id"), lit(50L)) < 7L)
+      .select(col("doc_id"),
+        concat(lit("mod"), pmod(col("doc_id"), lit(50L)).cast("string"),
+          lit("/core.py")).as("path"))
+    graft.ops.CodeKg.resolveImports(edges, "subj", "module", files, "doc_id", "path")
+      .select(col("src").as("subj"), lit("resolves_to").as("pred"),
+        col("module"), col("obj"), col("internal"))
+  }
+
+  /** Comment-density signals (ops/CodeCuration.commentColumns). doc_id
+    * mod 4 == 0 gets hash + slash comment lines over the multi-line view
+    * (both patterns and real line counts), mod 4 == 1 gets a docstring,
+    * the rest exercise the zero-comment branch. Pure codegen projection. */
+  def codeComments(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m4 = pmod(col("doc_id"), lit(4L))
+    val multiline = replace(col("text"), lit(". "), lit("\n"))
+    val content = when(m4 === 0L,
+        concat(lit("# header comment\n  // indented note\n"), multiline))
+      .when(m4 === 1L, concat(lit("\"\"\"module docstring\"\"\"\n"), col("text")))
+      .otherwise(col("text"))
+    graft.ops.CodeCuration.commentColumns(content)
+      .foldLeft(docs.select(col("doc_id"), col("text"))) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }.drop("text")
+  }
+
   /** Per-doc 64-bit SimHash via the native codegen expression (ops/
     * Simhash64) — document fingerprinting as a first-class Catalyst
     * column; the whole query is one WholeStageCodegen scan+project. */
@@ -1164,7 +1252,11 @@ object SparkEntry {
     "code_imports" -> codeImports,
     "code_import_degree" -> codeImportDegree,
     "code_secrets" -> codeSecrets,
+    "code_defs" -> codeDefs,
+    "code_xref" -> codeXref,
+    "code_comments" -> codeComments,
     "repo_forks" -> repoForks,
+    "repo_fork_families" -> repoForkFamilies,
     "corpus_datacard" -> corpusDatacard,
     "text_bm25" -> textBm25,
     "text_chunks" -> textChunks,
@@ -1553,6 +1645,112 @@ object SparkEntry {
          |  FROM p JOIN sz sa ON sa.repo = p.repo_a JOIN sz sb ON sb.repo = p.repo_b)
          |SELECT repo_a, repo_b, shared, sz_a, sz_b, jaccard FROM j
          |WHERE jaccard >= 0.3""".stripMargin,
+    // Fork families: the oracle recomputes the pair graph from raw
+    // content equality (as repo_forks) and then derives components with a
+    // recursive CTE — a fully independent algorithm from the distributed
+    // union-find.
+    "repo_fork_families" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT 'r' || (doc_id % 40) AS repo,
+         |    'unit-' || (CASE WHEN doc_id % 11 = 0 THEN 9999 ELSE doc_id % 250 END) AS content
+         |  FROM documents),
+         |d AS (SELECT DISTINCT repo, content FROM f),
+         |hc AS (SELECT content, count(*) AS nr FROM d GROUP BY content),
+         |kept AS (SELECT d.repo, d.content FROM d JOIN hc USING (content) WHERE hc.nr <= 10),
+         |sz AS (SELECT repo, count(*) AS sz FROM kept GROUP BY repo),
+         |p AS (
+         |  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared
+         |  FROM kept a JOIN kept b USING (content)
+         |  WHERE a.repo < b.repo GROUP BY 1, 2),
+         |j AS (
+         |  SELECT repo_a, repo_b,
+         |    round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+         |  FROM p JOIN sz sa ON sa.repo = p.repo_a JOIN sz sb ON sb.repo = p.repo_b),
+         |pr AS (SELECT repo_a, repo_b FROM j WHERE jaccard >= 0.3),
+         |bi(src, dst) AS (SELECT repo_a, repo_b FROM pr UNION SELECT repo_b, repo_a FROM pr),
+         |allr(repo) AS (SELECT DISTINCT 'r' || (doc_id % 40) FROM documents),
+         |reach(id, r) AS (
+         |  SELECT repo, repo FROM allr
+         |  UNION
+         |  SELECT bi.dst, reach.r FROM reach JOIN bi ON bi.src = reach.id),
+         |fam AS (SELECT id AS repo, min(r) AS family FROM reach GROUP BY id)
+         |SELECT repo, family, repo <> family AS is_fork FROM fam""".stripMargin,
+    // Definition triples: identical pattern strings (java.regex ∩ RE2)
+    // over the same synthesized content, via DuckDB's regexp_extract_all.
+    "code_defs" -> {
+      val Seq(d1, d2, d3) = graft.ops.CodeCuration.DefPatterns
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 4 THEN text
+         |         ELSE 'def fn' || (doc_id % 7) || '(x):' || chr(10) ||
+         |              '  def helper' || (doc_id % 2) || '(y):' || chr(10) ||
+         |              'class Cls' || (doc_id % 3) || ':' || chr(10) ||
+         |              'function render' || (doc_id % 4) || '() {' || chr(10) || text
+         |    END AS content
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, unnest(list_concat(list_concat(
+         |    regexp_extract_all(content, '$d1', 1),
+         |    regexp_extract_all(content, '$d2', 1)),
+         |    regexp_extract_all(content, '$d3', 1))) AS symbol
+         |  FROM c)
+         |SELECT 'doc:' || doc_id AS subj, 'defines' AS pred, symbol AS obj FROM e""".stripMargin
+    },
+    // Import resolution: the oracle re-derives edges, the path→module key
+    // and the min-id canonical provider in plain SQL, then left-joins.
+    "code_xref" -> {
+      val Seq(p1, p2) = graft.ops.CodeCuration.ImportPatterns
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 4 THEN text
+         |         ELSE 'import mod' || (doc_id % 7) || '.core' || chr(10) ||
+         |              'from pkg' || (doc_id % 3) || ' import util' || chr(10) || text
+         |    END AS content
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, unnest(list_concat(
+         |    regexp_extract_all(content, '$p1', 1),
+         |    regexp_extract_all(content, '$p2', 1))) AS module
+         |  FROM c),
+         |f AS (
+         |  SELECT doc_id, 'mod' || (doc_id % 50) || '/core.py' AS path
+         |  FROM documents WHERE doc_id % 50 < 7),
+         |p AS (
+         |  SELECT replace(regexp_replace(path, '\\.[A-Za-z0-9]+$$', ''), '/', '.') AS module,
+         |    min(doc_id) AS provider
+         |  FROM f GROUP BY 1)
+         |SELECT 'doc:' || e.doc_id AS subj, 'resolves_to' AS pred, e.module AS module,
+         |  CASE WHEN p.provider IS NULL THEN 'ext:' || e.module
+         |       ELSE 'doc:' || p.provider END AS obj,
+         |  p.provider IS NOT NULL AS internal
+         |FROM e LEFT JOIN p USING (module)""".stripMargin
+    },
+    // Comment density: identical pattern strings; n_lines and the rounded
+    // fraction recomputed from scratch.
+    "code_comments" -> {
+      val Seq(c1, c2) = graft.ops.CodeCuration.CommentLinePatterns
+      val tq = "\"" * 3 // three double quotes; can't appear literally in a Scala triple-quoted string
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0
+         |           THEN '# header comment' || chr(10) || '  // indented note' || chr(10) ||
+         |                replace(text, '. ', chr(10))
+         |         WHEN doc_id % 4 = 1
+         |           THEN '${tq}module docstring$tq' || chr(10) || text
+         |         ELSE text END AS content
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(content, '$c1')) +
+         |         len(regexp_extract_all(content, '$c2')) AS BIGINT) AS n_comment_lines,
+         |    CAST(length(content) - length(replace(content, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+         |    (contains(content, '"' || '"' || '"') OR
+         |     contains(content, chr(39) || chr(39) || chr(39))) AS has_docstring
+         |  FROM c)
+         |SELECT doc_id, n_comment_lines,
+         |  round(n_comment_lines * 1.0 / n_lines, 6) AS comment_frac, has_docstring
+         |FROM s""".stripMargin
+    },
     // BM25: DuckDB recomputes tokenization, per-term tf, the single-row
     // stats, and the score expression MIRRORED term by term (same literal
     // folds, fixed summation order), then the same (bm25 desc, id) top-k

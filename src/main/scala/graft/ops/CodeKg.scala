@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Import-edge resolution — the entity-LINKING step of a source-code
+  * knowledge graph. [[CodeCuration.importTargets]] emits dependency edges
+  * whose object is a bare module string (`a.b.c`); a KG wants that string
+  * resolved to the file that DEFINES the module, the exact analog of the
+  * reference's mention→ontology-id linking step
+  * (/root/reference/kazu/steps/linking/dictionary.py — candidate lookup
+  * against a curated synonym table, then a deterministic canonical pick).
+  *
+  * Resolution key: a file path maps to the module it provides by stripping
+  * the extension and turning '/' into '.' (`a/b/c.py` provides `a.b.c`) —
+  * a pure string function both engines compute identically. When several
+  * files claim one module (vendored copies, test fixtures), the canonical
+  * provider is the MINIMUM file id — deterministic, order-free, the same
+  * first-wins canonicalization the xref merge uses for component labels.
+  *
+  * Plan shape at 10^12 files: the provider relation after the min-agg is
+  * MODULE-VOCABULARY-sized (millions, not trillions — it shrank through a
+  * groupBy on the short module key), so the default plan broadcasts it and
+  * the corpus-sized edge relation NEVER shuffles: resolution rides the edge
+  * scan as a map-side hash lookup. If the module universe outgrows the
+  * broadcast budget, pass `broadcastProviders = false` and the join
+  * shuffles on the short module string instead — still thin (no content,
+  * no paths, just module + two ids per row). */
+object CodeKg {
+
+  /** Module provided by a file path: extension stripped, '/' → '.'.
+    * The extension pattern is anchored, so regexp_replace's replace-all
+    * (Spark) and replace-first (DuckDB) semantics coincide. */
+  def pathModule(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(regexp_replace(path, "\\.[A-Za-z0-9]+$", ""), lit("/"), lit("."))
+
+  /** Resolve `edges` (srcCol, moduleCol) against `files` (fileIdCol,
+    * pathCol). Output: (src, module, internal, obj) where obj is
+    * `doc:<provider id>` for modules some file provides and
+    * `ext:<module>` for external dependencies (both outcomes are facts a
+    * code KG stores — external edges are the package-dependency surface).
+    */
+  def resolveImports(
+      edges: DataFrame,
+      srcCol: String,
+      moduleCol: String,
+      files: DataFrame,
+      fileIdCol: String,
+      pathCol: String,
+      broadcastProviders: Boolean = true): DataFrame = {
+    val providers = files
+      .select(pathModule(col(pathCol)).as("module"),
+        col(fileIdCol).cast("long").as("provider"))
+      .groupBy("module").agg(min(col("provider")).as("provider"))
+    val right = if (broadcastProviders) broadcast(providers) else providers
+    edges.select(col(srcCol).as("src"), col(moduleCol).as("module"))
+      .join(right, Seq("module"), "left")
+      .select(
+        col("src"),
+        col("module"),
+        col("provider").isNotNull.as("internal"),
+        coalesce(
+          concat(lit("doc:"), col("provider").cast("string")),
+          concat(lit("ext:"), col("module"))).as("obj"))
+  }
+}

@@ -482,4 +482,83 @@ class CurationOpsSpec extends AnyFunSuite {
         maxReposPerHash = 1)
     }
   }
+
+  // -------------------------------------------------- symbol definitions --
+
+  test("def symbols: all three families, indented defs COUNT, mid-line immune") {
+    val content =
+      "def top(x):\n" +                 // module-level def
+        "    def inner(y):\n" +         // indented def COUNTS (method/nested)
+        "class Shape:\n" +              // class
+        "  class Inner:\n" +            // indented class counts too
+        "function render() {\n" +       // JS function
+        "x = undef classy(z)\n" +       // mid-line 'def'/'class' -> no match
+        "my_function_call()\n" +        // 'function' not line-anchored-with-space
+        "def 9bad(x):\n"                // symbol must start [A-Za-z_]
+    val out = Seq((1L, content)).toDF("id", "c")
+      .select(explode(graft.ops.CodeCuration.defSymbols(col("c"))).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    // pattern-major order: defs, then classes, then functions
+    assert(out == Seq("top", "inner", "Shape", "Inner", "render"))
+  }
+
+  // ----------------------------------------------------- comment density --
+
+  test("comment density: hand-computed counts, both markers, docstring forms") {
+    val rows = Seq(
+      (1L, "# one\n  // two\ncode()\n# three"),  // 4 lines, 3 comments
+      (2L, "\"\"\"doc\"\"\"\nbody"),             // triple-double docstring
+      (3L, "'''doc'''\nbody"),                   // triple-single docstring
+      (4L, "x = 1 # trailing is NOT a comment line\nhttp://url.not.comment"),
+      (5L, ""))                                  // empty: 1 line, 0 comments
+    val out = graft.ops.CodeCuration.withComments(rows.toDF("id", "c"), "c")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((3L, 0.75, false)))
+    assert(out(2L) == ((0L, 0.0, true)))
+    assert(out(3L) == ((0L, 0.0, true)))
+    // mid-line '#' and '//' inside a URL are not line starts
+    assert(out(4L) == ((0L, 0.0, false)))
+    assert(out(5L) == ((0L, 0.0, false)))
+    // pure projection: no exchange
+    val plan = graft.ops.CodeCuration.withComments(rows.toDF("id", "c"), "c")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
+  // --------------------------------------------------------- code xref --
+
+  test("code xref: internal/external split, min-id canonical provider, broadcast plan") {
+    val edges = Seq(
+      (10L, "a.b"),       // provided by two files -> min id wins
+      (11L, "a.b"),
+      (10L, "numpy"),     // nobody provides -> external
+      (12L, "lib.util"))  // single provider
+      .toDF("src", "module")
+    val files = Seq(
+      (7L, "a/b.py"), (3L, "a/b.scala"),   // both claim a.b -> provider 3
+      (9L, "lib/util.js"))
+      .toDF("file_id", "path")
+    val out = graft.ops.CodeKg.resolveImports(
+        edges, "src", "module", files, "file_id", "path")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (10L, "a.b", true, "doc:3"),
+      (10L, "numpy", false, "ext:numpy"),
+      (11L, "a.b", true, "doc:3"),
+      (12L, "lib.util", true, "doc:9")))
+    // the corpus-sized edge relation must NOT shuffle: provider side broadcasts
+    val plan = graft.ops.CodeKg.resolveImports(
+        edges, "src", "module", files, "file_id", "path")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
+
+  test("code xref: pathModule strips ONE extension, deep paths, no-extension files") {
+    val out = Seq("a/b/c.py", "x.tar.gz", "Makefile", "s/t.PY2")
+      .toDF("p").select(graft.ops.CodeKg.pathModule(col("p")).as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("a.b.c", "x.tar", "Makefile", "s.t"))
+  }
 }
