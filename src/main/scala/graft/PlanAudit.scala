@@ -27,7 +27,8 @@ object PlanAudit {
         val scans = "Scan parquet".r.findAllIn(plan).length
         val ex = "Exchange".r.findAllIn(plan).length
         val reused = "ReusedExchange".r.findAllIn(plan).length
-        println(f"AUDIT $name%-24s scans=$scans%3d exchanges=$ex%3d reused=$reused%3d planlen=${plan.length}%7d")
+        val imts = "InMemoryTableScan".r.findAllIn(plan).length
+        println(f"AUDIT $name%-24s scans=$scans%3d exchanges=$ex%3d reused=$reused%3d cachescans=$imts%3d planlen=${plan.length}%7d")
       } catch {
         case e: Throwable => println(s"AUDIT $name ERROR ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
       }

@@ -37,7 +37,19 @@ import org.apache.spark.sql.functions._
 object RepoDedup {
 
   /** Repo pairs with capped-set Jaccard >= `minJaccard`.
-    * Output: (repo_a, repo_b, shared, sz_a, sz_b, jaccard), repo_a < repo_b. */
+    * Output: (repo_a, repo_b, shared, sz_a, sz_b, jaccard), repo_a < repo_b.
+    *
+    * The capped distinct-fingerprint relation is `persist()`ed: it is
+    * referenced three times downstream (set sizes + both self-join sides)
+    * and its parent twice more, and handed the raw lineage Catalyst clones
+    * the whole CONTENT SCAN subtree into every reference — measured 8
+    * parquet scans / 22 exchanges in one plan (the pretrain_mix disease).
+    * The cached relation is thin (repo + 16-byte fingerprint, post-distinct
+    * post-cap) so MEMORY_AND_DISK spill is bounded by the distinct
+    * (repo, fp) universe, never by raw corpus bytes; with it the corpus is
+    * scanned ONCE and the plan collapses to thin shuffles over the cached
+    * relation. Stays cached until the session evicts it (same contract as
+    * the pretrain-mix trim barrier). */
   def forkPairs(
       files: DataFrame,
       repoCol: String,
@@ -50,12 +62,14 @@ object RepoDedup {
       col(repoCol).cast("string").as("repo"),
       unhex(md5(col(contentCol))).as("fp"))
       .distinct()
+      .persist()
     // fingerprint ubiquity; the filter keeps the per-key join fanout bounded
     val kept = fp.join(
       fp.groupBy("fp").agg(count(lit(1)).as("nr"))
         .filter(col("nr") <= maxReposPerHash)
         .select("fp"),
       Seq("fp"))
+      .persist()
     val sizes = kept.groupBy("repo").agg(count(lit(1)).as("sz"))
     val pairs = kept.select(col("fp"), col("repo").as("repo_a"))
       .join(kept.select(col("fp"), col("repo").as("repo_b")), Seq("fp"))
