@@ -81,9 +81,50 @@ object GoldOracles {
     * edges, same pure decimal kernels (PrInit/prContrib/prNext), plain
     * hash maps instead of joins — the decimal arithmetic makes the
     * distributed sums bit-equal to this single-threaded loop. */
-  def graphPagerank(sfDir: String, iters: Int): String = {
+  def graphPagerank(sfDir: String, iters: Int): String =
+    pagerankValues(readDerivedEdges(sfDir).distinct, iters)
+
+  /** Local replay of the repo-grain dependency derivation used by the
+    * `repo_deps` / `repo_pagerank` queries: the SAME import patterns run
+    * over the SAME synthesized content (header + real document text, so
+    * incidental `import` lines in the text count identically), resolved
+    * against the min-doc_id canonical provider of each `mod<k>.core`
+    * module (the file relation is docs with doc_id%50 < 7); repos are
+    * r(doc_id%40); self-edges drop; pageRank distincts. */
+  private def repoDepEdges(sfDir: String): Seq[(String, String)] =
+    memoized(("repo_dep_edges", sfDir)) {
+      val docs = readDocs(sfDir)
+      val ids = docs.map(_._1)
+      val providers: Map[String, Long] =
+        ids.filter(d => d % 50 < 7).groupBy(d => s"mod${d % 50}.core")
+          .map { case (m, ds) => (m, ds.min) }
+      val pats = graft.ops.CodeCuration.ImportPatterns
+        .map(java.util.regex.Pattern.compile)
+      docs.flatMap { case (d, text) =>
+        val content =
+          if (d % 5 == 4) text
+          else s"import mod${d % 7}.core\nfrom pkg${d % 3} import util\n" + text
+        pats.flatMap { p =>
+          val m = p.matcher(content)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find()) out += m.group(1)
+          out
+        }.flatMap { mod =>
+          providers.get(mod).flatMap { prov =>
+            val ra = s"r${d % 40}"
+            val rb = s"r${prov % 40}"
+            if (ra != rb) Some((ra, rb)) else None
+          }
+        }
+      }.distinct.sorted
+    }
+
+  def repoPagerank(sfDir: String, iters: Int): String =
+    pagerankValues(repoDepEdges(sfDir), iters)
+
+  private def pagerankValues(edgesIn: Seq[(String, String)], iters: Int): String = {
     import graft.graph.Traversal
-    val edges = readDerivedEdges(sfDir).distinct
+    val edges = edgesIn.distinct
     val outDeg = edges.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     var rank = nodes.map(_ -> Traversal.PrInit).toMap

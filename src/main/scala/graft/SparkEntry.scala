@@ -800,6 +800,153 @@ object SparkEntry {
       }.drop("text")
   }
 
+  /** Lexical call-graph triples (ops/CodeCuration.callCounts) — the
+    * relation primitive of the code KG (file --calls--> symbol with a
+    * net call count). The synthesized body exercises every contract
+    * branch: defined symbols called (net = calls − definition header),
+    * a space before the paren, a dotted receiver (`obj.attach(`), a
+    * stoplisted keyword (`if (`), and the mod-5==4 injection-free docs.
+    * Pure per-row projection — zero shuffle. */
+  def codeCalls(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val content = when(pmod(col("doc_id"), lit(5L)) === 4L, col("text"))
+      .otherwise(concat(callDemoContent(col("doc_id")), col("text")))
+    docs.select(col("doc_id"),
+        explode(graft.ops.CodeCuration.callCounts(content)).as("c"))
+      .select(
+        concat(lit("doc:"), col("doc_id").cast("string")).as("subj"),
+        lit("calls").as("pred"),
+        col("c").getField("symbol").as("obj"),
+        col("c").getField("n_calls").as("n_calls"))
+  }
+
+  /** SQL twin of [[callDemoContent]] (DuckDB string concatenation over the
+    * same literals) — shared by the `code_calls` and `code_kg_triples`
+    * oracles. */
+  private val CallDemoContentSql: String =
+    "'def fn' || (doc_id % 7) || '(x):' || chr(10) || " +
+      "'  def helper' || (doc_id % 2) || '(y):' || chr(10) || " +
+      "'class Cls' || (doc_id % 3) || ':' || chr(10) || " +
+      "'function render' || (doc_id % 4) || '() {' || chr(10) || " +
+      "'  y = helper' || (doc_id % 2) || '(1)' || chr(10) || " +
+      "'  fn' || (doc_id % 7) || '(y)' || chr(10) || " +
+      "'  fn' || (doc_id % 7) || ' (y)' || chr(10) || " +
+      "'  if (y):' || chr(10) || " +
+      "'    render' || (doc_id % 4) || '()' || chr(10) || " +
+      "'  obj.attach(y)' || chr(10)"
+
+  /** Shared def-header + call-body synthesis for the call-graph queries:
+    * four definition sites (two pattern families + an indented def) and a
+    * body that calls them back, once with a space before the paren. */
+  private def callDemoContent(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("def fn"), pmod(docId, lit(7L)).cast("string"),
+      lit("(x):\n  def helper"), pmod(docId, lit(2L)).cast("string"),
+      lit("(y):\nclass Cls"), pmod(docId, lit(3L)).cast("string"),
+      lit(":\nfunction render"), pmod(docId, lit(4L)).cast("string"),
+      lit("() {\n  y = helper"), pmod(docId, lit(2L)).cast("string"),
+      lit("(1)\n  fn"), pmod(docId, lit(7L)).cast("string"),
+      lit("(y)\n  fn"), pmod(docId, lit(7L)).cast("string"),
+      lit(" (y)\n  if (y):\n    render"), pmod(docId, lit(4L)).cast("string"),
+      lit("()\n  obj.attach(y)\n"))
+
+  /** Maintenance-debt markers (ops/CodeCuration.todoColumns). doc_id mod
+    * 6 picks the injection: 0 = TODO, 1 = FIXME + HACK, 2 = XXX + TODO at
+    * the tail, rest = clean — every counter, the total and both flag
+    * branches are exercised. Pure codegen projection, zero shuffle. */
+  def codeTodos(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m6 = pmod(col("doc_id"), lit(6L))
+    val content = when(m6 === 0L, concat(lit("# TODO: handle edge case\n"), col("text")))
+      .when(m6 === 1L, concat(lit("// FIXME broken under load\n# HACK workaround\n"), col("text")))
+      .when(m6 === 2L, concat(col("text"), lit("\n/* XXX review this TODO */")))
+      .otherwise(col("text"))
+    graft.ops.CodeCuration.todoColumns(content)
+      .foldLeft(docs.select(col("doc_id"), col("text"))) {
+        case (d, (n, c)) => d.withColumn(n, c)
+      }.drop("text")
+  }
+
+  /** Repo-grain dependency edges (ops/CodeKg.repoDependencies) — the
+    * file-grain import edges of `code_xref` lifted to the graph a
+    * platform team navigates: (repo_a, repo_b, n_edges) where repo_a's
+    * files import modules canonically provided by repo_b's. Providers
+    * broadcast; the only corpus-keyed shuffle is the final thin
+    * (repo_a, repo_b) groupBy. */
+  def repoDeps(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val header = concat(
+      lit("import mod"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".core\nfrom pkg"), pmod(col("doc_id"), lit(3L)).cast("string"),
+      lit(" import util\n"))
+    val content = when(pmod(col("doc_id"), lit(5L)) === 4L, col("text"))
+      .otherwise(concat(header, col("text")))
+    val edges = docs.select(
+      concat(lit("r"), pmod(col("doc_id"), lit(40L)).cast("string")).as("src_repo"),
+      explode(graft.ops.CodeCuration.importTargets(content)).as("module"))
+    val files = docs.filter(pmod(col("doc_id"), lit(50L)) < 7L)
+      .select(
+        concat(lit("r"), pmod(col("doc_id"), lit(40L)).cast("string")).as("repo"),
+        col("doc_id"),
+        concat(lit("mod"), pmod(col("doc_id"), lit(50L)).cast("string"),
+          lit("/core.py")).as("path"))
+    graft.ops.CodeKg.repoDependencies(edges, "src_repo", "module",
+      files, "repo", "doc_id", "path")
+  }
+
+  /** PageRank over the repo dependency graph — "which repos does the
+    * codebase lean on": the KG-consumption composition of `repo_deps`
+    * and the decimal-exact resumable PageRank kernel (same gold-replay
+    * oracle discipline as `graph_pagerank`). */
+  def repoPagerankQ(spark: SparkSession, sfDir: String): DataFrame =
+    graph.Traversal.pageRank(
+      repoDeps(spark, sfDir).select(col("repo_a").as("src"), col("repo_b").as("dst")),
+      iters = PrIters)
+
+  /** Code-KG capstone — the MATERIALIZED triple table, all three families
+    * derived from ONE content view in ONE corpus scan: `imports` edges
+    * (resolved to their canonical provider, `ext:` for package deps),
+    * `defines` entities, and `calls` relations. The three extractions are
+    * tagged structs inside a single flattened array so Catalyst cannot
+    * clone the scan per family; import resolution is the only join and it
+    * broadcasts the module-vocabulary-sized provider relation — at 10^12
+    * files the corpus is read once and never shuffled. */
+  def codeKgTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{CodeCuration, CodeKg}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val importHeader = concat(
+      lit("import mod"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".core\nfrom pkg"), pmod(col("doc_id"), lit(3L)).cast("string"),
+      lit(" import util\n"))
+    val content = when(pmod(col("doc_id"), lit(5L)) === 4L, col("text"))
+      .otherwise(concat(importHeader, callDemoContent(col("doc_id")), col("text")))
+    val items = flatten(array(
+      transform(CodeCuration.importTargets(content),
+        m => struct(lit("imports").as("pred"), m.as("tok"))),
+      transform(CodeCuration.defSymbols(content),
+        s => struct(lit("defines").as("pred"), s.as("tok"))),
+      transform(CodeCuration.callCounts(content),
+        c => struct(lit("calls").as("pred"), c.getField("symbol").as("tok")))))
+    val exploded = docs
+      .select(col("doc_id"), explode(items).as("it"))
+      .select(concat(lit("doc:"), col("doc_id").cast("string")).as("subj"),
+        col("it").getField("pred").as("pred"), col("it").getField("tok").as("tok"))
+    val providers = docs.filter(pmod(col("doc_id"), lit(50L)) < 7L)
+      .select(CodeKg.pathModule(
+          concat(lit("mod"), pmod(col("doc_id"), lit(50L)).cast("string"),
+            lit("/core.py"))).as("module"),
+        col("doc_id").cast("long").as("provider"))
+      .groupBy("module").agg(min(col("provider")).as("provider"))
+    exploded
+      .join(broadcast(providers),
+        exploded("pred") === "imports" && exploded("tok") === providers("module"), "left")
+      .select(col("subj"), col("pred"),
+        when(col("pred") === "imports",
+          coalesce(concat(lit("doc:"), col("provider").cast("string")),
+            concat(lit("ext:"), col("tok"))))
+          .otherwise(col("tok")).as("obj"))
+  }
+
   /** Per-doc 64-bit SimHash via the native codegen expression (ops/
     * Simhash64) — document fingerprinting as a first-class Catalyst
     * column; the whole query is one WholeStageCodegen scan+project. */
@@ -1255,8 +1402,13 @@ object SparkEntry {
     "code_defs" -> codeDefs,
     "code_xref" -> codeXref,
     "code_comments" -> codeComments,
+    "code_calls" -> codeCalls,
+    "code_todos" -> codeTodos,
+    "code_kg_triples" -> codeKgTriples,
     "repo_forks" -> repoForks,
     "repo_fork_families" -> repoForkFamilies,
+    "repo_deps" -> repoDeps,
+    "repo_pagerank" -> repoPagerankQ,
     "corpus_datacard" -> corpusDatacard,
     "text_bm25" -> textBm25,
     "text_chunks" -> textChunks,
@@ -1441,6 +1593,7 @@ object SparkEntry {
          |  < CAST(floor(LEAST(GREATEST(score, 0.0), 1.0) * 4294967296.0) AS BIGINT)""".stripMargin
     },
     "graph_pagerank" -> GoldOracles.graphPagerank(sfDir, PrIters),
+    "repo_pagerank" -> GoldOracles.repoPagerank(sfDir, PrIters),
     "embed_near_dup_lsh" -> GoldOracles.embedNearDupLsh(
       sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
     "embed_clusters" -> GoldOracles.embedClusters(
@@ -1753,6 +1906,122 @@ object SparkEntry {
     },
     // BM25: DuckDB recomputes tokenization, per-term tf, the single-row
     // stats, and the score expression MIRRORED term by term (same literal
+    // Lexical call-graph triples: both engines run the IDENTICAL pattern
+    // strings; the oracle derives the net counts RELATIONALLY (unnest +
+    // GROUP BY + left join) where Spark uses per-row array higher-order
+    // functions — independent formulations of the same definition.
+    "code_calls" -> {
+      val Seq(h1, h2, h3) = graft.ops.CodeCuration.DefHeaderPatterns
+      val cp = graft.ops.CodeCuration.CallSitePattern
+      val stop = graft.ops.CodeCuration.KeywordStoplist.map(k => s"'$k'").mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 4 THEN text
+         |         ELSE $CallDemoContentSql || text END AS content
+         |  FROM documents),
+         |cal AS (SELECT doc_id, unnest(regexp_extract_all(content, '$cp', 1)) AS sym FROM c),
+         |hd AS (SELECT doc_id, unnest(list_concat(list_concat(
+         |  regexp_extract_all(content, '$h1', 1),
+         |  regexp_extract_all(content, '$h2', 1)),
+         |  regexp_extract_all(content, '$h3', 1))) AS sym FROM c),
+         |cc AS (SELECT doc_id, sym, count(*) AS n FROM cal GROUP BY 1, 2),
+         |dc AS (SELECT doc_id, sym, count(*) AS n FROM hd GROUP BY 1, 2)
+         |SELECT 'doc:' || cc.doc_id AS subj, 'calls' AS pred, cc.sym AS obj,
+         |  cc.n - coalesce(dc.n, 0) AS n_calls
+         |FROM cc LEFT JOIN dc USING (doc_id, sym)
+         |WHERE cc.sym NOT IN ($stop) AND cc.n - coalesce(dc.n, 0) > 0""".stripMargin
+    },
+    // Maintenance markers: identical \b-anchored pattern strings; totals
+    // and the flag recomputed from the counts.
+    "code_todos" -> {
+      val counts = graft.ops.CodeCuration.TodoMarkers.map { case (n, m) =>
+        s"CAST(len(regexp_extract_all(content, '\\b$m\\b')) AS BIGINT) AS $n"
+      }.mkString(",\n         |    ")
+      val total = graft.ops.CodeCuration.TodoMarkers.map(_._1).mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN '# TODO: handle edge case' || chr(10) || text
+         |         WHEN doc_id % 6 = 1 THEN '// FIXME broken under load' || chr(10) ||
+         |                                  '# HACK workaround' || chr(10) || text
+         |         WHEN doc_id % 6 = 2 THEN text || chr(10) || '/* XXX review this TODO */'
+         |         ELSE text END AS content
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    ${counts}
+         |  FROM c)
+         |SELECT doc_id, n_todo, n_fixme, n_hack, n_xxx,
+         |  $total AS n_markers, ($total) > 0 AS has_debt
+         |FROM s""".stripMargin
+    },
+    // Repo-grain dependency edges: the oracle re-derives file edges, the
+    // min-id canonical provider and the repo lift in plain SQL.
+    "repo_deps" -> {
+      val Seq(p1, p2) = graft.ops.CodeCuration.ImportPatterns
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 4 THEN text
+         |         ELSE 'import mod' || (doc_id % 7) || '.core' || chr(10) ||
+         |              'from pkg' || (doc_id % 3) || ' import util' || chr(10) || text
+         |    END AS content
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(list_concat(
+         |  regexp_extract_all(content, '$p1', 1),
+         |  regexp_extract_all(content, '$p2', 1))) AS module FROM c),
+         |f AS (SELECT doc_id, 'mod' || (doc_id % 50) || '/core.py' AS path
+         |  FROM documents WHERE doc_id % 50 < 7),
+         |p AS (SELECT replace(regexp_replace(path, '\\.[A-Za-z0-9]+$$', ''), '/', '.') AS module,
+         |  min(doc_id) AS provider FROM f GROUP BY 1)
+         |SELECT 'r' || (e.doc_id % 40) AS repo_a, 'r' || (p.provider % 40) AS repo_b,
+         |  count(*) AS n_edges
+         |FROM e JOIN p USING (module)
+         |WHERE (e.doc_id % 40) <> (p.provider % 40)
+         |GROUP BY 1, 2""".stripMargin
+    },
+    // Code-KG capstone: all three triple families re-derived in SQL over
+    // the same content view and UNION ALLed — multiset compare catches a
+    // dropped or doubled family.
+    "code_kg_triples" -> {
+      val Seq(p1, p2) = graft.ops.CodeCuration.ImportPatterns
+      val Seq(d1, d2, d3) = graft.ops.CodeCuration.DefPatterns
+      val Seq(h1, h2, h3) = graft.ops.CodeCuration.DefHeaderPatterns
+      val cp = graft.ops.CodeCuration.CallSitePattern
+      val stop = graft.ops.CodeCuration.KeywordStoplist.map(k => s"'$k'").mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 4 THEN text
+         |         ELSE 'import mod' || (doc_id % 7) || '.core' || chr(10) ||
+         |              'from pkg' || (doc_id % 3) || ' import util' || chr(10) ||
+         |              $CallDemoContentSql || text END AS content
+         |  FROM documents),
+         |imp AS (SELECT doc_id, unnest(list_concat(
+         |  regexp_extract_all(content, '$p1', 1),
+         |  regexp_extract_all(content, '$p2', 1))) AS tok FROM c),
+         |defs AS (SELECT doc_id, unnest(list_concat(list_concat(
+         |  regexp_extract_all(content, '$d1', 1),
+         |  regexp_extract_all(content, '$d2', 1)),
+         |  regexp_extract_all(content, '$d3', 1))) AS tok FROM c),
+         |cal AS (SELECT doc_id, unnest(regexp_extract_all(content, '$cp', 1)) AS sym FROM c),
+         |hd AS (SELECT doc_id, unnest(list_concat(list_concat(
+         |  regexp_extract_all(content, '$h1', 1),
+         |  regexp_extract_all(content, '$h2', 1)),
+         |  regexp_extract_all(content, '$h3', 1))) AS sym FROM c),
+         |cc AS (SELECT doc_id, sym, count(*) AS n FROM cal GROUP BY 1, 2),
+         |dc AS (SELECT doc_id, sym, count(*) AS n FROM hd GROUP BY 1, 2),
+         |calls AS (
+         |  SELECT cc.doc_id, cc.sym AS tok FROM cc LEFT JOIN dc USING (doc_id, sym)
+         |  WHERE cc.sym NOT IN ($stop) AND cc.n - coalesce(dc.n, 0) > 0),
+         |f AS (SELECT doc_id, 'mod' || (doc_id % 50) || '/core.py' AS path
+         |  FROM documents WHERE doc_id % 50 < 7),
+         |p AS (SELECT replace(regexp_replace(path, '\\.[A-Za-z0-9]+$$', ''), '/', '.') AS module,
+         |  min(doc_id) AS provider FROM f GROUP BY 1)
+         |SELECT 'doc:' || imp.doc_id AS subj, 'imports' AS pred,
+         |  CASE WHEN p.provider IS NULL THEN 'ext:' || imp.tok
+         |       ELSE 'doc:' || p.provider END AS obj
+         |FROM imp LEFT JOIN p ON imp.tok = p.module
+         |UNION ALL SELECT 'doc:' || doc_id, 'defines', tok FROM defs
+         |UNION ALL SELECT 'doc:' || doc_id, 'calls', tok FROM calls""".stripMargin
+    },
     // folds, fixed summation order), then the same (bm25 desc, id) top-k
     "text_bm25" -> {
       val k1 = graft.ops.Bm25.K1

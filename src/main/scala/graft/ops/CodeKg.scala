@@ -63,4 +63,47 @@ object CodeKg {
           concat(lit("doc:"), col("provider").cast("string")),
           concat(lit("ext:"), col("module"))).as("obj"))
   }
+
+  /** REPO-grain dependency edges — the graph a platform team actually
+    * navigates ("which repos does r7 depend on?"), lifted from the
+    * file-grain import edges: an edge (repo_a, repo_b, n_edges) means
+    * files in repo_a import modules whose canonical provider file lives
+    * in repo_b, n_edges counting the file-level import edges behind it.
+    * The canonical provider of a multi-claimant module is the MINIMUM
+    * file id (same deterministic first-wins rule as [[resolveImports]]);
+    * its repo rides along in the struct-min so one aggregation decides
+    * both. Self-edges (intra-repo imports) are dropped — they are not
+    * dependencies.
+    *
+    * Plan shape at 10^12 files: the provider relation is module-
+    * vocabulary-sized after its groupBy, so it broadcasts and the
+    * corpus-sized edge relation never shuffles on content — the only
+    * corpus-keyed exchange is the final groupBy on the SHORT
+    * (repo_a, repo_b) pair, whose key space is repo-count-squared at
+    * worst and in practice sparse. External modules resolve to no
+    * provider and drop out via the inner join (package-level dependencies
+    * are [[resolveImports]]'s `ext:` surface, not repo edges). */
+  def repoDependencies(
+      edges: DataFrame,
+      srcRepoCol: String,
+      moduleCol: String,
+      files: DataFrame,
+      repoCol: String,
+      fileIdCol: String,
+      pathCol: String,
+      broadcastProviders: Boolean = true): DataFrame = {
+    val providers = files
+      .select(pathModule(col(pathCol)).as("module"),
+        struct(col(fileIdCol).cast("long").as("id"),
+          col(repoCol).cast("string").as("repo")).as("f"))
+      .groupBy("module").agg(min(col("f")).as("f"))
+      .select(col("module"), col("f").getField("repo").as("repo_b"))
+    val right = if (broadcastProviders) broadcast(providers) else providers
+    edges
+      .select(col(srcRepoCol).cast("string").as("repo_a"), col(moduleCol).as("module"))
+      .join(right, Seq("module"))
+      .filter(col("repo_a") =!= col("repo_b"))
+      .groupBy("repo_a", "repo_b")
+      .agg(count(lit(1)).as("n_edges"))
+  }
 }

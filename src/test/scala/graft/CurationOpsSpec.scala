@@ -561,4 +561,76 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("a.b.c", "x.tar", "Makefile", "s.t"))
   }
+
+  // ---------------------------------------------------------- call sites --
+
+  test("call sites: def-header subtraction, stoplist, spaced paren, dotted receiver") {
+    val content =
+      "def alpha(x):\n" +          // header: alpha call-token +1, def-token +1
+        "  beta(x)\n" +            // call beta
+        "  alpha (x)\n" +          // spaced call -> alpha net 2-1 = 1
+        "  if (x): beta(x)\n" +    // 'if' stoplisted; beta again -> 2
+        "  obj.gamma(x)\n" +       // dotted receiver: gamma counts, obj does not
+        "class Shape(Base):\n" +   // class-with-paren header: Shape net 0
+        "function render() {\n" +  // function header: render net 0
+        "  delta_1(y)\n"           // underscore+digit ident
+    val out = Seq((1L, content)).toDF("id", "c")
+      .select(explode(graft.ops.CodeCuration.callCounts(col("c"))).as("s"))
+      .select(col("s.symbol"), col("s.n_calls"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alpha" -> 1L, "beta" -> 2L, "gamma" -> 1L, "delta_1" -> 1L))
+    // net-zero (definition-only) and stoplisted symbols are absent
+    assert(!out.contains("Shape") && !out.contains("render") && !out.contains("if"))
+    // 'Base' (paren follows the OUTER ident) and bare receivers don't count
+    assert(!out.contains("Base") && !out.contains("obj"))
+  }
+
+  test("call sites: pure projection, empty on call-free text") {
+    val df = Seq((1L, "plain prose, no parens")).toDF("id", "c")
+      .select(explode(graft.ops.CodeCuration.callCounts(col("c"))).as("s"))
+    assert(df.collect().isEmpty)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  // ----------------------------------------------------- maintenance debt --
+
+  test("todo markers: word boundaries, every counter, totals and flag") {
+    val rows = Seq(
+      (1L, "TODO x\nFIXME\nTODOS are plural\nXXXX hex pad\nXXX real\nHACKY no\nHACK yes"),
+      (2L, "clean file"))
+    val out = graft.ops.CodeCuration.withTodos(rows.toDF("id", "c"), "c")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getBoolean(7)))).toMap
+    // TODOS / XXXX / HACKY must NOT count (\b anchors)
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 4L, true)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 0L, false)))
+    val plan = graft.ops.CodeCuration.withTodos(rows.toDF("id", "c"), "c")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
+  // ------------------------------------------------------------ repo deps --
+
+  test("repo deps: min-id provider repo, self-edges dropped, edge counts, broadcast") {
+    val edges = Seq(
+      ("r1", "a.b"), ("r1", "a.b"),  // two file-level edges behind one repo edge
+      ("r2", "a.b"),
+      ("r1", "ext.mod"),             // unresolved -> dropped
+      ("r3", "lib.x"))               // provider in the SAME repo -> self-edge dropped
+      .toDF("src", "module")
+    val files = Seq(
+      ("r9", 7L, "a/b.py"), ("r5", 3L, "a/b.scala"),  // min id 3 -> provider repo r5
+      ("r3", 9L, "lib/x.js"))
+      .toDF("repo", "file_id", "path")
+    val dep = graft.ops.CodeKg.repoDependencies(
+      edges, "src", "module", files, "repo", "file_id", "path")
+    val out = dep.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("r1", "r5", 2L), ("r2", "r5", 1L)))
+    // provider side broadcasts; the edge relation's only exchange is the
+    // final thin (repo_a, repo_b) groupBy
+    val plan = dep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
 }

@@ -688,4 +688,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedEdges == batchEdges)
     assert(batchEdges == Set((1L, "a.b"), (2L, "x"), (5L, "z")))
   }
+
+  test("call sites + todo markers are streaming-safe: stream matches batch") {
+    // callCounts and todoColumns are stateless per-row projections — same
+    // contract as secrets/imports above: one implementation, no state.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.CodeCuration
+    val rows = Seq(
+      (1L, "def f(x):\n  f(x)\n  g(x)\n# TODO later"),
+      (2L, "if (x): pass\nFIXME and HACK"),
+      (3L, "clean prose"))
+    val batchDf = spark.createDataset(rows).toDF("id", "c")
+    val batchCalls = batchDf
+      .select(col("id"), explode(CodeCuration.callCounts(col("c"))).as("s"))
+      .select(col("id"), col("s.symbol"), col("s.n_calls"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batchTodos = CodeCuration.withTodos(batchDf, "c")
+      .select(col("id"), col("n_markers"), col("has_debt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val stream = MemoryStream[(Long, String)]
+    val streamDf = stream.toDF().toDF("id", "c")
+    val q1 = streamDf
+      .select(col("id"), explode(CodeCuration.callCounts(col("c"))).as("s"))
+      .select(col("id"), col("s.symbol"), col("s.n_calls"))
+      .writeStream.format("memory").queryName("stream_calls").outputMode("append").start()
+    val q2 = CodeCuration.withTodos(streamDf, "c")
+      .select(col("id"), col("n_markers"), col("has_debt"))
+      .writeStream.format("memory").queryName("stream_todos").outputMode("append").start()
+    rows.grouped(2).foreach { chunk =>
+      stream.addData(chunk); q1.processAllAvailable(); q2.processAllAvailable()
+    }
+    q1.stop(); q2.stop()
+    val streamedCalls = spark.table("stream_calls")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamedTodos = spark.table("stream_todos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamedCalls == batchCalls)
+    assert(streamedTodos == batchTodos)
+    assert(batchCalls == Set((1L, "f", 1L), (1L, "g", 1L)))
+    assert(batchTodos == Set((1L, 1L, true), (2L, 2L, true), (3L, 0L, false)))
+  }
 }
