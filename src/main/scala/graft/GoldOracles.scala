@@ -385,6 +385,36 @@ object GoldOracles {
       "(CAST(0 AS BIGINT), CAST(0 AS BIGINT), false)")
   }
 
+  /** Expected rows of SparkEntry.embedKcore: the exact-cosine pair set at
+    * the threshold (the same brute-force definition the SQL-oracled
+    * `embed_sim_pairs` already pins against DuckDB), then a
+    * SINGLE-THREADED iterative peel to the k-core — no Spark degree
+    * aggregation / anti-join round runs here, so the driver's compare
+    * independently checks exactly the distributed peel. */
+  def embedKcore(sfDir: String, threshold: Double, k: Int): String = {
+    val vecs = readEmbeddings(sfDir)
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    for (i <- vecs.indices; j <- (i + 1) until vecs.size) {
+      if (Similarity.cosine(vecs(i)._2, vecs(j)._2) >= threshold) {
+        adj.getOrElseUpdate(vecs(i)._1, scala.collection.mutable.Set.empty) += vecs(j)._1
+        adj.getOrElseUpdate(vecs(j)._1, scala.collection.mutable.Set.empty) += vecs(i)._1
+      }
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      for (n <- adj.keys.toSeq if adj.contains(n) && adj(n).size < k) {
+        adj(n).foreach(m => adj(m) -= n)
+        adj -= n
+        changed = true
+      }
+    }
+    val out = adj.toSeq.map { case (n, s) => (n, s.size.toLong) }.sortBy(_._1)
+    valuesSql(Seq("vec_id", "core_deg"), out.map(p =>
+      s"(CAST(${p._1} AS BIGINT), CAST(${p._2} AS BIGINT))"),
+      "(CAST(0 AS BIGINT), CAST(0 AS BIGINT))")
+  }
+
   /** Local replica of Similarity.ivfAssign: same init, same argmax, same
     * exact-decimal means, same training sample — bit-identical centroids
     * by construction. */

@@ -569,8 +569,12 @@ object SparkEntry {
     * two blocks, every unordered pair visited exactly once. The block
     * count adapts to the corpus row count (no hardcoded B). */
   def embedSimPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.exactCosinePairsBlocked(embeddingsDf(spark, sfDir), threshold = 0.35)
+    Similarity.exactCosinePairsBlocked(embeddingsDf(spark, sfDir), threshold = SimPairThreshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+
+  /** Shared by embed_sim_pairs (and its DuckDB oracle, which hardcodes the
+    * same literal) and the embed_kcore gold oracle. */
+  private val SimPairThreshold = 0.35
 
   /** Embedding-space near-duplicate CLUSTERING: hyperplane-LSH verified
     * pairs -> union-find -> canonical vector per cluster — the embedding
@@ -592,6 +596,23 @@ object SparkEntry {
     Similarity.embeddingNearDup(embeddingsDf(spark, sfDir), dim = NdDim,
       threshold = NdThreshold, bits = NdBits, bands = NdBands, maxBucketSize = LshCap)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+
+  /** 2-core of the embedding similarity graph — the density filter that
+    * separates ROBUST near-duplicate blobs (mutually-similar cliques,
+    * which survive) from incidental pairwise chains (which peel away):
+    * the curation refinement over `embed_sim_pairs` that `embed_clusters`'
+    * union-find cannot express (CC keeps every hanger-on). Distributed
+    * iterative peel over the pair relation; the gold oracle peels the
+    * SAME pair set single-threaded — a different algorithm execution, so
+    * the distributed rounds are what the compare checks. */
+  def embedKcore(spark: SparkSession, sfDir: String): DataFrame =
+    graph.Traversal.kCore(
+      embedSimPairs(spark, sfDir)
+        .select(col("id_a").cast("string").as("src"), col("id_b").cast("string").as("dst")),
+      k = KcoreK)
+      .select(col("node").cast("long").as("vec_id"), col("deg").as("core_deg"))
+
+  private val KcoreK = 2
 
   // ---------------------------------------------------- text analysis ----
 
@@ -820,9 +841,58 @@ object SparkEntry {
         col("c").getField("n_calls").as("n_calls"))
   }
 
+  /** Resolved call graph (ops/CodeKg.resolveCalls) — `code_calls`' lexical
+    * relation linked to the canonical DEFINING file: file-level call-graph
+    * edges (subj --calls--> doc:provider), `ext:` for symbols no corpus
+    * file defines (the external-API surface). Same content view as
+    * `code_calls`, so defined symbols (fn/helper/Cls/render families)
+    * resolve internal while `attach` and raw-text calls stay external;
+    * the definer relation aggregates to symbol-vocabulary size and
+    * broadcasts — the corpus-sized call relation never shuffles. */
+  def codeCallGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val content = when(pmod(col("doc_id"), lit(5L)) === 4L, col("text"))
+      .otherwise(concat(callDemoContent(col("doc_id")), col("text")))
+    val calls = docs.select(col("doc_id"),
+        explode(graft.ops.CodeCuration.callCounts(content)).as("c"))
+      .select(
+        concat(lit("doc:"), col("doc_id").cast("string")).as("subj"),
+        col("c").getField("symbol").as("symbol"),
+        col("c").getField("n_calls").as("n_calls"))
+    val defs = docs.select(col("doc_id"),
+      explode(graft.ops.CodeCuration.defSymbols(content)).as("symbol"))
+    graft.ops.CodeKg.resolveCalls(calls, "subj", "symbol", "n_calls",
+        defs, "doc_id", "symbol")
+      .select(col("src").as("subj"), lit("calls").as("pred"),
+        col("symbol"), col("obj"), col("internal"), col("n_calls"))
+  }
+
   /** SQL twin of [[callDemoContent]] (DuckDB string concatenation over the
     * same literals) — shared by the `code_calls` and `code_kg_triples`
     * oracles. */
+  /** Shared CTE prefix of the repo-dependency oracles (`repo_deps`,
+    * `repo_blast_radius`, `repo_build_order`): content view with the
+    * injected import header, file-grain import edges `e`, the provider
+    * file relation `f` and the min-id canonical provider `p` — one
+    * definition, zero drift between the three oracles. */
+  private lazy val RepoDepCtesSql: String = {
+    val Seq(p1, p2) = graft.ops.CodeCuration.ImportPatterns
+    s"""c AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 4 THEN text
+       |         ELSE 'import mod' || (doc_id % 7) || '.core' || chr(10) ||
+       |              'from pkg' || (doc_id % 3) || ' import util' || chr(10) || text
+       |    END AS content
+       |  FROM documents),
+       |e AS (SELECT doc_id, unnest(list_concat(
+       |  regexp_extract_all(content, '$p1', 1),
+       |  regexp_extract_all(content, '$p2', 1))) AS module FROM c),
+       |f AS (SELECT doc_id, 'mod' || (doc_id % 50) || '/core.py' AS path
+       |  FROM documents WHERE doc_id % 50 < 7),
+       |p AS (SELECT replace(regexp_replace(path, '\\.[A-Za-z0-9]+$$', ''), '/', '.') AS module,
+       |  min(doc_id) AS provider FROM f GROUP BY 1)""".stripMargin
+  }
+
   private val CallDemoContentSql: String =
     "'def fn' || (doc_id % 7) || '(x):' || chr(10) || " +
       "'  def helper' || (doc_id % 2) || '(y):' || chr(10) || " +
@@ -902,6 +972,37 @@ object SparkEntry {
     graph.Traversal.pageRank(
       repoDeps(spark, sfDir).select(col("repo_a").as("src"), col("repo_b").as("dst")),
       iters = PrIters)
+
+  /** Blast radius over the repo dependency graph — for each repo, how many
+    * repos TRANSITIVELY depend on it ("if this repo changes, how many
+    * rebuild"). Transitive closure by semi-naive iteration on the
+    * repo-grain graph: the corpus-sized work is repo_deps' single scan;
+    * the closure shuffles only repo-pair relations (bounded by
+    * repo-count², the operator's intrinsic output). Self-reach via cycles
+    * is excluded — a repo is not its own dependent. */
+  def repoBlastRadius(spark: SparkSession, sfDir: String): DataFrame = {
+    val deps = repoDeps(spark, sfDir)
+      .select(col("repo_a").as("src"), col("repo_b").as("dst"))
+    val closure = graph.Traversal.transitiveClosure(deps)
+    val repos = deps.select(col("src").as("repo"))
+      .union(deps.select(col("dst").as("repo"))).distinct()
+    val counts = closure.filter(col("src") =!= col("dst"))
+      .groupBy(col("dst").as("repo")).agg(count(lit(1)).as("n"))
+    repos.join(counts, Seq("repo"), "left")
+      .select(col("repo"), coalesce(col("n"), lit(0L)).as("n_dependents"))
+  }
+
+  /** Build order over the repo dependency graph — SCC contraction (cycle
+    * families that must version together) + longest-dependency-chain
+    * layering of the condensation: (repo, scc_id, scc_size, layer), layer
+    * 0 buildable immediately, layer k buildable once layers < k are done.
+    * Entity-grain throughout after repo_deps' one corpus scan; the oracle
+    * re-derives closure, mutual-reach SCCs and path-max layers with
+    * recursive CTEs — an entirely different algorithm. */
+  def repoBuildOrder(spark: SparkSession, sfDir: String): DataFrame =
+    graph.Traversal.buildOrder(
+      repoDeps(spark, sfDir).select(col("repo_a").as("src"), col("repo_b").as("dst")))
+      .select(col("node").as("repo"), col("scc_id"), col("scc_size"), col("layer"))
 
   /** Code-KG capstone — the MATERIALIZED triple table, all three families
     * derived from ONE content view in ONE corpus scan: `imports` edges
@@ -1403,12 +1504,16 @@ object SparkEntry {
     "code_xref" -> codeXref,
     "code_comments" -> codeComments,
     "code_calls" -> codeCalls,
+    "code_call_graph" -> codeCallGraph,
     "code_todos" -> codeTodos,
     "code_kg_triples" -> codeKgTriples,
     "repo_forks" -> repoForks,
     "repo_fork_families" -> repoForkFamilies,
     "repo_deps" -> repoDeps,
     "repo_pagerank" -> repoPagerankQ,
+    "repo_blast_radius" -> repoBlastRadius,
+    "repo_build_order" -> repoBuildOrder,
+    "embed_kcore" -> embedKcore,
     "corpus_datacard" -> corpusDatacard,
     "text_bm25" -> textBm25,
     "text_chunks" -> textChunks,
@@ -1598,6 +1703,7 @@ object SparkEntry {
       sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
     "embed_clusters" -> GoldOracles.embedClusters(
       sfDir, NdDim, NdThreshold, NdBits, NdBands, LshCap),
+    "embed_kcore" -> GoldOracles.embedKcore(sfDir, SimPairThreshold, KcoreK),
     "ann_ivf_topk" -> GoldOracles.annIvfTopK(
       sfDir, IvfCells, IvfProbe, IvfK, IvfQueries, IvfTrainMod),
     "text_simhash" -> GoldOracles.textSimhash(sfDir),
@@ -1931,6 +2037,44 @@ object SparkEntry {
          |FROM cc LEFT JOIN dc USING (doc_id, sym)
          |WHERE cc.sym NOT IN ($stop) AND cc.n - coalesce(dc.n, 0) > 0""".stripMargin
     },
+    // Resolved call graph: DuckDB re-derives the lexical call relation
+    // (same CTEs as code_calls), the line-anchored def-symbol relation
+    // over the SAME content view, the min-id canonical definer, and the
+    // internal/ext left join — the full linking step recomputed in SQL.
+    "code_call_graph" -> {
+      val Seq(h1, h2, h3) = graft.ops.CodeCuration.DefHeaderPatterns
+      val Seq(d1, d2, d3) = graft.ops.CodeCuration.DefPatterns
+      val cp = graft.ops.CodeCuration.CallSitePattern
+      val stop = graft.ops.CodeCuration.KeywordStoplist.map(k => s"'$k'").mkString(", ")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 4 THEN text
+         |         ELSE $CallDemoContentSql || text END AS content
+         |  FROM documents),
+         |cal AS (SELECT doc_id, unnest(regexp_extract_all(content, '$cp', 1)) AS sym FROM c),
+         |hd AS (SELECT doc_id, unnest(list_concat(list_concat(
+         |  regexp_extract_all(content, '$h1', 1),
+         |  regexp_extract_all(content, '$h2', 1)),
+         |  regexp_extract_all(content, '$h3', 1))) AS sym FROM c),
+         |cc AS (SELECT doc_id, sym, count(*) AS n FROM cal GROUP BY 1, 2),
+         |dc AS (SELECT doc_id, sym, count(*) AS n FROM hd GROUP BY 1, 2),
+         |calls AS (
+         |  SELECT cc.doc_id, cc.sym, cc.n - coalesce(dc.n, 0) AS n_calls
+         |  FROM cc LEFT JOIN dc USING (doc_id, sym)
+         |  WHERE cc.sym NOT IN ($stop) AND cc.n - coalesce(dc.n, 0) > 0),
+         |ds AS (SELECT doc_id, unnest(list_concat(list_concat(
+         |  regexp_extract_all(content, '$d1', 1),
+         |  regexp_extract_all(content, '$d2', 1)),
+         |  regexp_extract_all(content, '$d3', 1))) AS sym FROM c),
+         |prov AS (SELECT sym, min(doc_id) AS provider FROM ds GROUP BY 1)
+         |SELECT 'doc:' || calls.doc_id AS subj, 'calls' AS pred,
+         |  calls.sym AS symbol,
+         |  CASE WHEN prov.provider IS NOT NULL THEN 'doc:' || prov.provider
+         |       ELSE 'ext:' || calls.sym END AS obj,
+         |  prov.provider IS NOT NULL AS internal,
+         |  calls.n_calls
+         |FROM calls LEFT JOIN prov ON prov.sym = calls.sym""".stripMargin
+    },
     // Maintenance markers: identical \b-anchored pattern strings; totals
     // and the flag recomputed from the counts.
     "code_todos" -> {
@@ -1956,28 +2100,58 @@ object SparkEntry {
     },
     // Repo-grain dependency edges: the oracle re-derives file edges, the
     // min-id canonical provider and the repo lift in plain SQL.
-    "repo_deps" -> {
-      val Seq(p1, p2) = graft.ops.CodeCuration.ImportPatterns
-      s"""WITH c AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 5 = 4 THEN text
-         |         ELSE 'import mod' || (doc_id % 7) || '.core' || chr(10) ||
-         |              'from pkg' || (doc_id % 3) || ' import util' || chr(10) || text
-         |    END AS content
-         |  FROM documents),
-         |e AS (SELECT doc_id, unnest(list_concat(
-         |  regexp_extract_all(content, '$p1', 1),
-         |  regexp_extract_all(content, '$p2', 1))) AS module FROM c),
-         |f AS (SELECT doc_id, 'mod' || (doc_id % 50) || '/core.py' AS path
-         |  FROM documents WHERE doc_id % 50 < 7),
-         |p AS (SELECT replace(regexp_replace(path, '\\.[A-Za-z0-9]+$$', ''), '/', '.') AS module,
-         |  min(doc_id) AS provider FROM f GROUP BY 1)
+    "repo_deps" -> s"""WITH $RepoDepCtesSql
          |SELECT 'r' || (e.doc_id % 40) AS repo_a, 'r' || (p.provider % 40) AS repo_b,
          |  count(*) AS n_edges
          |FROM e JOIN p USING (module)
          |WHERE (e.doc_id % 40) <> (p.provider % 40)
-         |GROUP BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2""".stripMargin,
+    // Blast radius: recursive-CTE reachability over the re-derived DISTINCT
+    // dep edges (UNION dedups, so cycles terminate), counting transitive
+    // dependents per repo — an entirely different closure algorithm from
+    // the Spark side's semi-naive delta iteration. NOTE the `repos` CTE
+    // spells its dedup as DISTINCT-over-UNION-ALL: DuckDB 1.0 drops the
+    // implicit UNION dedup of non-recursive CTEs inside WITH RECURSIVE.
+    "repo_blast_radius" -> s"""WITH RECURSIVE $RepoDepCtesSql,
+         |d AS (SELECT DISTINCT 'r' || (e.doc_id % 40) AS a, 'r' || (p.provider % 40) AS b
+         |  FROM e JOIN p USING (module) WHERE (e.doc_id % 40) <> (p.provider % 40)),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM d
+         |  UNION
+         |  SELECT r.a, d2.b FROM reach r JOIN d d2 ON d2.a = r.b),
+         |repos AS (SELECT DISTINCT repo FROM (SELECT a AS repo FROM d UNION ALL SELECT b AS repo FROM d)),
+         |cnt AS (SELECT b, count(*) AS n FROM reach WHERE a <> b GROUP BY b)
+         |SELECT repos.repo, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_dependents
+         |FROM repos LEFT JOIN cnt ON cnt.b = repos.repo""".stripMargin,
+    // Build order: closure -> mutual-reach SCCs (min-member id) -> distinct
+    // SCC-grain edges -> longest path per SCC via path enumeration (the
+    // condensation is a DAG, so the recursive walk terminates) — where the
+    // Spark side contracts then peels layers iteratively from the sinks.
+    "repo_build_order" -> s"""WITH RECURSIVE $RepoDepCtesSql,
+         |d AS (SELECT DISTINCT 'r' || (e.doc_id % 40) AS a, 'r' || (p.provider % 40) AS b
+         |  FROM e JOIN p USING (module) WHERE (e.doc_id % 40) <> (p.provider % 40)),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM d
+         |  UNION
+         |  SELECT r.a, d2.b FROM reach r JOIN d d2 ON d2.a = r.b),
+         |repos AS (SELECT DISTINCT repo FROM (SELECT a AS repo FROM d UNION ALL SELECT b AS repo FROM d)),
+         |mut AS (SELECT r1.a AS node, r1.b AS peer FROM reach r1
+         |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+         |scc AS (SELECT repos.repo AS node,
+         |    least(repos.repo, coalesce(min(m.peer), repos.repo)) AS scc_id
+         |  FROM repos LEFT JOIN mut m ON m.node = repos.repo GROUP BY repos.repo),
+         |sz AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY 1),
+         |ce AS (SELECT DISTINCT sa.scc_id AS src, sb.scc_id AS dst
+         |  FROM d JOIN scc sa ON d.a = sa.node JOIN scc sb ON d.b = sb.node
+         |  WHERE sa.scc_id <> sb.scc_id),
+         |walk(start, cur, len) AS (
+         |  SELECT src, dst, 1 FROM ce
+         |  UNION
+         |  SELECT w.start, ce.dst, w.len + 1 FROM walk w JOIN ce ON ce.src = w.cur),
+         |lay AS (SELECT start AS scc_id, max(len) AS layer FROM walk GROUP BY 1)
+         |SELECT scc.node AS repo, scc.scc_id, sz.scc_size,
+         |  CAST(coalesce(lay.layer, 0) AS INT) AS layer
+         |FROM scc JOIN sz USING (scc_id) LEFT JOIN lay USING (scc_id)""".stripMargin,
     // Code-KG capstone: all three triple families re-derived in SQL over
     // the same content view and UNION ALLed — multiset compare catches a
     // dropped or doubled family.

@@ -211,4 +211,181 @@ object Traversal {
         round(PageRankExprs.next(coalesce(col("s").cast(PrDecimal), decZero))
           .cast("double"), 6).as("rank"))
   }
+
+  /** Transitive closure of the DIRECTED edge relation: every (src, dst)
+    * pair with a path of >= 1 edges, including (a, a) when a lies on a
+    * cycle. Semi-naive evaluation — each round extends only the pairs
+    * DISCOVERED last round by one edge (a pair whose shortest path is L
+    * decomposes as a shortest-(L-1) pair plus one edge, so the delta
+    * relation is complete by induction), anti-joins the accumulated
+    * closure, and stops when the delta drains; rounds = the graph's
+    * longest shortest-path, NOT its longest path, so cycles terminate.
+    *
+    * Scale shape: this is an OUTPUT-sized operator — the closure relation
+    * is |reachable pairs|, which on a corpus-grain graph can be
+    * quadratic. Its intended scale position (the repo_blast_radius /
+    * repo_build_order queries) is AFTER contraction to an entity-grain
+    * graph (repos, modules, SCCs): the corpus-sized work is the one scan
+    * that derives the thin edge relation, and everything here shuffles
+    * only entity-grain pairs. Each round is one join of the delta against
+    * the (checkpointed) edge relation plus one anti-join against the
+    * closure; per-round localCheckpoints keep lineage flat (the CC house
+    * pattern). Exceeding `maxIters` throws rather than returning a
+    * silently partial closure. */
+  def transitiveClosure(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var closure = e
+    var delta = e
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val grown = delta
+        .join(e.select(col("src").as("mid"), col("dst").as("nxt")),
+          delta("dst") === col("mid"))
+        .select(delta("src").as("src"), col("nxt").as("dst")).distinct()
+        .join(closure, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(false)
+      if (grown.count() == 0L) converged = true
+      else {
+        closure = closure.union(grown).localCheckpoint(true)
+        delta = grown
+      }
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"transitive closure did not converge within $maxIters rounds " +
+        "(graph diameter exceeds the bound); raise maxIters")
+    closure
+  }
+
+  /** Strongly connected components from a precomputed [[transitiveClosure]]:
+    * node a and b share an SCC iff closure holds both ways, and the SCC id
+    * is the MINIMUM member (same canonical-min convention as
+    * [[ConnectedComponents]]; singleton nodes are their own id). One
+    * self-join of the closure on swapped columns finds the mutual pairs;
+    * a min-aggregation plus a left join assigns ids — entity-grain
+    * relations throughout, no corpus-sized shuffle. */
+  def sccIds(edges: DataFrame, closure: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val mutual = closure
+      .join(closure.select(col("src").as("bsrc"), col("dst").as("bdst")),
+        closure("src") === col("bdst") && closure("dst") === col("bsrc"))
+      .select(closure("src").as("node"), closure("dst").as("peer"))
+      .groupBy("node").agg(min(col("peer")).as("mp"))
+    nodes.join(mutual, Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("mp"), col("node"))).as("scc_id"))
+  }
+
+  /** Longest-dependency-chain layering of a DAG: layer 0 = nodes with no
+    * outgoing edge (no dependencies), layer(n) = 1 + max(layer of n's
+    * dependency targets) — the "build order" relation (everything in
+    * layer k can build concurrently once layers < k are done). Iterative
+    * peeling from the sinks: each round assigns every still-unassigned
+    * node ALL of whose out-neighbors are assigned; rounds = the longest
+    * chain. Nodes on (or downstream of) a cycle never satisfy the
+    * all-assigned test and are OMITTED from the result — callers that
+    * want totality contract cycles first ([[sccIds]] + condensation, the
+    * [[buildOrder]] composition). Per round: one join of the edge
+    * relation to the unassigned set, one aggregation, one anti-join —
+    * entity-grain relations, localCheckpointed lineage. */
+  def condensationLayers(dagEdges: DataFrame, maxIters: Int = 200): DataFrame = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val e = dagEdges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    var layered = nodes.join(e, nodes("node") === e("src"), "left_anti")
+      .select(col("node"), lit(0).as("layer")).localCheckpoint(true)
+    var done = false
+    var i = 0
+    while (!done && i < maxIters) {
+      val unassigned = nodes.join(layered, Seq("node"), "left_anti")
+      val newly = e.join(unassigned, e("src") === unassigned("node"))
+        .join(layered.select(col("node").as("ln"), col("layer")),
+          e("dst") === col("ln"), "left")
+        .groupBy(e("src"))
+        .agg(count(lit(1)).as("n_out"), count(col("layer")).as("n_done"),
+          max(col("layer")).as("max_dep"))
+        .filter(col("n_out") === col("n_done"))
+        .select(col("src").as("node"), (col("max_dep") + 1).as("layer"))
+        .localCheckpoint(false)
+      if (newly.count() == 0L) done = true
+      else layered = layered.union(newly).localCheckpoint(true)
+      i += 1
+    }
+    layered
+  }
+
+  /** Build-order decomposition of a DIRECTED dependency graph (src depends
+    * on dst): (node, scc_id, scc_size, layer) where scc_id groups mutual
+    * dependencies (cycle families that must version together), scc_size
+    * exposes them (> 1 = a cycle), and layer is the longest dependency
+    * chain of the node's SCC in the condensation — layer 0 has no
+    * dependencies, anything in layer k can build concurrently once layers
+    * < k are done. Composition: [[transitiveClosure]] -> [[sccIds]] ->
+    * SCC-grain edge contraction -> [[condensationLayers]] (total, because
+    * a condensation is acyclic by construction). All relations are
+    * entity-grain; the closure's pair mass is the scale bound, see
+    * [[transitiveClosure]]. */
+  def buildOrder(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val scc = sccIds(e, transitiveClosure(e, maxIters)).localCheckpoint(true)
+    val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    val cEdges = e
+      .join(scc.select(col("node").as("sn"), col("scc_id").as("sscc")),
+        e("src") === col("sn"))
+      .join(scc.select(col("node").as("dn"), col("scc_id").as("dscc")),
+        e("dst") === col("dn"))
+      .select(col("sscc").as("src"), col("dscc").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val layers = condensationLayers(cEdges, math.max(maxIters, 200))
+    scc.join(sizes, "scc_id")
+      .join(layers.select(col("node").as("lscc"), col("layer")),
+        col("scc_id") === col("lscc"), "left")
+      .select(col("node"), col("scc_id"), col("scc_size"),
+        coalesce(col("layer"), lit(0)).as("layer"))
+  }
+
+  /** k-core of the UNDIRECTED simple graph induced by `edges` (direction
+    * and duplicates dropped, self-loops ignored): the maximal subgraph in
+    * which every node has degree >= k — the standard density filter that
+    * separates robust blobs (cliques of near-duplicates, tightly
+    * co-changed files) from incidental chains, which peel away. Returns
+    * (node, deg) for the surviving nodes, deg = degree WITHIN the core.
+    *
+    * Iterative peeling: each round computes degrees (one map-side-combined
+    * aggregation of the current edge relation), drops all nodes below k
+    * at once (two anti-joins), and stops when nothing drops. The active
+    * edge set shrinks monotonically and is localCheckpointed per round;
+    * rounds are bounded by the peel depth (a chain peels from both ends —
+    * worst case |V|/2 — but real similarity/co-change graphs peel in a
+    * handful of rounds; the embedding near-dup graph peels in < 10).
+    * Exceeding `maxIters` throws rather than returning a non-core. */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 200): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxIters >= 1, "maxIters must be >= 1")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var stable = false
+    var i = 0
+    while (!stable && i < maxIters) {
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val drop = deg.filter(col("deg") < k).select("node").localCheckpoint(false)
+      if (drop.count() == 0L) stable = true
+      else e = e
+        .join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
+        .select(col("u"), col("v")).localCheckpoint(true)
+      i += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"k-core peel did not stabilize within $maxIters rounds; raise maxIters")
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

@@ -64,6 +64,52 @@ object CodeKg {
           concat(lit("ext:"), col("module"))).as("obj"))
   }
 
+  /** Call-graph resolution — the SYMBOL-grain twin of [[resolveImports]]:
+    * link each lexical call relation (src file --calls--> symbol) to the
+    * canonical file that DEFINES the symbol, turning the per-file call
+    * counts into file-level call-graph edges — the last linking step of
+    * the code KG (the analog of resolving a mention to its ontology id).
+    * When several files define one symbol (overloads, vendored copies),
+    * the canonical definer is the MINIMUM file id — the same
+    * deterministic first-wins rule as [[resolveImports]] and the xref
+    * merge. Symbols no file defines (library/builtin calls) stay as
+    * `ext:<symbol>` facts — the external-API surface of the corpus.
+    *
+    * Plan shape at 10^12 files: the definer relation aggregates map-side
+    * to SYMBOL-VOCABULARY size (a groupBy-min on the short symbol
+    * string) before broadcasting, so the corpus-sized call relation
+    * never shuffles — resolution is a map-side hash lookup riding the
+    * call scan. `broadcastProviders = false` falls back to a thin
+    * symbol-keyed shuffle when the symbol universe outgrows the
+    * broadcast budget. */
+  def resolveCalls(
+      calls: DataFrame,
+      srcCol: String,
+      symbolCol: String,
+      nCallsCol: String,
+      defs: DataFrame,
+      fileIdCol: String,
+      defSymbolCol: String,
+      broadcastProviders: Boolean = true): DataFrame = {
+    val providers = defs
+      .select(col(defSymbolCol).as("symbol"),
+        col(fileIdCol).cast("long").as("provider"))
+      .groupBy("symbol").agg(min(col("provider")).as("provider"))
+    val right = if (broadcastProviders) broadcast(providers) else providers
+    calls
+      .select(col(srcCol).as("src"), col(symbolCol).as("symbol"),
+        col(nCallsCol).as("n_calls"))
+      .join(right, Seq("symbol"), "left")
+      .select(
+        col("src"),
+        col("symbol"),
+        col("provider").isNotNull.as("internal"),
+        coalesce(
+          concat(lit("doc:"), col("provider").cast("string")),
+          concat(lit("ext:"), col("symbol"))).as("obj"),
+        col("n_calls"))
+  }
+
   /** REPO-grain dependency edges — the graph a platform team actually
     * navigates ("which repos does r7 depend on?"), lifted from the
     * file-grain import edges: an edge (repo_a, repo_b, n_edges) means

@@ -592,6 +592,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("call-graph resolution: min-id definer, ext fallback, broadcast plan") {
+    val calls = Seq(
+      ("doc:10", "alpha", 2L),   // defined twice -> min id 3 wins
+      ("doc:11", "alpha", 1L),
+      ("doc:10", "print", 4L),   // nobody defines -> external
+      ("doc:12", "render", 1L))  // single definer
+      .toDF("subj", "symbol", "n_calls")
+    val defs = Seq(
+      (7L, "alpha"), (3L, "alpha"),
+      (9L, "render"), (9L, "other"))
+      .toDF("doc_id", "symbol")
+    val out = graft.ops.CodeKg.resolveCalls(
+        calls, "subj", "symbol", "n_calls", defs, "doc_id", "symbol")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      ("doc:10", "alpha", true, "doc:3", 2L),
+      ("doc:10", "print", false, "ext:print", 4L),
+      ("doc:11", "alpha", true, "doc:3", 1L),
+      ("doc:12", "render", true, "doc:9", 1L)))
+    // the corpus-sized call relation must NOT shuffle: definer side broadcasts
+    val plan = graft.ops.CodeKg.resolveCalls(
+        calls, "subj", "symbol", "n_calls", defs, "doc_id", "symbol")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
+
   // ----------------------------------------------------- maintenance debt --
 
   test("todo markers: word boundaries, every counter, totals and flag") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.ConnectedComponents
+import graft.graph.{ConnectedComponents, Traversal}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Connected-components correctness: large-star/small-star (`runStars`)
@@ -208,5 +208,133 @@ class GraphSpec extends AnyFunSuite {
     assert(run(edges.toDF("src", "dst").repartition(7)) == one)
     // sink c holds the most rank; source d keeps the floor
     assert(one("c") > one("a") && one("d") == 0.15)
+  }
+
+  // ---------------------------------------------------- closure / SCC ----
+
+  private def bruteClosure(edges: Seq[(String, String)]): Set[(String, String)] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    nodes.flatMap { start =>
+      val seen = scala.collection.mutable.Set.empty[String]
+      var frontier = adj.getOrElse(start, Set.empty)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+      }
+      seen.map(start -> _)
+    }.toSet
+  }
+
+  test("transitive closure: diamond, cycle self-pairs, chain; matches brute-force BFS") {
+    val fixtures = Seq(
+      Seq("a" -> "b", "b" -> "c", "a" -> "d", "d" -> "c", "c" -> "e"), // diamond + tail
+      Seq("a" -> "b", "b" -> "c", "c" -> "a", "x" -> "a"),             // 3-cycle + feeder
+      (1 to 20).map(i => s"n$i" -> s"n${i + 1}"),                       // 21-node chain
+      Seq("s" -> "s"))                                                  // pure self-loop
+    for (edges <- fixtures) {
+      val got = Traversal.transitiveClosure(edges.toDF("src", "dst")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == bruteClosure(edges), s"fixture $edges")
+    }
+    // a cycle member reaches itself: (a,a) must be present
+    val cyc = Traversal.transitiveClosure(
+      Seq("a" -> "b", "b" -> "a").toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cyc == Set("a" -> "b", "b" -> "a", "a" -> "a", "b" -> "b"))
+  }
+
+  test("transitive closure: maxIters bound throws instead of silently truncating") {
+    val chain = (1 to 12).map(i => f"n$i%02d" -> f"n${i + 1}%02d")
+    intercept[IllegalStateException] {
+      Traversal.transitiveClosure(chain.toDF("src", "dst"), maxIters = 2).count()
+    }
+  }
+
+  test("buildOrder: SCCs contract, sizes and longest-chain layers are exact") {
+    // cycle {a,b,c} <- d <- e, plus f -> a (f depends on the cycle),
+    // g isolated-but-depended-on: h -> g. Layers: sinks/cycle at 0.
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a", // SCC {a,b,c}, no outgoing deps -> layer 0
+      "d" -> "a",                         // d depends on the SCC -> layer 1
+      "e" -> "d",                         // e -> layer 2
+      "f" -> "a",                         // f -> layer 1
+      "h" -> "g")                         // g sink layer 0, h layer 1
+    val out = Traversal.buildOrder(edges.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out("a") == (("a", 3L, 0)) && out("b") == (("a", 3L, 0)) && out("c") == (("a", 3L, 0)))
+    assert(out("d") == (("d", 1L, 1)))
+    assert(out("e") == (("e", 1L, 2)))
+    assert(out("f") == (("f", 1L, 1)))
+    assert(out("g") == (("g", 1L, 0)) && out("h") == (("h", 1L, 1)))
+    // partitioning invariance: deterministic relational definition
+    val out7 = Traversal.buildOrder(edges.toDF("src", "dst").repartition(7)).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out7 == out)
+  }
+
+  test("buildOrder: acyclic graph is all-singleton SCCs; two nested cycles merge") {
+    val dag = Seq("a" -> "b", "b" -> "c", "a" -> "c")
+    val out = Traversal.buildOrder(dag.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out == Map("a" -> (("a", 1L, 2)), "b" -> (("b", 1L, 1)), "c" -> (("c", 1L, 0))))
+    // figure-eight: two cycles sharing node b form ONE SCC of 5
+    val eight = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "d", "d" -> "b", "z" -> "d")
+    val o2 = Traversal.buildOrder(eight.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(o2("a") == (("a", 4L, 0)) && o2("b") == (("a", 4L, 0)) &&
+      o2("c") == (("a", 4L, 0)) && o2("d") == (("a", 4L, 0)))
+    assert(o2("z") == (("z", 1L, 1)))
+  }
+
+  // --------------------------------------------------------------- k-core --
+
+  private def bruteKCore(edges: Seq[(String, String)], k: Int): Map[String, Int] = {
+    val adj = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    for ((a, b) <- edges if a != b) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      for (n <- adj.keys.toSeq if adj.contains(n) && adj(n).size < k) {
+        adj(n).foreach(m => adj(m) -= n)
+        adj -= n
+        changed = true
+      }
+    }
+    adj.map { case (n, s) => n -> s.size }.toMap
+  }
+
+  test("k-core: triangle+pendant, two cliques bridged, chain dissolves; matches brute peel") {
+    val fixtures = Seq(
+      // triangle with a pendant: 2-core = the triangle
+      Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "p"),
+      // two 4-cliques joined by one bridge edge: 3-core = both cliques, bridge survives as deg contribution? no: bridge endpoints have deg 4
+      (for (Seq(x, y) <- Seq("a", "b", "c", "d").combinations(2).toSeq) yield x -> y) ++
+        (for (Seq(x, y) <- Seq("p", "q", "r", "s").combinations(2).toSeq) yield x -> y) ++
+        Seq("d" -> "p"),
+      // pure chain: 2-core empty
+      (1 to 15).map(i => f"c$i%02d" -> f"c${i + 1}%02d"),
+      // duplicate + reversed + self-loop noise on a square
+      Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "d", "d" -> "a", "a" -> "a", "c" -> "d"))
+    for (edges <- fixtures; k <- Seq(2, 3)) {
+      val got = Traversal.kCore(edges.toDF("src", "dst"), k).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      assert(got == bruteKCore(edges, k), s"k=$k fixture $edges")
+    }
+  }
+
+  test("k-core: cascade peel terminates (pendant tree into a clique), k=1 is degree>=1") {
+    // a 3-clique with a long tail: the tail peels one layer per round
+    val edges = Seq("x" -> "y", "y" -> "z", "z" -> "x") ++
+      (1 to 10).map(i => (if (i == 1) "x" else s"t${i - 1}") -> s"t$i")
+    val two = Traversal.kCore(edges.toDF("src", "dst"), 2).collect()
+      .map(r => r.getString(0)).toSet
+    assert(two == Set("x", "y", "z"))
+    val one = Traversal.kCore(edges.toDF("src", "dst"), 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(one == bruteKCore(edges, 1))
   }
 }
