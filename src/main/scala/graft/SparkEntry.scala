@@ -981,8 +981,13 @@ object SparkEntry {
     * repo-count², the operator's intrinsic output). Self-reach via cycles
     * is excluded — a repo is not its own dependent. */
   def repoBlastRadius(spark: SparkSession, sfDir: String): DataFrame = {
+    // checkpoint the THIN repo-pair relation once: the corpus-scanning
+    // repo_deps subtree is referenced twice below (closure input + node
+    // derivation) and Catalyst would clone the scan into each (the
+    // forkPairs/pretrain_mix disease — PlanAudit measured 4 scans here)
     val deps = repoDeps(spark, sfDir)
       .select(col("repo_a").as("src"), col("repo_b").as("dst"))
+      .localCheckpoint(true)
     val closure = graph.Traversal.transitiveClosure(deps)
     val repos = deps.select(col("src").as("repo"))
       .union(deps.select(col("dst").as("repo"))).distinct()
