@@ -287,6 +287,49 @@ class GraphSpec extends AnyFunSuite {
     assert(o2("z") == (("z", 1L, 1)))
   }
 
+  test("incremental closure: delta folds match full recompute (multi-delta paths, new cycles, new nodes)") {
+    val fixtures = Seq(
+      // delta chain bridged by an old segment: d1 = x->a, old a->b, d2 = b->y
+      (Seq("a" -> "b", "p" -> "a"), Seq("x" -> "a", "b" -> "y")),
+      // delta closes a cycle over the old path -> self-pairs must appear
+      (Seq("a" -> "b", "b" -> "c"), Seq("c" -> "a")),
+      // delta-only new nodes, disconnected from the old graph
+      (Seq("a" -> "b"), Seq("n1" -> "n2", "n2" -> "n3")),
+      // delta edges sharing endpoints (head == next tail, no old bridge)
+      (Seq("q" -> "r"), Seq("r" -> "s", "s" -> "t", "t" -> "q")),
+      // empty-ish: duplicate of an existing edge plus a reverse edge
+      (Seq("a" -> "b", "b" -> "c"), Seq("a" -> "b", "b" -> "a")))
+    for ((base, delta) <- fixtures) {
+      val full = Traversal.transitiveClosure((base ++ delta).toDF("src", "dst"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val inc = Traversal.incrementalClosure(
+        Traversal.transitiveClosure(base.toDF("src", "dst")).localCheckpoint(true),
+        delta.toDF("src", "dst"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(inc == full, s"base=$base delta=$delta")
+      assert(inc == bruteClosure(base ++ delta), s"brute check base=$base delta=$delta")
+    }
+  }
+
+  test("incremental closure: seeded random graphs, two successive delta folds == full") {
+    val rnd = new scala.util.Random(20260820L)
+    for (trial <- 1 to 3) {
+      val nodes = (0 until 14).map(i => s"v$i")
+      def edges(n: Int) = Seq.fill(n)(
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+        .filter(e => e._1 != e._2)
+      val base = edges(12); val d1 = edges(4); val d2 = edges(4)
+      val once = Traversal.incrementalClosure(
+        Traversal.transitiveClosure(base.toDF("src", "dst")).localCheckpoint(true),
+        d1.toDF("src", "dst")).localCheckpoint(true)
+      val twice = Traversal.incrementalClosure(once, d2.toDF("src", "dst"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val full = Traversal.transitiveClosure((base ++ d1 ++ d2).toDF("src", "dst"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(twice == full, s"trial $trial base=$base d1=$d1 d2=$d2")
+    }
+  }
+
   // --------------------------------------------------------------- k-core --
 
   private def bruteKCore(edges: Seq[(String, String)], k: Int): Map[String, Int] = {
