@@ -375,6 +375,65 @@ object StreamingJobs {
         s"near-dup cluster fold for $key lost the commit race $maxAttempts times under $compsTablePath")
     }
 
+  final case class EdgeDelta(src: String, dst: String)
+
+  /** Continuous maintenance of a materialized transitive closure: each
+    * micro-batch of directed edge deltas folds into the snapshot-committed
+    * closure table via [[graft.graph.Traversal.incrementalClosure]] — the
+    * tick pays for its delta (the fixpoint iterates only at delta-endpoint
+    * grain), never a re-closure of the accumulated graph. The reachability
+    * twin of [[nearDupClustersToSnapshot]], and the continuous form of the
+    * repo_blast_radius family: dependency edges stream in, "who rebuilds
+    * if this changes" stays current. Same zombie-proof read-modify-write
+    * protocol as the cluster fold ([[foldNearDupBatch]] doc): overwriteIf
+    * pinned to the tip the fold read, commit-key replay no-op. */
+  def closureToSnapshot(
+      edges: Dataset[EdgeDelta],
+      closureTablePath: String,
+      queryKey: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[EdgeDelta], batchId: Long) =>
+        foldClosureBatch(batch, closureTablePath, queryKey, batchId)
+      }
+      .start()
+
+  /** One micro-batch of the closure fold (extracted for direct replay in
+    * crash-recovery tests). See [[foldNearDupBatch]] for the commit
+    * protocol; the fold itself is `incrementalClosure(prev tip, delta)`
+    * (an empty table folds as the delta's own closure). */
+  def foldClosureBatch(
+      batch: Dataset[EdgeDelta],
+      closureTablePath: String,
+      queryKey: String,
+      batchId: Long,
+      maxAttempts: Int = 50): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val table = new graft.graph.SnapshotTable(spark, closureTablePath)
+      val key = s"$queryKey#batch-$batchId"
+      import spark.implicits._
+      val delta = batch.toDF().select(col("src"), col("dst")).distinct()
+        .localCheckpoint(true) // folded possibly more than once — pin it
+      var attempt = 0
+      var done = table.snapshots().exists(_.commitKey.contains(key))
+      while (!done && attempt < maxAttempts) {
+        val tip = table.currentSnapshotId()
+        val prev =
+          if (tip >= 0) table.read(tip)
+          else Seq.empty[(String, String)].toDF("src", "dst")
+        val next = graft.graph.Traversal.incrementalClosure(
+          prev.localCheckpoint(true), delta) // reads the table it overwrites
+          .localCheckpoint(true)
+        done = table.overwriteIf(next, expectedTip = tip, commitKey = Some(key)).isDefined
+        attempt += 1
+      }
+      if (!done) throw new IllegalStateException(
+        s"closure fold for $key lost the commit race $maxAttempts times under $closureTablePath")
+    }
+
   final case class Event(ts: java.sql.Timestamp, userId: Long, eventType: String, value: Double)
   final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
   final case class SessionOut(userId: Long, nEvents: Long, totalValue: Double, endedByTimeout: Boolean)

@@ -339,6 +339,53 @@ class StreamingSpec extends AnyFunSuite {
       "1" -> "1", "2" -> "1", "4" -> "1", "5" -> "5", "6" -> "5", "7" -> "5"))
   }
 
+  test("streaming closure maintenance: edge deltas fold into a snapshot closure table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_closure")
+    val path = s"$dir/closure"
+    val stream = MemoryStream[StreamingJobs.EdgeDelta]
+    val query = StreamingJobs.closureToSnapshot(
+      stream.toDS(), path, queryKey = "closure", checkpointLocation = s"$dir/ckpt")
+
+    def pairs() = new graft.graph.SnapshotTable(spark, path).read()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    // batch 0: a chain a->b->c
+    stream.addData(Seq(StreamingJobs.EdgeDelta("a", "b"), StreamingJobs.EdgeDelta("b", "c")))
+    query.processAllAvailable()
+    assert(pairs() == Set("a" -> "b", "b" -> "c", "a" -> "c"))
+
+    // batch 1: d->a extends reach THROUGH the stored closure; c->a closes
+    // a cycle, so self-pairs must appear for the whole loop
+    stream.addData(Seq(StreamingJobs.EdgeDelta("d", "a"), StreamingJobs.EdgeDelta("c", "a")))
+    query.processAllAvailable()
+    query.stop()
+    val full = graft.graph.Traversal.transitiveClosure(
+      Seq("a" -> "b", "b" -> "c", "d" -> "a", "c" -> "a").toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs() == full)
+    assert(pairs().contains("a" -> "a") && pairs().contains("d" -> "c"))
+
+    // crash-redelivery: replaying a committed batch is a no-op (key fast path)
+    val table = new graft.graph.SnapshotTable(spark, path)
+    val nBefore = table.snapshots().size
+    StreamingJobs.foldClosureBatch(
+      Seq(StreamingJobs.EdgeDelta("a", "b")).toDS(), path, "closure", batchId = 0L)
+    assert(table.snapshots().size == nBefore && pairs() == full)
+
+    // zombie fold: an overwrite pinned to a stale tip is rejected; the
+    // batch replayed through foldClosureBatch folds from the CURRENT tip
+    val staleTip = 0L
+    assert(table.overwriteIf(table.read(staleTip), expectedTip = staleTip,
+      commitKey = Some("closure#batch-9")).isEmpty)
+    StreamingJobs.foldClosureBatch(
+      Seq(StreamingJobs.EdgeDelta("c", "e")).toDS(), path, "closure", batchId = 9L)
+    val withE = graft.graph.Traversal.transitiveClosure(
+      Seq("a" -> "b", "b" -> "c", "d" -> "a", "c" -> "a", "c" -> "e").toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs() == withE)
+  }
+
   test("nearDupStream on a STATIC dataset skips only the timeout arming (batch mode)") {
     // pins the exception contract of the timeout guard: batch mode throws
     // UnsupportedOperationException from getCurrentWatermarkMs, which is
